@@ -1,0 +1,201 @@
+"""Adapter layer: ETL round-trips on synthetic data + golden fixture read."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vltk_tpu import vars as V
+from vltk_tpu.adapters import Adapters, Coco2014, GQA, VQA
+from vltk_tpu.adapters.base import Adapter
+
+REFERENCE_FIXTURE = "/root/reference/tests/visualgenome/frcnn/train.arrow"
+
+
+# ---------------------------------------------------------------------------
+# synthetic raw datasets
+# ---------------------------------------------------------------------------
+
+
+def make_coco(datadir, split="train", n_imgs=4):
+    base = os.path.join(datadir, "coco2014")
+    ann_dir = os.path.join(base, V.ANNOTATION_DIR)
+    os.makedirs(ann_dir, exist_ok=True)
+    img_dir = os.path.join(base, split)
+    os.makedirs(img_dir, exist_ok=True)
+    from PIL import Image
+
+    anns, imgs = [], []
+    for i in range(n_imgs):
+        imgid = 1000 + i
+        imgs.append({"id": imgid, "file_name": f"COCO_{split}2014_{imgid:012d}.jpg"})
+        Image.new("RGB", (64, 48), (i * 20, 100, 50)).save(
+            os.path.join(img_dir, f"COCO_{split}2014_{imgid:012d}.jpg")
+        )
+        for j in range(2):
+            anns.append(
+                {
+                    "image_id": imgid,
+                    "bbox": [5 + j, 6 + j, 10, 12],
+                    "category_id": j + 1,
+                    "segmentation": [[5, 6, 15, 6, 15, 18, 5, 18]],
+                }
+            )
+    payload = {
+        "images": imgs,
+        "annotations": anns,
+        "categories": [{"id": 1, "name": "cat"}, {"id": 2, "name": "dog"}],
+    }
+    with open(os.path.join(ann_dir, f"instances_{split}2014.json"), "w") as f:
+        json.dump(payload, f)
+    return base
+
+
+def make_vqa(datadir, split="train", n_q=6):
+    base = os.path.join(datadir, "vqa")
+    d = os.path.join(base, split)
+    os.makedirs(d, exist_ok=True)
+    questions, annotations = [], []
+    for i in range(n_q):
+        qid = 7000 + i
+        imgid = 1000 + (i % 4)
+        questions.append(
+            {"question_id": qid, "image_id": imgid, "question": f"what is {i}?"}
+        )
+        answer = "cat" if i % 2 == 0 else "dog"
+        annotations.append(
+            {
+                "question_id": qid,
+                "image_id": imgid,
+                "multiple_choice_answer": answer,
+                "answers": [{"answer": answer}] * 7,
+            }
+        )
+    with open(os.path.join(d, f"v2_questions_{split}.json"), "w") as f:
+        json.dump({"questions": questions}, f)
+    with open(os.path.join(d, f"v2_annotations_{split}.json"), "w") as f:
+        json.dump({"annotations": annotations}, f)
+    return base
+
+
+def make_gqa(datadir, split="val"):
+    base = os.path.join(datadir, "gqa")
+    os.makedirs(base, exist_ok=True)
+    data = {}
+    for i in range(6):
+        data[f"q{i}"] = {
+            "question": f"is it {i}?",
+            "answer": "yes" if i % 2 else "no",
+            "imageId": f"n10{i % 3}",
+            "semantic": [{"operation": "select"}, {"operation": "query"}],
+        }
+    with open(os.path.join(base, f"{split}_balanced_questions.json"), "w") as f:
+        json.dump(data, f)
+    return base
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+class TestRegistry:
+    def test_avail(self):
+        names = Adapters.avail()
+        for expect in ("coco2014", "vqa", "gqa", "cococaptions", "clevr",
+                       "clevrref", "funsd", "docvqa", "docvqavisn", "vgqa",
+                       "visualgenome"):
+            assert expect in names
+
+    def test_kind_predicates(self):
+        assert Adapters.is_visn("coco2014")
+        assert Adapters.is_visnlang("vqa")
+        assert Adapters.is_visnlang("vgqa")  # fixed vs reference latent bug
+        assert not Adapters.is_visnlang("coco2014")
+
+
+class TestCocoExtract:
+    def test_extract_and_reload(self, tmp_datadir):
+        make_coco(tmp_datadir)
+        adapter = Coco2014.extract(tmp_datadir)
+        assert adapter.num_rows == 4
+        assert set(adapter.column_names) >= {V.imgid, V.boxes, V.labels}
+        # metadata counters on string columns
+        assert adapter.metadata["labels_frequencies"] == {"cat": 4, "dog": 4}
+        # img_to_row_map random access
+        row = adapter.get("1001")
+        assert row[V.imgid] == "1001"
+        assert np.asarray(row[V.boxes]).shape == (2, 4)
+        # reload from disk
+        loaded = Coco2014.load(tmp_datadir)
+        assert loaded.num_rows == 4
+        assert loaded.get("1002")[V.labels] == ["cat", "dog"]
+
+    def test_imgid_filter(self, tmp_datadir):
+        make_coco(tmp_datadir)
+        adapter = Coco2014.extract(tmp_datadir)
+        sub = adapter.imgid_filter(["1000", "1003"])
+        assert sub.num_rows == 2
+        assert set(sub.imgids) == {"1000", "1003"}
+        assert sub.get("1003")[V.imgid] == "1003"
+
+    def test_imgid2path(self, tmp_datadir):
+        make_coco(tmp_datadir)
+        id2path = Coco2014.load_imgid2path(tmp_datadir, "train")
+        assert len(id2path) == 4
+        assert all(p.endswith(".jpg") for p in id2path.values())
+
+
+class TestVQAExtract:
+    def test_extract(self, tmp_datadir):
+        make_vqa(tmp_datadir)
+        out = VQA.extract(tmp_datadir, splits=["train"], min_label_frequency=1)
+        adapter = out["train"]
+        assert adapter.num_rows == 6
+        row = adapter.get_idx(0)
+        # imgid adjusted to COCO form
+        assert row[V.imgid].startswith("COCO_t2014_")
+        assert row[V.label] in (["cat"], ["dog"])
+        assert row[V.score] == [1.0]
+        assert "label_frequencies" in adapter.metadata
+        assert adapter.answer_frequencies  # non-empty
+
+    def test_min_frequency_filter(self, tmp_datadir):
+        make_vqa(tmp_datadir)
+        out = VQA.extract(tmp_datadir, splits=["train"], min_label_frequency=99)
+        # all answers are rare -> every labeled question skipped but the
+        # questions themselves survive without labels
+        adapter = out["train"]
+        assert adapter.num_rows == 0 or V.label not in adapter.column_names
+
+
+class TestGQAExtract:
+    def test_extract(self, tmp_datadir):
+        make_gqa(tmp_datadir)
+        out = GQA.extract(tmp_datadir, splits=["val"], min_label_frequency=1)
+        adapter = out["val"]
+        assert adapter.num_rows == 6
+        row = adapter.get_idx(0)
+        assert row[V.imgid].startswith("10")  # 'n' stripped
+        assert row["layout"] == ["select", "query"]
+
+
+class TestGoldenFixture:
+    @pytest.mark.skipif(
+        not os.path.exists(REFERENCE_FIXTURE), reason="fixture not mounted"
+    )
+    def test_read_reference_arrow(self):
+        """Our arrow reader loads the reference's extracted-FRCNN fixture
+        unchanged: same columns, row map, shapes."""
+        adapter = Adapter._load_one_arrow(REFERENCE_FIXTURE)
+        assert adapter.num_rows == 10
+        assert set(adapter.column_names) == {
+            "attr_ids", "box", "features", "imgid", "object_ids",
+        }
+        assert len(adapter.img_to_row_map) == 10
+        row = adapter.get("1002")
+        feats = np.asarray(row["features"], dtype=np.float32)
+        assert feats.shape == (36, 2048)
+        boxes = np.asarray(row["box"], dtype=np.float32)
+        assert boxes.shape == (36, 4)

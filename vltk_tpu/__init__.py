@@ -1,0 +1,61 @@
+"""vltk_tpu — a TPU-native vision-language data + extraction + training framework.
+
+Working import surface mirrors the reference (reference: vltk/__init__.py:3-13):
+adapters, configs, builder, features, processors, vars — everything a user
+needs to go raw-dataset -> arrow -> device batches -> model.
+
+    import vltk_tpu as vltk
+    train_loader, eval_loader = vltk.build(config)
+"""
+
+from vltk_tpu.vars import *  # noqa: F401,F403 — canonical keys (vltk.imgid, ...)
+from vltk_tpu import vars  # noqa: F401
+from vltk_tpu.config import (  # noqa: F401
+    Config,
+    DataConfig,
+    EvalConfig,
+    LangConfig,
+    MeshConfig,
+    ModelConfig,
+    ModelsConfig,
+    TrainConfig,
+    VisionConfig,
+)
+from vltk_tpu.features import Features  # noqa: F401
+
+# The `features` *submodule* import shadows the canonical key string
+# ``vars.features``; user code reads ``vltk.features`` as the column name
+# (reference usage), so rebind the string. ``from vltk_tpu.features import
+# Features`` still resolves through sys.modules.
+features = vars.features
+
+__version__ = "0.1.0"
+
+
+def build(config):
+    """One config -> (train_loader, eval_loader)
+    (reference: vltk/__init__.py:16-17)."""
+    from vltk_tpu.data.builder import init_datasets
+
+    return init_datasets(config)
+
+
+def __getattr__(name):
+    # lazy heavyweight namespaces
+    if name == "adapters":
+        import vltk_tpu.adapters as adapters
+
+        return adapters
+    if name == "Adapters":
+        from vltk_tpu.adapters import Adapters
+
+        return Adapters
+    if name == "processing":
+        import vltk_tpu.processing as processing
+
+        return processing
+    if name == "Processors":
+        from vltk_tpu.processing import Processors
+
+        return Processors
+    raise AttributeError(f"module 'vltk_tpu' has no attribute {name!r}")
