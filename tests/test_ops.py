@@ -1,0 +1,195 @@
+"""Detection ops vs naive numpy oracles (torchvision semantics)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vltk_tpu.ops import (
+    apply_deltas,
+    box_iou,
+    clip_boxes,
+    encode_deltas,
+    nms_fixed,
+    batched_nms_fixed,
+    nonempty_mask,
+    roi_align,
+    roi_pool,
+)
+
+
+# ---------------------------------------------------------------------------
+# numpy oracles
+# ---------------------------------------------------------------------------
+
+
+def np_iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = lambda x: np.clip(x[:, 2] - x[:, 0], 0, None) * np.clip(
+        x[:, 3] - x[:, 1], 0, None
+    )
+    union = area(a)[:, None] + area(b)[None] - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def np_greedy_nms(boxes, scores, thresh):
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        ious = np_iou(boxes[i : i + 1], boxes)[0]
+        suppressed |= ious > thresh
+    return keep
+
+
+def np_roi_pool(feat, boxes, out, scale):
+    """torchvision RoIPool oracle (feat HWC): std::round corners, exact
+    integer bin-edge arithmetic."""
+    H, W, C = feat.shape
+    res = np.zeros((len(boxes), out, out, C), np.float32)
+    rnd = lambda v: int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5))
+    for bi, box in enumerate(boxes):
+        x1, y1, x2, y2 = (rnd(np.float32(v) * np.float32(scale)) for v in box)
+        rw = max(x2 - x1 + 1, 1)
+        rh = max(y2 - y1 + 1, 1)
+        for py in range(out):
+            for px in range(out):
+                # exact rational bin edges (see roi_pool docstring)
+                hs = (py * rh) // out + y1
+                he = -((-(py + 1) * rh) // out) + y1
+                ws = (px * rw) // out + x1
+                we = -((-(px + 1) * rw) // out) + x1
+                hs, he = np.clip([hs, he], 0, H)
+                ws, we = np.clip([ws, we], 0, W)
+                if he <= hs or we <= ws:
+                    continue
+                res[bi, py, px] = feat[hs:he, ws:we].reshape(-1, C).max(0)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+class TestBoxes:
+    def test_delta_roundtrip(self, rng):
+        src = rng.uniform(0, 50, (20, 4)).astype(np.float32)
+        src[:, 2:] = src[:, :2] + rng.uniform(5, 40, (20, 2))
+        tgt = src + rng.uniform(-3, 3, (20, 4)).astype(np.float32)
+        tgt[:, 2:] = np.maximum(tgt[:, 2:], tgt[:, :2] + 1)
+        weights = (10.0, 10.0, 5.0, 5.0)
+        deltas = encode_deltas(jnp.asarray(src), jnp.asarray(tgt), weights)
+        back = apply_deltas(deltas, jnp.asarray(src), weights)
+        np.testing.assert_allclose(np.asarray(back), tgt, rtol=1e-4, atol=1e-3)
+
+    def test_clip_and_nonempty(self):
+        boxes = jnp.asarray([[-5.0, -5.0, 10.0, 10.0], [3.0, 3.0, 3.0, 9.0]])
+        clipped = clip_boxes(boxes, (8, 12))
+        np.testing.assert_allclose(
+            np.asarray(clipped), [[0, 0, 10, 8], [3, 3, 3, 8]]
+        )
+        mask = nonempty_mask(clipped, threshold=0.0)
+        assert list(np.asarray(mask)) == [True, False]
+
+    def test_iou_matches_oracle(self, rng):
+        a = rng.uniform(0, 60, (12, 4)).astype(np.float32)
+        a[:, 2:] = a[:, :2] + rng.uniform(1, 30, (12, 2))
+        b = rng.uniform(0, 60, (7, 4)).astype(np.float32)
+        b[:, 2:] = b[:, :2] + rng.uniform(1, 30, (7, 2))
+        np.testing.assert_allclose(
+            np.asarray(box_iou(jnp.asarray(a), jnp.asarray(b))),
+            np_iou(a, b),
+            rtol=1e-5,
+        )
+
+
+class TestNMS:
+    @pytest.mark.parametrize("thresh", [0.3, 0.5, 0.7])
+    def test_matches_greedy_oracle(self, rng, thresh):
+        n = 60
+        boxes = rng.uniform(0, 80, (n, 4)).astype(np.float32)
+        boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 40, (n, 2))
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        keep, valid = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), thresh, n)
+        got = [int(i) for i, v in zip(np.asarray(keep), np.asarray(valid)) if v]
+        expect = np_greedy_nms(boxes, scores, thresh)
+        assert got == expect
+
+    def test_budget_truncation(self, rng):
+        boxes = np.array([[i * 100.0, 0, i * 100 + 10, 10] for i in range(8)],
+                         np.float32)
+        scores = np.arange(8, dtype=np.float32)
+        keep, valid = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 3)
+        assert list(np.asarray(keep)) == [7, 6, 5]
+        assert np.asarray(valid).all()
+
+    def test_valid_mask_excludes(self):
+        boxes = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+        scores = np.array([0.9, 0.8], np.float32)
+        keep, valid = nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.5, 2,
+            valid=jnp.asarray([False, True]),
+        )
+        arr = np.asarray(keep)
+        assert arr[0] == 1 and not np.asarray(valid)[1]
+
+    def test_batched_category_isolation(self):
+        # identical boxes, different categories -> both kept
+        boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)
+        scores = np.array([0.9, 0.8], np.float32)
+        keep, valid = batched_nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray([0, 1]), 0.5, 2
+        )
+        assert np.asarray(valid).all()
+
+    def test_nms_threshold_one_keeps_all(self, rng):
+        # the reference retry-NMS relies on thresh=1.0 keeping everything
+        n = 10
+        boxes = np.tile(np.array([[0, 0, 10, 10]], np.float32), (n, 1))
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        keep, valid = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 1.0, n)
+        assert np.asarray(valid).all()
+
+
+class TestRoIPool:
+    def test_matches_oracle(self, rng):
+        feat = rng.standard_normal((20, 24, 8)).astype(np.float32)
+        boxes = np.array(
+            [
+                [0, 0, 100, 100],
+                [32, 16, 200, 150],
+                [5, 5, 40, 40],
+                [300, 300, 360, 380],  # partially outside after scaling
+            ],
+            np.float32,
+        )
+        out = roi_pool(jnp.asarray(feat), jnp.asarray(boxes), 7, 1.0 / 16)
+        expect = np_roi_pool(feat, boxes, 7, 1.0 / 16)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+
+    def test_output_shape_14(self, rng):
+        feat = rng.standard_normal((50, 84, 4)).astype(np.float32)
+        boxes = rng.uniform(0, 700, (10, 4)).astype(np.float32)
+        boxes[:, 2:] = boxes[:, :2] + rng.uniform(30, 500, (10, 2))
+        out = roi_pool(jnp.asarray(feat), jnp.asarray(boxes), 14, 1.0 / 16)
+        assert out.shape == (10, 14, 14, 4)
+        # sanity vs oracle on big maps too
+        expect = np_roi_pool(feat, np.clip(boxes, 0, 1333), 14, 1.0 / 16)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+
+    def test_roi_align_smoke(self, rng):
+        feat = rng.standard_normal((20, 20, 4)).astype(np.float32)
+        boxes = np.array([[0, 0, 160, 160], [40, 40, 120, 140]], np.float32)
+        out = roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 1.0 / 16, 2)
+        assert out.shape == (2, 7, 7, 4)
+        # constant feature map -> constant output regardless of sampling
+        const = jnp.ones((20, 20, 4))
+        out2 = roi_align(const, jnp.asarray(boxes), 7, 1.0 / 16, 2)
+        np.testing.assert_allclose(np.asarray(out2), 1.0, rtol=1e-6)
