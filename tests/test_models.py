@@ -1,0 +1,257 @@
+"""Model-layer tests: torch-oracle numerical parity for the backbone
+pieces, structural + invariant tests for the fixed-shape detection path.
+
+The torch oracles are written from the reference's documented semantics
+(reference: vltk/modeling/frcnn.py:857-1000) with plain torch.nn.functional
+ops — no torchvision required.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from vltk_tpu.models import FRCNN, FRCNNConfig, torch_frcnn_to_jax
+from vltk_tpu.models.anchors import cell_anchors, grid_anchors
+from vltk_tpu.models.backbone import BasicStem, BottleneckBlock
+from vltk_tpu.models.rpn import propose
+
+TINY = FRCNNConfig(
+    depth=50,
+    stem_out_channels=8,
+    res2_out_channels=16,
+    width_per_group=4,
+    rpn_hidden_channels=16,
+    anchor_sizes=(16, 32),
+    aspect_ratios=(0.5, 1.0, 2.0),
+    pre_nms_topk=64,
+    post_nms_topk=16,
+    num_classes=7,
+    num_attrs=5,
+    pooler_resolution=7,
+    min_detections=4,
+    max_detections=4,
+)
+
+
+def torch_frozen_bn(x, w, b, mean, var, eps=1e-5):
+    return F.batch_norm(x, mean, var, w, b, training=False, eps=eps)
+
+
+def rand_sd(rng, shapes):
+    return {k: torch.tensor(rng.normal(size=s).astype(np.float32) * 0.1) for k, s in shapes.items()}
+
+
+class TestStemParity:
+    def test_caffe_stem_matches_torch(self, rng):
+        x = rng.normal(size=(2, 3, 21, 27)).astype(np.float32)
+        sd = rand_sd(
+            rng,
+            {
+                "backbone.stem.conv1.weight": (8, 3, 7, 7),
+                "backbone.stem.conv1.norm.weight": (8,),
+                "backbone.stem.conv1.norm.bias": (8,),
+                "backbone.stem.conv1.norm.running_mean": (8,),
+            },
+        )
+        sd["backbone.stem.conv1.norm.running_var"] = torch.tensor(
+            rng.uniform(0.5, 2.0, size=(8,)).astype(np.float32)
+        )
+
+        xt = torch.tensor(x)
+        t = F.conv2d(xt, sd["backbone.stem.conv1.weight"], stride=2, padding=3)
+        t = torch_frozen_bn(
+            t,
+            sd["backbone.stem.conv1.norm.weight"],
+            sd["backbone.stem.conv1.norm.bias"],
+            sd["backbone.stem.conv1.norm.running_mean"],
+            sd["backbone.stem.conv1.norm.running_var"],
+        )
+        t = F.relu(t)
+        t = F.max_pool2d(t, kernel_size=3, stride=2, padding=0, ceil_mode=True)
+        expected = t.permute(0, 2, 3, 1).numpy()
+
+        params = torch_frcnn_to_jax(sd)["backbone"]["stem"]
+        got = BasicStem(out_channels=8, caffe_maxpool=True).apply(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-5, atol=2e-5)
+
+
+class TestBottleneckParity:
+    @pytest.mark.parametrize("stride,dilation", [(1, 1), (2, 1), (1, 2)])
+    def test_block_matches_torch(self, rng, stride, dilation):
+        cin, cb, cout = 8, 4, 16
+        x = rng.normal(size=(1, cin, 14, 14)).astype(np.float32)
+        names = {}
+        for conv, (o, i, k) in {
+            "conv1": (cb, cin, 1),
+            "conv2": (cb, cb, 3),
+            "conv3": (cout, cb, 1),
+            "shortcut": (cout, cin, 1),
+        }.items():
+            names[f"backbone.res2.0.{conv}.weight"] = (o, i, k, k)
+            names[f"backbone.res2.0.{conv}.norm.weight"] = (o,)
+            names[f"backbone.res2.0.{conv}.norm.bias"] = (o,)
+            names[f"backbone.res2.0.{conv}.norm.running_mean"] = (o,)
+        sd = rand_sd(rng, names)
+        for conv, o in {"conv1": cb, "conv2": cb, "conv3": cout, "shortcut": cout}.items():
+            sd[f"backbone.res2.0.{conv}.norm.running_var"] = torch.tensor(
+                rng.uniform(0.5, 2.0, size=(o,)).astype(np.float32)
+            )
+
+        def cbn(t, conv, stride=1, padding=0, dilation=1):
+            p = f"backbone.res2.0.{conv}"
+            t = F.conv2d(t, sd[f"{p}.weight"], stride=stride, padding=padding, dilation=dilation)
+            return torch_frozen_bn(
+                t,
+                sd[f"{p}.norm.weight"],
+                sd[f"{p}.norm.bias"],
+                sd[f"{p}.norm.running_mean"],
+                sd[f"{p}.norm.running_var"],
+            )
+
+        # stride_in_1x1=True: stride goes on conv1 (reference frcnn.py:932-940)
+        xt = torch.tensor(x)
+        t = F.relu(cbn(xt, "conv1", stride=stride))
+        t = F.relu(cbn(t, "conv2", padding=dilation, dilation=dilation))
+        t = cbn(t, "conv3")
+        sc = cbn(xt, "shortcut", stride=stride)
+        expected = F.relu(t + sc).permute(0, 2, 3, 1).numpy()
+
+        params = torch_frcnn_to_jax(sd)["backbone"]["res2"]["0"]
+        got = BottleneckBlock(
+            out_channels=cout,
+            bottleneck_channels=cb,
+            stride=stride,
+            stride_in_1x1=True,
+            dilation=dilation,
+        ).apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-5, atol=2e-5)
+
+
+class TestAnchors:
+    def test_cell_anchor_formula(self):
+        a = cell_anchors((32,), (1.0,))
+        np.testing.assert_allclose(a, [[-16, -16, 16, 16]])
+        a2 = cell_anchors((32,), (0.5,))
+        w = np.sqrt(32 * 32 / 0.5)
+        np.testing.assert_allclose(
+            a2, [[-w / 2, -w / 4, w / 2, w / 4]], rtol=1e-6
+        )
+
+    def test_grid_order_matches_nhwc_flatten(self):
+        # anchors must be ordered (y, x, a) to line up with an NHWC reshape
+        g = np.asarray(grid_anchors((2, 3), stride=16, sizes=(8,), aspect_ratios=(1.0,)))
+        assert g.shape == (6, 4)
+        centers = (g[:, :2] + g[:, 2:]) / 2
+        np.testing.assert_allclose(
+            centers,
+            [[0, 0], [16, 0], [32, 0], [0, 16], [16, 16], [32, 16]],
+        )
+
+
+class TestPropose:
+    def test_shapes_and_ordering(self, rng):
+        n, hf, wf, a = 2, 4, 4, 3
+        logits = jnp.asarray(rng.normal(size=(n, hf, wf, a)).astype(np.float32))
+        deltas = jnp.asarray(rng.normal(size=(n, hf, wf, a * 4)).astype(np.float32) * 0.1)
+        anchors = grid_anchors((hf, wf), stride=16, sizes=(32,), aspect_ratios=(0.5, 1.0, 2.0))
+        sizes = jnp.asarray([[64.0, 64.0], [48.0, 64.0]])
+        boxes, scores, valid = propose(
+            logits, deltas, anchors, sizes, pre_nms_topk=32, post_nms_topk=8
+        )
+        assert boxes.shape == (n, 8, 4)
+        assert scores.shape == (n, 8)
+        s = np.asarray(scores)
+        v = np.asarray(valid)
+        for i in range(n):
+            sv = s[i][v[i]]
+            assert list(sv) == sorted(sv, reverse=True)
+        b = np.asarray(boxes)
+        assert (b[0, v[0], 0::2] <= 64 + 1e-4).all()
+        assert (b[1, v[1], 1::2] <= 48 + 1e-4).all()
+
+
+class TestFRCNNEndToEnd:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = FRCNN(cfg=TINY)
+        images = jnp.zeros((1, 64, 64, 3))
+        sizes = jnp.asarray([[64.0, 64.0]])
+        params = model.init(jax.random.PRNGKey(0), images, sizes)["params"]
+        return model, params
+
+    def test_output_contract(self, model_and_params, rng):
+        model, params = model_and_params
+        images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        sizes = jnp.asarray([[64.0, 64.0], [50.0, 60.0]])
+        out = jax.jit(lambda p, im, s: model.apply({"params": p}, im, s))(
+            params, images, sizes
+        )
+        d = TINY.max_detections
+        assert out["boxes"].shape == (2, d, 4)
+        assert out["roi_features"].shape == (2, d, TINY.res2_out_channels * 8)
+        assert out["obj_ids"].shape == (2, d)
+        mask = np.asarray(out["mask"])
+        assert (np.asarray(out["preds_per_image"]) == mask.sum(1)).all()
+        ids = np.asarray(out["obj_ids"])
+        assert (ids[mask] >= 0).all() and (ids[mask] < TINY.num_classes).all()
+        assert (ids[~mask] == -1).all()
+        attrs = np.asarray(out["attr_ids"])
+        assert (attrs[mask] < TINY.num_attrs).all()
+        # invalid rows are zeroed
+        assert np.abs(np.asarray(out["boxes"])[~mask]).sum() == 0
+
+    def test_scales_yx_rescales_boxes(self, model_and_params, rng):
+        model, params = model_and_params
+        images = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        sizes = jnp.asarray([[64.0, 64.0]])
+        out1 = model.apply({"params": params}, images, sizes)
+        out2 = model.apply(
+            {"params": params}, images, sizes, scales_yx=jnp.asarray([[2.0, 0.5]])
+        )
+        b1, b2 = np.asarray(out1["boxes"]), np.asarray(out2["boxes"])
+        np.testing.assert_allclose(b2[..., 0::2], b1[..., 0::2] * 0.5, rtol=1e-5)
+        np.testing.assert_allclose(b2[..., 1::2], b1[..., 1::2] * 2.0, rtol=1e-5)
+
+
+class TestConverterStructure:
+    def test_converted_tree_matches_init_tree(self, rng):
+        """Every path in a synthetic reference-named state_dict must land on
+        an existing (path, shape) of the flax init tree."""
+        model = FRCNN(cfg=TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.asarray([[64.0, 64.0]])
+        )["params"]
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        expect = {
+            "/".join(str(k.key) for k in path): leaf.shape for path, leaf in flat
+        }
+
+        # build a torch-style state_dict that covers a representative subset
+        sd = {
+            "backbone.stem.conv1.weight": np.zeros((8, 3, 7, 7), np.float32),
+            "backbone.stem.conv1.norm.weight": np.zeros((8,), np.float32),
+            "backbone.stem.conv1.norm.running_var": np.ones((8,), np.float32),
+            "backbone.res3.1.conv2.weight": np.zeros((8, 8, 3, 3), np.float32),
+            "proposal_generator.rpn_head.conv.weight": np.zeros((16, 64, 3, 3), np.float32),
+            "proposal_generator.rpn_head.conv.bias": np.zeros((16,), np.float32),
+            "proposal_generator.rpn_head.objectness_logits.weight": np.zeros((6, 16, 1, 1), np.float32),
+            "roi_heads.res5.0.conv1.weight": np.zeros((32, 64, 1, 1), np.float32),
+            "roi_heads.box_predictor.cls_score.weight": np.zeros((8, 128), np.float32),
+            "roi_heads.box_predictor.cls_score.bias": np.zeros((8,), np.float32),
+            "roi_heads.box_predictor.cls_embedding.weight": np.zeros((8, 16), np.float32),
+            "proposal_generator.anchor_generator.cell_anchors.0": np.zeros((6, 4), np.float32),
+        }
+        converted = torch_frcnn_to_jax(sd)
+        flat_c = jax.tree_util.tree_flatten_with_path(converted)[0]
+        for path, leaf in flat_c:
+            key = "/".join(str(k.key) for k in path)
+            assert key in expect, f"converter produced unknown path {key}"
+            assert expect[key] == leaf.shape, (
+                f"{key}: converted {leaf.shape} != model {expect[key]}"
+            )

@@ -1,0 +1,105 @@
+"""Shared NN building blocks — NHWC, XLA-friendly, inference + training safe.
+
+TPU-first re-expression of the reference's torch layers (reference:
+vltk/modeling/frcnn.py:785-887). Convolutions lower to
+``lax.conv_general_dilated`` (MXU); frozen batch-norm is a pure affine the
+compiler fuses into the neighbouring conv.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm2d permanently in eval mode (the reference loads caffe
+    ResNet weights and never trains BN; reference: frcnn.py:165-171
+    ``get_norm("BN", ...)`` + ``.eval()``).
+
+    Parameters mirror the torch buffers (scale/bias/mean/var) so checkpoint
+    conversion is 1:1; the forward is the usual affine, which XLA folds.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        mul = scale * jnp.power(var + self.eps, -0.5)
+        add = bias - mean * mul
+        return x * mul.astype(x.dtype) + add.astype(x.dtype)
+
+
+class ConvNorm(nn.Module):
+    """Conv2d + optional frozen norm + optional activation
+    (reference: frcnn.py:785-822 fused Conv2d)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = False
+    norm: bool = True
+    activation: Optional[Callable] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=[(p, p) for p in self.padding],
+            kernel_dilation=self.dilation,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.norm:
+            x = FrozenBatchNorm(self.features, name="norm")(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def caffe_maxpool(x: jnp.ndarray, window: int = 3, stride: int = 2) -> jnp.ndarray:
+    """Caffe-style ceil-mode max pool, padding 0 (reference: frcnn.py:875-876
+    ``F.max_pool2d(kernel_size=3, stride=2, padding=0, ceil_mode=True)``).
+
+    Ceil mode is re-expressed as explicit right/bottom -inf padding computed
+    from the static trace-time shape, then an ordinary VALID pool.
+    """
+    h, w = x.shape[1], x.shape[2]
+
+    def pad_for(dim: int) -> int:
+        out = math.ceil((dim - window) / stride) + 1
+        return max((out - 1) * stride + window - dim, 0)
+
+    return nn.max_pool(
+        x,
+        window_shape=(window, window),
+        strides=(stride, stride),
+        padding=((0, pad_for(h)), (0, pad_for(w))),
+    )
+
+
+def torch_maxpool(x: jnp.ndarray, window: int = 3, stride: int = 2, pad: int = 1) -> jnp.ndarray:
+    """Standard floor-mode max pool with symmetric padding
+    (reference: frcnn.py:877 non-caffe branch)."""
+    return nn.max_pool(
+        x,
+        window_shape=(window, window),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+    )
