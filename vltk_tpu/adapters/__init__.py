@@ -39,6 +39,8 @@ class _AdapterRegistry:
 
     def get(self, name: str) -> Type[Adapter]:
         key = name.lower()
+        if key not in self._classes and key == "frcnn":
+            register_frcnn()  # lazy: pulls in the jax model stack
         if key not in self._classes:
             raise KeyError(
                 f"unknown adapter {name!r}; available: {self.avail()}"

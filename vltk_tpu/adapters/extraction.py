@@ -44,7 +44,19 @@ class VisnExtraction(Adapter):
     model_batch_size: int = 8
     prefetch_depth: int = 2
 
-    _base_features: Dict[str, Any] = {}
+    @classmethod
+    def full_schema(cls, **kwargs) -> Dict[str, Any]:
+        from vltk_tpu.features import Features
+
+        schema = super().full_schema(**kwargs)
+        schema.setdefault(V.imgid, Features.Imgid())
+        return schema
+
+    @classmethod
+    def collate(cls, entries: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Stack per-image processor outputs into one fixed-shape host
+        batch; subclasses override to pad to their raw canvas."""
+        return _stack_entries(entries)
 
     # ------------------------------------------------------------------
     # subclass surface
@@ -144,7 +156,7 @@ class VisnExtraction(Adapter):
                 entry = processor(path)
                 entry[V.imgid] = imgid
                 batch_entries.append(entry)
-            return _stack_entries(batch_entries)
+            return cls.collate(batch_entries)
 
         # producer thread decodes images ahead of the device
         q: "queue.Queue" = queue.Queue(maxsize=cls.prefetch_depth)

@@ -34,8 +34,9 @@ class VQA(VisnLangDataset):
     @staticmethod
     def adjust_imgid(imgid: str, vdset_name: str = "", vdset_split: str = "") -> str:
         """Pad numeric ids to COCO_{split}2014_000000xxxxxx form
-        (reference: adapters/vqa.py:26-30)."""
-        prefix = (vdset_split or "val")[0].lower()
+        (reference: adapters/vqa.py:26-30 — ``vdset_split[0]`` there indexes
+        the split *list*, yielding the full split name)."""
+        prefix = (vdset_split or "val").lower()
         return f"COCO_{prefix}2014_{str(imgid).zfill(12)}"
 
     @staticmethod
