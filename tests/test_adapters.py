@@ -155,7 +155,7 @@ class TestVQAExtract:
         assert adapter.num_rows == 6
         row = adapter.get_idx(0)
         # imgid adjusted to COCO form
-        assert row[V.imgid].startswith("COCO_t2014_")
+        assert row[V.imgid].startswith("COCO_train2014_")
         assert row[V.label] in (["cat"], ["dog"])
         assert row[V.score] == [1.0]
         assert "label_frequencies" in adapter.metadata
