@@ -124,21 +124,25 @@ class TestCocoExtract:
         # metadata counters on string columns
         assert adapter.metadata["labels_frequencies"] == {"cat": 4, "dog": 4}
         # img_to_row_map random access
-        row = adapter.get("1001")
-        assert row[V.imgid] == "1001"
+        row = adapter.get("COCO_train2014_000000001001")
+        assert row[V.imgid] == "COCO_train2014_000000001001"
         assert np.asarray(row[V.boxes]).shape == (2, 4)
         # reload from disk
         loaded = Coco2014.load(tmp_datadir)
         assert loaded.num_rows == 4
-        assert loaded.get("1002")[V.labels] == ["cat", "dog"]
+        assert loaded.get("COCO_train2014_000000001002")[V.labels] == ["cat", "dog"]
 
     def test_imgid_filter(self, tmp_datadir):
         make_coco(tmp_datadir)
         adapter = Coco2014.extract(tmp_datadir)
-        sub = adapter.imgid_filter(["1000", "1003"])
+        sub = adapter.imgid_filter(
+            ["COCO_train2014_000000001000", "COCO_train2014_000000001003"]
+        )
         assert sub.num_rows == 2
-        assert set(sub.imgids) == {"1000", "1003"}
-        assert sub.get("1003")[V.imgid] == "1003"
+        assert set(sub.imgids) == {
+            "COCO_train2014_000000001000", "COCO_train2014_000000001003"
+        }
+        assert sub.get("COCO_train2014_000000001003")[V.imgid] == "COCO_train2014_000000001003"
 
     def test_imgid2path(self, tmp_datadir):
         make_coco(tmp_datadir)

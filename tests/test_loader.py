@@ -1,0 +1,173 @@
+"""Loader runtime tests: builder -> datasets -> fixed-shape batches."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import vltk_tpu as vltk
+import vltk_tpu.vars as V
+from vltk_tpu.config import Config
+from vltk_tpu.data.loader import collate, transpose_vl
+
+
+def make_vqa_coco(tmp_path, rng, n_imgs=6, q_per_img=4):
+    """Synthetic VQA questions/annotations + COCO images + instances."""
+    img_dir = tmp_path / "coco2014" / "train"
+    ann_dir = tmp_path / "coco2014" / "annotations"
+    vqa_dir = tmp_path / "vqa" / "train"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    vqa_dir.mkdir(parents=True)
+
+    images, annos = [], []
+    questions, qannos = [], []
+    qid = 0
+    for i in range(n_imgs):
+        imgid = 3000 + i
+        Image.fromarray(
+            (rng.random((32, 40, 3)) * 255).astype("uint8")
+        ).save(img_dir / f"COCO_train2014_{imgid:012d}.jpg")
+        images.append(
+            {"id": imgid, "file_name": f"COCO_train2014_{imgid:012d}.jpg",
+             "height": 32, "width": 40}
+        )
+        annos.append(
+            {"image_id": imgid, "bbox": [1, 2, 10, 8], "category_id": 1,
+             "segmentation": [[1, 2, 11, 2, 11, 10, 1, 10]], "area": 80,
+             "iscrowd": 0}
+        )
+        for q in range(q_per_img):
+            questions.append(
+                {"image_id": imgid, "question": f"what is thing {q}?",
+                 "question_id": qid}
+            )
+            qannos.append(
+                {"question_id": qid, "image_id": imgid,
+                 "multiple_choice_answer": "cat" if q % 2 else "dog",
+                 "answers": [{"answer": "cat" if q % 2 else "dog"}] * 10}
+            )
+            qid += 1
+
+    (ann_dir / "instances_train2014.json").write_text(
+        json.dumps({"images": images, "annotations": annos,
+                    "categories": [{"id": 1, "name": "thing"}]})
+    )
+    (vqa_dir / "v2_OpenEnded_mscoco_train2014_questions.json").write_text(
+        json.dumps({"questions": questions})
+    )
+    (vqa_dir / "v2_mscoco_train2014_annotations.json").write_text(
+        json.dumps({"annotations": qannos})
+    )
+    return str(tmp_path)
+
+
+@pytest.fixture
+def datadir(tmp_path, rng):
+    return make_vqa_coco(tmp_path, rng)
+
+
+def base_config(datadir, **data_overrides):
+    cfg = Config()
+    cfg.data.update(
+        dict(
+            datadir=datadir,
+            train_datasets=(("vqa", "train"),),
+            train_batch_size=4,
+            num_workers=0,
+            shuffle=False,
+            **data_overrides,
+        )
+    )
+    cfg.data.lang.update({"max_seq_length": 16})
+    return cfg
+
+
+class TestTextFirstLoader:
+    def test_fixed_shape_batches(self, datadir):
+        cfg = base_config(datadir, rand_feats=(8, 32), ignore_annotations=True)
+        train, evald = vltk.build(cfg)
+        assert evald is None
+        batches = list(train)
+        assert len(batches) == len(train)
+        b = batches[0]
+        assert b[V.input_ids].shape == (4, 16)
+        assert b[V.text_attention_mask].shape == (4, 16)
+        assert b[V.features].shape == (4, 8, 32)
+        assert b[V.labels].shape == (4, 16)
+        assert b[V.scores].shape == (4, 16)
+        # all batches identical shapes (one XLA program)
+        shapes = {
+            k: {bb[k].shape for bb in batches}
+            for k in (V.input_ids, V.features, V.labels)
+        }
+        assert all(len(s) == 1 for s in shapes.values())
+
+    def test_answer_ids_shared_table(self, datadir):
+        cfg = base_config(datadir, rand_feats=(8, 32), ignore_annotations=True)
+        train, _ = vltk.build(cfg)
+        table = train.metadata_ids["answers"]
+        assert set(table) == {"cat", "dog"}
+        b = next(iter(train))
+        valid = b[V.labels][b[V.labels] != cfg.data.lang.ignore_id]
+        assert set(np.unique(valid)) <= set(table.values())
+
+    def test_real_images_fixed_canvas(self, datadir):
+        cfg = base_config(datadir, ignore_annotations=True)
+        cfg.data.vision.update({"size": (24, 32)})
+        train, _ = vltk.build(cfg)
+        b = next(iter(train))
+        assert b[V.img].shape == (4, 32, 32, 3)  # canvas_for((24,32)) -> 32x32
+
+    def test_annotations_merged(self, datadir):
+        cfg = base_config(datadir, rand_feats=(8, 32))
+        train, _ = vltk.build(cfg)
+        b = next(iter(train))
+        assert "gt_" + V.boxes in b
+        assert b["gt_" + V.boxes].shape == (4, 36, 4)
+        assert b["gt_" + V.boxes_mask].sum() == 4  # one gt box per image
+
+
+class TestImgFirstLoader:
+    def test_img_first_and_transpose(self, datadir):
+        cfg = base_config(datadir, rand_feats=(8, 32), ignore_annotations=True,
+                          img_first=True)
+        train, _ = vltk.build(cfg)
+        b = next(iter(train))
+        # (B, T, L) stacked text with mask
+        assert b[V.input_ids].shape == (4, 4, 16)
+        assert b["text_mask"].shape == (4, 4)
+        assert (b["text_mask"].sum(1) == 4).all()  # 4 questions per image
+        flat = transpose_vl(b)
+        assert flat[V.input_ids].shape == (16, 16)
+        assert flat[V.features].shape == (16, 8, 32)
+
+    def test_transpose_max_size_cap(self, datadir):
+        cfg = base_config(datadir, rand_feats=(8, 32), ignore_annotations=True,
+                          img_first=True)
+        train, _ = vltk.build(cfg)
+        b = next(iter(train))
+        flat = transpose_vl(b, max_size=5)
+        assert flat[V.input_ids].shape[0] == 5
+
+
+class TestCollate:
+    def test_min_spanning_keys(self):
+        e1 = {"a": np.zeros((2,)), "b": np.ones((3,)), V.imgid: "x"}
+        e2 = {"a": np.zeros((2,)), V.imgid: "y"}
+        batch = collate([e1, e2])
+        assert "b" not in batch
+        assert batch["a"].shape == (2, 2)
+        assert batch[V.imgid] == ["x", "y"]
+
+
+class TestEvalLoader:
+    def test_eval_no_shuffle_full_batches(self, datadir):
+        cfg = base_config(datadir, rand_feats=(8, 32), ignore_annotations=True)
+        cfg.data.update({"eval_datasets": (("vqa", "train"),), "eval_batch_size": 5})
+        train, evald = vltk.build(cfg)
+        assert evald is not None and not evald.shuffle
+        n = sum(b[V.input_ids].shape[0] for b in evald)
+        assert n == 24  # no drop_last on eval

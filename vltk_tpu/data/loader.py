@@ -1,0 +1,236 @@
+"""Batch loaders — fixed-shape numpy batches with background prefetch.
+
+Re-design of the reference's torch-DataLoader subclasses (reference:
+vltk/dataset/loader.py). The torch machinery (worker processes, per-batch
+max-shape padding, BatchInfo key partitioning) is replaced by:
+
+  * entries that are *already* fixed-shape (padding happened at entry/write
+    time), so collate is a plain ``np.stack`` — every batch of a run has
+    identical shapes and hits one compiled XLA program;
+  * a thread-pool fetch + bounded prefetch queue (decode/tokenize overlap
+    the device step);
+  * ``transpose_vl`` — the img_first batch (B images x T sentences) flattens
+    to a sentence-major batch, statically (reference:
+    visnlangdataset.py:287-353 did this raggedly post-collate);
+  * ``device_put_iter`` — an optional double-buffered host->device feed.
+
+Eval loaders never shuffle (reference: loader.py:250-258, 302-308).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from vltk_tpu import vars as V
+
+
+def collate(entries: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack fixed-shape entries; string/object keys become lists
+    (reference: loader.py:85-149 — minus the ragged paths, by design)."""
+    batch: Dict[str, Any] = {}
+    keys = set(entries[0])
+    for e in entries[1:]:
+        keys &= set(e)  # min-spanning keys (reference: BatchInfo loader.py:15-82)
+    for k in sorted(keys):
+        vals = [e[k] for e in entries]
+        first = vals[0]
+        if isinstance(first, str):
+            batch[k] = vals
+        elif isinstance(first, np.ndarray) or np.isscalar(first):
+            arrs = [np.asarray(v) for v in vals]
+            if all(a.shape == arrs[0].shape and a.dtype == arrs[0].dtype for a in arrs):
+                batch[k] = np.stack(arrs)
+            else:
+                batch[k] = vals
+        else:
+            batch[k] = vals
+    return batch
+
+
+def transpose_vl(batch: Dict[str, Any], max_size: int = 512) -> Dict[str, Any]:
+    """img_first batch (B, T, ...) -> sentence-major batch (min(B*T, max_size), ...).
+
+    Image-side keys are repeated per sentence; invalid (padded) sentences are
+    dropped via ``text_mask``. Static counterpart of the reference's
+    transpose (reference: visnlangdataset.py:287-353, max_size cap at 287).
+    """
+    text_mask = np.asarray(batch["text_mask"])  # (B, T)
+    b, t = text_mask.shape
+    flat_keep = text_mask.reshape(-1).astype(bool)
+    idx = np.flatnonzero(flat_keep)[:max_size]
+    img_idx = idx // t
+
+    out: Dict[str, Any] = {}
+    for k, v in batch.items():
+        if k in ("text_mask", "n_texts"):
+            continue
+        if isinstance(v, np.ndarray):
+            if v.ndim >= 2 and v.shape[:2] == (b, t):
+                out[k] = v.reshape(b * t, *v.shape[2:])[idx]
+            elif v.shape[:1] == (b,):
+                out[k] = v[img_idx]
+            else:
+                out[k] = v
+        elif isinstance(v, list) and len(v) == b:
+            out[k] = [v[i] for i in img_idx]
+        else:
+            out[k] = v
+    return out
+
+
+class _BaseLoader:
+    """Iterator over dataset entries in fixed-size batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool,
+        num_workers: int = 0,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch_depth: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.num_workers = int(num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_depth = prefetch_depth
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        return order
+
+    def _batches(self) -> Iterator[List[int]]:
+        order = self._order()
+        bs = self.batch_size
+        end = len(order) - (len(order) % bs) if self.drop_last else len(order)
+        for i in range(0, end, bs):
+            chunk = order[i : i + bs]
+            if len(chunk):
+                yield list(chunk)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.num_workers <= 0:
+            for chunk in self._batches():
+                yield collate([self.dataset[i] for i in chunk])
+            return
+        # threaded fetch with bounded prefetch
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def producer():
+            try:
+                for chunk in self._batches():
+                    entries = list(pool.map(self.dataset.__getitem__, chunk))
+                    q.put(collate(entries))
+                q.put(None)
+            except BaseException as exc:  # propagate to the consumer
+                q.put(exc)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                t.join()
+                pool.shutdown(wait=False)
+                raise item
+            yield item
+        t.join()
+        pool.shutdown(wait=False)
+
+
+class VisionLanguageLoader(_BaseLoader):
+    """(reference: loader.py:250-296)"""
+
+    def __init__(self, config, dataset, train: bool = True):
+        super().__init__(
+            dataset,
+            batch_size=config.train_batch_size if train else config.eval_batch_size,
+            shuffle=config.shuffle if train else False,
+            num_workers=config.num_workers if train else 0,
+            drop_last=config.drop_last if train else False,
+            prefetch_depth=config.prefetch_depth,
+        )
+        self.config = config
+        self.train = train
+
+    def transposed(self, max_size: int = 512) -> Iterator[Dict[str, Any]]:
+        """Iterate sentence-major batches from an img_first dataset."""
+        for batch in self:
+            yield transpose_vl(batch, max_size=max_size)
+
+
+class VisionLoader(_BaseLoader):
+    """(reference: loader.py:302-345)"""
+
+    def __init__(self, config, dataset, train: bool = True):
+        super().__init__(
+            dataset,
+            batch_size=config.train_batch_size if train else config.eval_batch_size,
+            shuffle=config.shuffle if train else False,
+            num_workers=config.num_workers if train else 0,
+            drop_last=config.drop_last if train else False,
+            prefetch_depth=config.prefetch_depth,
+        )
+        self.config = config
+        self.train = train
+
+
+def device_put_iter(
+    loader,
+    sharding=None,
+    keys: Optional[List[str]] = None,
+) -> Iterator[Dict[str, Any]]:
+    """Double-buffered host->device feed: the next batch transfers while the
+    caller computes on the current one (SURVEY §2.10 N8 replacement for the
+    torch pinned-memory worker pool)."""
+    import jax
+
+    def put(batch):
+        out = {}
+        for k, v in batch.items():
+            if keys is not None and k not in keys:
+                continue
+            if isinstance(v, np.ndarray) and v.dtype != object:
+                out[k] = (
+                    jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)
+                )
+            else:
+                out[k] = v
+        return out
+
+    it = iter(loader)
+    try:
+        pending = put(next(it))
+    except StopIteration:
+        return
+    for batch in it:
+        nxt = put(batch)  # transfer overlaps consumer compute
+        yield pending
+        pending = nxt
+    yield pending

@@ -64,6 +64,15 @@ class Tokenizer:
                     "for other families"
                 )
             self._tok = BertWordPieceTokenizer(vocab_path, lowercase=lowercase)
+            # configure once — mutating options per call is not thread-safe
+            # with the Rust core ("Already borrowed" under loader threads)
+            self._tok.enable_truncation(self.max_seq_length)
+            self._tok.enable_padding(
+                length=self.max_seq_length,
+                pad_id=self._tok.token_to_id("[PAD]"),
+                pad_token="[PAD]",
+            )
+            self._word_tok = BertWordPieceTokenizer(vocab_path, lowercase=lowercase)
             self.cls_token, self.sep_token = "[CLS]", "[SEP]"
             self.pad_token, self.mask_token, self.unk_token = (
                 "[PAD]", "[MASK]", "[UNK]",
@@ -111,8 +120,6 @@ class Tokenizer:
                     }
                 )
         else:
-            self._tok.enable_truncation(L)
-            self._tok.enable_padding(length=L, pad_id=self.pad_id, pad_token=self.pad_token)
             for enc in self._tok.encode_batch(list(texts)):
                 out.append(
                     {
@@ -133,9 +140,7 @@ class Tokenizer:
                 list(words), add_special_tokens=False, return_attention_mask=False
             )
             return [list(ids) for ids in enc["input_ids"]]
-        self._tok.no_padding()
-        self._tok.no_truncation()
-        encs = self._tok.encode_batch(list(words), add_special_tokens=False)
+        encs = self._word_tok.encode_batch(list(words), add_special_tokens=False)
         return [list(e.ids) for e in encs]
 
     def decode(self, ids: Sequence[int]) -> str:

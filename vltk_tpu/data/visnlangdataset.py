@@ -1,0 +1,166 @@
+"""VisionLanguageDataset — the image-id join of N language datasets with M
+vision sources.
+
+Re-design of reference vltk/dataset/visnlangdataset.py around static
+shapes. Two iteration orders survive from the reference:
+
+  * text_first (default): one row per sentence; the vision entry is fetched
+    by image id (reference: visnlangdataset.py:267-271).
+  * img_first: one row per *image*; all its sentences are batch-encoded and
+    padded to ``max_text_per_img`` with a text-validity mask — the static
+    counterpart of the reference's ragged text list + transpose_vl
+    (reference: visnlangdataset.py:253-265, 287-353).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+from vltk_tpu import vars as V
+from vltk_tpu.data.basedataset import CollatedSets
+from vltk_tpu.data.langdataset import LangHandler
+from vltk_tpu.data.visndataset import VisnHandler
+
+
+class VisionLanguageDataset:
+    """Joined VL dataset with fixed-shape entries."""
+
+    def __init__(
+        self,
+        config,
+        text_sets: CollatedSets,
+        visn: VisnHandler,
+        lang: LangHandler,
+        visnlang_processors: Sequence[Callable] = (),
+        max_text_per_img: int = 4,
+    ):
+        self.config = config
+        self.texts = text_sets
+        self.visn = visn
+        self.lang = lang
+        self.visnlang_processors = list(visnlang_processors)
+        self.max_text_per_img = int(max_text_per_img)
+
+        self._check_and_tighten()
+        if config.img_first:
+            self._uniq_imgs = sorted(self._text_imgids & self._visn_imgids)
+            self._img_texts = self._index_texts_by_img()
+            n = len(self._uniq_imgs)
+        else:
+            self._rows = self._usable_text_rows()
+            n = len(self._rows)
+        if config.percent < 1.0:
+            n = max(1, int(n * config.percent))
+            if config.img_first:
+                self._uniq_imgs = self._uniq_imgs[:n]
+            else:
+                self._rows = self._rows[:n]
+        self._n = n
+
+    # ------------------------------------------------------------------
+    # joining (reference: _check_uniq_imgs / _tighten_datasets
+    # visnlangdataset.py:151-245)
+    # ------------------------------------------------------------------
+    def _check_and_tighten(self):
+        self._text_imgids = set(self.texts.imgids)
+        visn_ids = set()
+        if self.visn.extractors is not None:
+            visn_ids |= set(self.visn.extractors.imgids)
+        visn_ids |= set(self.visn.imgid2path)
+        if self.visn.annotations is not None and not visn_ids:
+            visn_ids |= set(self.visn.annotations.imgids)
+        if self.config.rand_feats is not None or self.config.ignore_image:
+            # no vision source needed; all text imgids usable
+            visn_ids = visn_ids or set(self._text_imgids)
+        self._visn_imgids = visn_ids
+        overlap = self._text_imgids & visn_ids
+        if not overlap:
+            sample_t = sorted(self._text_imgids)[:3]
+            sample_v = sorted(visn_ids)[:3]
+            raise ValueError(
+                "no image-id overlap between language and vision datasets "
+                f"(text ids like {sample_t}, vision ids like {sample_v}) — "
+                "check adjust_imgid (reference: visnlangdataset.py:199-245)"
+            )
+
+    def _usable_text_rows(self) -> List[int]:
+        rows = []
+        for i in range(len(self.texts)):
+            name, split, adapter, local = self.texts.ranges.locate(i)
+            # row -> imgid via the adapter's reverse map
+            imgid = adapter.get_idx(local).get(V.imgid)
+            if imgid in self._visn_imgids:
+                rows.append(i)
+        return rows
+
+    def _index_texts_by_img(self) -> Dict[str, List[int]]:
+        by_img: Dict[str, List[int]] = {}
+        for i in range(len(self.texts)):
+            _, _, adapter, local = self.texts.ranges.locate(i)
+            imgid = adapter.get_idx(local).get(V.imgid)
+            if imgid in self._visn_imgids:
+                by_img.setdefault(imgid, []).append(i)
+        return by_img
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        if self.config.img_first:
+            return self._get_img_first(idx)
+        return self._get_text_first(idx)
+
+    def _get_text_first(self, idx: int) -> Dict[str, Any]:
+        """(reference: visnlangdataset.py:267-271, 361-466)"""
+        text_row = self.texts[self._rows[idx]]
+        entry = self.lang.encode_entry(text_row)
+        vision = self.visn.get_entry(str(entry[V.imgid]))
+        for k, v in vision.items():
+            entry.setdefault(k, v)
+        for proc in self.visnlang_processors:
+            entry = proc(entry)
+        return _clean(entry)
+
+    def _get_img_first(self, idx: int) -> Dict[str, Any]:
+        """One image, all its sentences stacked to (T, L) with a text mask
+        (reference: _do_map_img_first visnlangdataset.py:253-265)."""
+        imgid = self._uniq_imgs[idx]
+        rows = self._img_texts[imgid][: self.max_text_per_img]
+        text_entries = self.lang.encode_batch([self.texts[r] for r in rows])
+        vision = self.visn.get_entry(imgid)
+
+        t = self.max_text_per_img
+        entry: Dict[str, Any] = {V.imgid: imgid}
+        entry.update(vision)
+        stacked: Dict[str, List] = {}
+        for te in text_entries:
+            for k, v in te.items():
+                if isinstance(v, np.ndarray) or np.isscalar(v):
+                    stacked.setdefault(k, []).append(np.asarray(v))
+        for k, vals in stacked.items():
+            arr = np.stack(vals)
+            pad = t - arr.shape[0]
+            if pad > 0:
+                fill = np.zeros((pad, *arr.shape[1:]), arr.dtype)
+                if k in (V.labels, V.label):
+                    fill += self.lang.config.ignore_id
+                arr = np.concatenate([arr, fill])
+            entry[k] = arr[:t]
+        mask = np.zeros((t,), np.int32)
+        mask[: len(text_entries)] = 1
+        entry["text_mask"] = mask
+        entry["n_texts"] = np.int32(len(text_entries))
+        for proc in self.visnlang_processors:
+            entry = proc(entry)
+        return _clean(entry)
+
+
+def _clean(entry: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop join bookkeeping and raw text fields the device never sees;
+    keep strings for debugging under their own keys."""
+    entry.pop("__dataset__", None)
+    entry.pop("__split__", None)
+    return entry

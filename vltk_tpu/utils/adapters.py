@@ -323,8 +323,16 @@ def basic_coco_annotations(
         categories = {
             c["id"]: c["name"] for c in data.get("categories", [])
         }
+        # image ids are the filename stems (COCO_train2014_000000xxxxxx) so
+        # they join with VQA's adjusted ids and the image-file glob
+        # (reference: adapters/coco2014.py:26-30, utils/adapters.py:425-430)
+        id_to_stem = {
+            i["id"]: os.path.splitext(i["file_name"])[0]
+            for i in data.get("images", [])
+            if "file_name" in i
+        }
         for ann in data.get("annotations", []):
-            imgid = str(ann["image_id"])
+            imgid = str(id_to_stem.get(ann["image_id"], ann["image_id"]))
             entry = entries.setdefault(
                 imgid,
                 {V.imgid: imgid, V.boxes: [], V.polygons: [], V.labels: []},
