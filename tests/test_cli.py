@@ -1,0 +1,61 @@
+"""CLI surface: flag parsing, config merge, registry listings."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vltk_tpu.cli import _build_config, _parse_flags, main
+
+
+def test_parse_flags():
+    pos, flags = _parse_flags(
+        ["vqa:train", "--data.train_batch_size=4", "--test_run", "--yaml=c.yml"]
+    )
+    assert pos == ["vqa:train"]
+    assert flags == {
+        "data.train_batch_size": "4",
+        "test_run": "true",
+        "yaml": "c.yml",
+    }
+
+
+def test_build_config_dot_flags_and_yaml(tmp_path):
+    yml = tmp_path / "c.yml"
+    yml.write_text("train:\n  epochs: 7\nlogdir: base\n")
+    cfg = _build_config(
+        {"yaml": str(yml), "train.learning_rate": "0.5", "logdir": "override"}
+    )
+    assert cfg.train.epochs == 7
+    assert cfg.train.learning_rate == 0.5
+    assert cfg.logdir == "override"
+
+
+def test_main_listings(capsys):
+    assert main(["adapters"]) == 0
+    out = capsys.readouterr().out
+    assert "vqa" in out and "coco2014" in out
+    assert main(["experiments"]) == 0
+    out = capsys.readouterr().out
+    assert "data" in out and "lxmert_vqa" in out
+
+
+def test_main_config_prints(capsys):
+    assert main(["config", "--train.epochs=2"]) == 0
+    printed = json.loads(capsys.readouterr().out)
+    assert printed["train"]["epochs"] == 2
+
+
+def test_main_unknown_command(capsys):
+    assert main(["bogus"]) == 2
+
+
+def test_crash_report_written(tmp_path, capsys):
+    # simple with an unknown experiment raises and leaves crash.txt
+    logdir = str(tmp_path / "logs")
+    with pytest.raises(KeyError):
+        main(["simple", "no_such_experiment", f"--logdir={logdir}"])
+    assert os.path.exists(os.path.join(logdir, "crash.txt"))

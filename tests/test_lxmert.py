@@ -1,0 +1,184 @@
+"""LXMERT-style encoder: shapes, losses, and hermetic parity vs the
+HuggingFace torch implementation (random-init — no network needed)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vltk_tpu.models import (
+    Lxmert,
+    LxmertConfig,
+    LxmertForPretraining,
+    LxmertForVQA,
+    torch_lxmert_to_jax,
+)
+from vltk_tpu.models import lxmert as L
+
+TINY = LxmertConfig(
+    vocab_size=100,
+    hidden_size=24,
+    num_heads=2,
+    intermediate_size=48,
+    l_layers=2,
+    x_layers=1,
+    r_layers=1,
+    visual_feat_dim=8,
+    max_position_embeddings=64,
+    num_answers=7,
+    num_objects=5,
+    num_attrs=3,
+)
+
+
+def _batch(rng, n=2, s=9, v=4, cfg=TINY):
+    ids = rng.integers(0, cfg.vocab_size, (n, s)).astype(np.int32)
+    mask = np.ones((n, s), np.float32)
+    mask[:, -2:] = 0
+    feats = rng.normal(size=(n, v, cfg.visual_feat_dim)).astype(np.float32)
+    pos = rng.uniform(0, 1, (n, v, 4)).astype(np.float32)
+    return ids, mask, feats, pos
+
+
+def test_forward_shapes(rng):
+    ids, mask, feats, pos = _batch(rng)
+    model = Lxmert(TINY)
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos, mask)["params"]
+    lang, visn, pooled = model.apply({"params": params}, ids, feats, pos, mask)
+    assert lang.shape == (2, 9, 24)
+    assert visn.shape == (2, 4, 24)
+    assert pooled.shape == (2, 24)
+
+
+def test_vqa_head_shapes(rng):
+    ids, mask, feats, pos = _batch(rng)
+    model = LxmertForVQA(TINY)
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos, mask)["params"]
+    logits = model.apply({"params": params}, ids, feats, pos, mask)
+    assert logits.shape == (2, TINY.num_answers)
+
+
+def test_pretrain_heads(rng):
+    ids, mask, feats, pos = _batch(rng)
+    model = LxmertForPretraining(TINY)
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos, mask)["params"]
+    out = model.apply({"params": params}, ids, feats, pos, mask)
+    assert out["mlm_logits"].shape == (2, 9, TINY.vocab_size)
+    assert out["matched_logits"].shape == (2, 2)
+    assert out["obj_logits"].shape == (2, 4, TINY.num_objects)
+    assert out["attr_logits"].shape == (2, 4, TINY.num_attrs)
+    assert out["feat_pred"].shape == (2, 4, TINY.visual_feat_dim)
+    assert out["qa_logits"].shape == (2, TINY.num_answers)
+
+
+def test_losses_finite_and_sane(rng):
+    logits = jnp.asarray(rng.normal(size=(4, 6, 11)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 11, (4, 6)).astype(np.int32))
+    labels = labels.at[:, 3:].set(-100)
+    mlm = L.masked_lm_loss(logits, labels)
+    assert np.isfinite(float(mlm)) and float(mlm) > 0
+
+    # all-ignored labels must not NaN
+    assert np.isfinite(float(L.masked_lm_loss(logits, jnp.full((4, 6), -100))))
+
+    qa_logits = jnp.asarray(rng.normal(size=(4, 7)).astype(np.float32))
+    scores = jnp.zeros((4, 7)).at[:, 2].set(0.9)
+    assert float(L.vqa_soft_loss(qa_logits, scores)) > 0
+
+    m = L.matched_loss(
+        jnp.asarray(rng.normal(size=(4, 2)).astype(np.float32)),
+        jnp.asarray([0, 1, 1, 0]),
+    )
+    assert np.isfinite(float(m))
+
+    pred = jnp.asarray(rng.normal(size=(4, 5, 8)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(4, 5, 8)).astype(np.float32))
+    vmask = jnp.zeros((4, 5)).at[:, 0].set(1.0)
+    assert float(L.visual_feat_loss(pred, target, vmask)) > 0
+    assert np.isfinite(float(L.visual_feat_loss(pred, target, jnp.zeros((4, 5)))))
+
+
+def test_masked_lm_loss_matches_manual(rng):
+    logits = jnp.asarray(rng.normal(size=(2, 4, 9)).astype(np.float32))
+    labels = np.full((2, 4), -100)
+    labels[0, 1] = 3
+    labels[1, 2] = 7
+    got = float(L.masked_lm_loss(logits, jnp.asarray(labels)))
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    want = -(lp[0, 1, 3] + lp[1, 2, 7]) / 2
+    np.testing.assert_allclose(got, float(want), rtol=1e-6)
+
+
+@pytest.mark.parametrize("model_kind", ["base", "pretrain"])
+def test_parity_vs_hf_torch(rng, model_kind):
+    """Hermetic parity: random-init HF torch LXMERT vs our flax model fed
+    the converted weights must agree to float tolerance."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    hf_cfg = transformers.LxmertConfig(
+        vocab_size=TINY.vocab_size,
+        hidden_size=TINY.hidden_size,
+        num_attention_heads=TINY.num_heads,
+        intermediate_size=TINY.intermediate_size,
+        l_layers=TINY.l_layers,
+        x_layers=TINY.x_layers,
+        r_layers=TINY.r_layers,
+        visual_feat_dim=TINY.visual_feat_dim,
+        visual_pos_dim=4,
+        num_qa_labels=TINY.num_answers,
+        num_object_labels=TINY.num_objects,
+        num_attr_labels=TINY.num_attrs,
+        max_position_embeddings=TINY.max_position_embeddings,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    if model_kind == "base":
+        hf = transformers.LxmertModel(hf_cfg).eval()
+    else:
+        hf = transformers.LxmertForPreTraining(hf_cfg).eval()
+
+    ids, mask, feats, pos = _batch(rng)
+    with torch.no_grad():
+        out = hf(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            visual_feats=torch.tensor(feats),
+            visual_pos=torch.tensor(pos),
+            attention_mask=torch.tensor(mask),
+        )
+
+    params = torch_lxmert_to_jax(hf.state_dict())
+    if model_kind == "base":
+        model = Lxmert(TINY)
+        lang, visn, pooled = model.apply(
+            {"params": params}, ids, feats, pos, mask
+        )
+        np.testing.assert_allclose(
+            np.asarray(lang), out.language_output.numpy(), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(visn), out.vision_output.numpy(), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled), out.pooled_output.numpy(), atol=2e-5
+        )
+    else:
+        model = LxmertForPretraining(TINY)
+        mine = model.apply({"params": params}, ids, feats, pos, mask)
+        np.testing.assert_allclose(
+            np.asarray(mine["mlm_logits"]),
+            out.prediction_logits.numpy(),
+            atol=3e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mine["matched_logits"]),
+            out.cross_relationship_score.numpy(),
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mine["qa_logits"]),
+            out.question_answering_score.numpy(),
+            atol=2e-5,
+        )

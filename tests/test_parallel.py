@@ -1,0 +1,151 @@
+"""Mesh + sharding rules on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vltk_tpu.config import MeshConfig
+from vltk_tpu.models import Lxmert, LxmertConfig, LxmertForVQA
+from vltk_tpu.parallel import (
+    LXMERT_RULES,
+    batch_sharding,
+    infer_shardings,
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+
+CFG = LxmertConfig(
+    vocab_size=64,
+    hidden_size=16,
+    num_heads=2,
+    intermediate_size=32,
+    l_layers=1,
+    x_layers=1,
+    r_layers=1,
+    visual_feat_dim=8,
+    max_position_embeddings=32,
+    num_answers=6,
+    num_objects=5,
+    num_attrs=3,
+)
+
+
+def _need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def test_make_mesh_free_axis():
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", -1),)))
+    assert mesh.shape == {"data": 8}
+    mesh = make_mesh(MeshConfig(axes=(("data", -1), ("model", 2))))
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_make_mesh_errors():
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(axes=(("data", -1), ("model", -1))))
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(axes=(("data", 3),)), devices=jax.devices()[:2])
+
+
+def test_infer_shardings_rules():
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 4), ("model", 2))))
+    model = Lxmert(CFG)
+    ids = np.zeros((2, 6), np.int32)
+    feats = np.zeros((2, 4, CFG.visual_feat_dim), np.float32)
+    pos = np.zeros((2, 4, 4), np.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos)["params"]
+    sh = infer_shardings(params, LXMERT_RULES, mesh)
+
+    q = sh["layer_0"]["att"]["query"]["kernel"]
+    assert q.spec == P(None, "model")
+    out = sh["layer_0"]["att"]["att_out"]["kernel"]
+    assert out.spec == P("model", None)
+    inter = sh["x_layer_0"]["lang_ffn"]["intermediate"]["kernel"]
+    assert inter.spec == P(None, "model")
+    emb = sh["embeddings"]["word_embeddings"]["embedding"]
+    assert emb.spec == P("model", None)
+    # LayerNorms replicate
+    assert sh["layer_0"]["att"]["ln"]["scale"].spec == P()
+
+
+def test_tp_forward_matches_replicated():
+    """DP+TP sharded forward must equal the single-device forward."""
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 2), ("model", 4))))
+    rng = np.random.default_rng(0)
+    n, s, v = 4, 8, 4
+    ids = rng.integers(0, CFG.vocab_size, (n, s)).astype(np.int32)
+    mask = np.ones((n, s), np.float32)
+    feats = rng.normal(size=(n, v, CFG.visual_feat_dim)).astype(np.float32)
+    pos = rng.uniform(0, 1, (n, v, 4)).astype(np.float32)
+
+    model = LxmertForVQA(CFG)
+    params = model.init(jax.random.PRNGKey(0), ids, feats, pos, mask)["params"]
+    ref = model.apply({"params": params}, ids, feats, pos, mask)
+
+    sharded_params = shard_params(params, LXMERT_RULES, mesh)
+    data = batch_sharding(mesh)
+    batch = shard_batch({"ids": ids, "mask": mask, "feats": feats, "pos": pos}, mesh)
+
+    @jax.jit
+    def fwd(p, b):
+        return model.apply({"params": p}, b["ids"], b["feats"], b["pos"], b["mask"])
+
+    with mesh:
+        got = fwd(sharded_params, batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_seq_sharded_forward():
+    """activation_sharding=True constrains lang activations over the seq
+    axis; result must still match the unsharded forward."""
+    _need_devices(8)
+    mesh = make_mesh(
+        MeshConfig(axes=(("data", 2), ("seq", 2), ("model", 2)))
+    )
+    sp_cfg = LxmertConfig(
+        **{**CFG.__dict__, "activation_sharding": True}
+    )
+    rng = np.random.default_rng(1)
+    n, s, v = 4, 16, 4
+    ids = rng.integers(0, CFG.vocab_size, (n, s)).astype(np.int32)
+    mask = np.ones((n, s), np.float32)
+    feats = rng.normal(size=(n, v, CFG.visual_feat_dim)).astype(np.float32)
+    pos = rng.uniform(0, 1, (n, v, 4)).astype(np.float32)
+
+    ref_model = Lxmert(CFG)
+    params = ref_model.init(jax.random.PRNGKey(0), ids, feats, pos, mask)["params"]
+    ref_lang, ref_visn, ref_pool = ref_model.apply(
+        {"params": params}, ids, feats, pos, mask
+    )
+
+    sp_model = Lxmert(sp_cfg)
+    sharded_params = shard_params(params, LXMERT_RULES, mesh)
+    batch = shard_batch({"ids": ids, "mask": mask, "feats": feats, "pos": pos}, mesh)
+
+    @jax.jit
+    def fwd(p, b):
+        return sp_model.apply(
+            {"params": p}, b["ids"], b["feats"], b["pos"], b["mask"]
+        )
+
+    with mesh:
+        lang, visn, pool = fwd(sharded_params, batch)
+    np.testing.assert_allclose(np.asarray(lang), np.asarray(ref_lang), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pool), np.asarray(ref_pool), atol=1e-5)
+
+
+def test_shard_batch_places_leading_dim():
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 8),)))
+    x = np.zeros((16, 3), np.float32)
+    out = shard_batch({"x": x}, mesh)
+    assert out["x"].sharding.spec == P("data")

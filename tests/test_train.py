@@ -1,0 +1,260 @@
+"""Training layer: optimizer, checkpoint/resume, SimpleExperiment loops."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vltk_tpu.config import Config, MeshConfig
+from vltk_tpu.models import LxmertConfig, LxmertForVQA
+from vltk_tpu.models import lxmert as L
+from vltk_tpu.parallel import LXMERT_RULES, make_mesh
+from vltk_tpu.train import (
+    SimpleExperiment,
+    accuracy,
+    latest_epoch,
+    linear_warmup_linear_decay,
+    load_checkpoint,
+    make_optimizer,
+    save_checkpoint,
+    vqa_score,
+)
+
+
+# ---------------------------------------------------------------- optim ----
+
+
+def test_schedule_shape():
+    sched = linear_warmup_linear_decay(1e-3, total_steps=100, warmup_ratio=0.1)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    assert float(sched(55)) < 1e-3
+    np.testing.assert_allclose(float(sched(100)), 0.0, atol=1e-9)
+
+
+def test_optimizer_decay_mask():
+    from vltk_tpu.train.optim import _decay_mask
+
+    params = {
+        "dense": {"kernel": np.zeros((2, 2)), "bias": np.zeros(2)},
+        "ln": {"scale": np.zeros(2), "bias": np.zeros(2)},
+    }
+    mask = _decay_mask(params)
+    assert mask["dense"]["kernel"] is True
+    assert mask["dense"]["bias"] is False
+    assert mask["ln"]["scale"] is False
+
+
+# ----------------------------------------------------------- checkpoint ----
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ckpt = str(tmp_path / "ck")
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    opt = {"mu": np.ones(3, np.float32)}
+    save_checkpoint(ckpt, "m", 0, params, opt, info={"step": 7})
+    save_checkpoint(ckpt, "m", 2, params, opt, info={"step": 21})
+    assert latest_epoch(ckpt, "m") == 2
+    template = {"w": np.zeros((2, 3), np.float32)}
+    got, got_opt, info = load_checkpoint(
+        ckpt, "m", template, {"mu": np.zeros(3, np.float32)}
+    )
+    np.testing.assert_array_equal(got["w"], params["w"])
+    np.testing.assert_array_equal(got_opt["mu"], opt["mu"])
+    assert info["step"] == 21
+    assert json.load(open(os.path.join(ckpt, "info.json")))["epoch"] == 2
+
+
+# ------------------------------------------------------------ experiment ----
+
+
+class _ListLoader:
+    """Minimal loader protocol: __len__/__iter__/set_epoch."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def set_epoch(self, epoch):
+        pass
+
+
+class _Regression(SimpleExperiment):
+    """y = Wx overfit — loss must drop."""
+
+    name = "regression"
+
+    def build_model(self):
+        model = nn.Dense(1)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))["params"]
+        return model.apply, params
+
+    def loss_fn(self, params, batch, rng):
+        pred = self.apply_fn({"params": params}, batch["x"])
+        loss = jnp.mean((pred[:, 0] - batch["y"]) ** 2)
+        return loss, {"mse": loss}
+
+    def eval_metrics(self, params, batch):
+        pred = self.apply_fn({"params": params}, batch["x"])
+        return {"mse": jnp.mean((pred[:, 0] - batch["y"]) ** 2)}
+
+
+def _regression_batches(rng, n_batches=6, bs=16):
+    w = np.array([1.0, -2.0, 0.5], np.float32)
+    out = []
+    for _ in range(n_batches):
+        x = rng.normal(size=(bs, 3)).astype(np.float32)
+        out.append({"x": x, "y": x @ w})
+    return out
+
+
+def _mk_config(tmp_path, **train_kw):
+    cfg = Config()
+    cfg.logdir = str(tmp_path / "logs")
+    updates = dict(epochs=3, learning_rate=0.3, warmup_ratio=0.05)
+    updates.update(train_kw)
+    cfg.train.update(updates)
+    return cfg
+
+
+def test_experiment_loss_drops_and_logs(tmp_path, rng):
+    batches = _regression_batches(rng)
+    cfg = _mk_config(tmp_path)
+    exp = _Regression(cfg, loaders=(_ListLoader(batches), _ListLoader(batches[:2])))
+    result = exp()
+    assert result["epoch"] == 2
+    steps_log = os.path.join(exp.logdir, "steps_log.json")
+    records = [json.loads(l) for l in open(steps_log)]
+    assert records[-1]["loss"] < records[0]["loss"] * 0.5
+    assert os.path.exists(os.path.join(exp.logdir, "epoch_log.txt"))
+    # per-epoch checkpoints exist
+    assert latest_epoch(exp.ckpt_dir, "regression") == 2
+
+
+def test_experiment_resume(tmp_path, rng):
+    batches = _regression_batches(rng)
+    cfg = _mk_config(tmp_path)
+    loaders = (_ListLoader(batches), None)
+    exp = _Regression(cfg, loaders=loaders)
+    exp()
+    final_params = jax.device_get(exp.state.params)
+
+    # a fresh experiment over the same dirs resumes at epoch 3 => no-op run
+    exp2 = _Regression(cfg, loaders=loaders)
+    assert exp2.start_epoch == 3
+    np.testing.assert_allclose(
+        jax.device_get(exp2.state.params)["kernel"],
+        final_params["kernel"],
+        rtol=1e-6,
+    )
+    out = exp2()
+    assert out == {}  # nothing left to train
+
+
+def test_experiment_test_run_single_batch(tmp_path, rng):
+    batches = _regression_batches(rng)
+    cfg = _mk_config(tmp_path)
+    cfg.test_run = True
+    exp = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    exp()
+    records = [json.loads(l) for l in open(os.path.join(exp.logdir, "steps_log.json"))]
+    assert len(records) == 1  # single batch, single epoch
+
+
+# ----------------------------------------------- LXMERT VQA on the mesh ----
+
+TINY = LxmertConfig(
+    vocab_size=50,
+    hidden_size=16,
+    num_heads=2,
+    intermediate_size=32,
+    l_layers=1,
+    x_layers=1,
+    r_layers=1,
+    visual_feat_dim=8,
+    max_position_embeddings=32,
+    num_answers=4,
+)
+
+
+class _VQAExperiment(SimpleExperiment):
+    name = "vqa_tiny"
+
+    def build_model(self):
+        self.model = LxmertForVQA(TINY)
+        ids = np.zeros((1, 6), np.int32)
+        feats = np.zeros((1, 3, TINY.visual_feat_dim), np.float32)
+        pos = np.zeros((1, 3, 4), np.float32)
+        params = self.model.init(jax.random.PRNGKey(0), ids, feats, pos)["params"]
+        return self.model.apply, params
+
+    def _logits(self, params, batch, deterministic, rng=None):
+        rngs = None if deterministic else {"dropout": rng}
+        return self.apply_fn(
+            {"params": params},
+            batch["input_ids"],
+            batch["features"],
+            batch["boxes"],
+            batch["text_attention_mask"],
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+
+    def loss_fn(self, params, batch, rng):
+        logits = self._logits(params, batch, deterministic=False, rng=rng)
+        loss = L.vqa_soft_loss(logits, batch["scores"])
+        return loss, {"vqa_score": vqa_score(logits, batch["scores"])}
+
+    def eval_metrics(self, params, batch):
+        logits = self._logits(params, batch, deterministic=True)
+        return {"vqa_score": vqa_score(logits, batch["scores"])}
+
+
+def _vqa_batches(rng, n=4, bs=8, s=6, v=3):
+    out = []
+    for _ in range(n):
+        ids = rng.integers(0, TINY.vocab_size, (bs, s)).astype(np.int32)
+        scores = np.zeros((bs, TINY.num_answers), np.float32)
+        scores[np.arange(bs), rng.integers(0, TINY.num_answers, bs)] = 1.0
+        out.append(
+            {
+                "input_ids": ids,
+                "text_attention_mask": np.ones((bs, s), np.float32),
+                "features": rng.normal(size=(bs, v, TINY.visual_feat_dim)).astype(
+                    np.float32
+                ),
+                "boxes": rng.uniform(0, 1, (bs, v, 4)).astype(np.float32),
+                "scores": scores,
+            }
+        )
+    return out
+
+
+def test_vqa_experiment_on_mesh(tmp_path, rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(MeshConfig(axes=(("data", 4), ("model", 2))))
+    cfg = _mk_config(tmp_path, epochs=2, learning_rate=0.01)
+    batches = _vqa_batches(rng)
+    exp = _VQAExperiment(
+        cfg,
+        loaders=(_ListLoader(batches), _ListLoader(batches[:1])),
+        mesh=mesh,
+        rules=LXMERT_RULES,
+    )
+    result = exp()
+    assert "vqa_score" in result["eval"]
+    records = [
+        json.loads(l) for l in open(os.path.join(exp.logdir, "steps_log.json"))
+    ]
+    assert records[-1]["loss"] < records[0]["loss"]

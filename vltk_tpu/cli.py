@@ -1,0 +1,151 @@
+"""CLI: ``vltk <command> ...`` (reference: vltk/future/cli.py:67-152 —
+python-fire ``Main`` with ``simple/exp/extract/data`` subcommands, yaml +
+dot-flag config merge at 70-81, and atexit crash capture at 18-41).
+
+Rebuilt on argparse (no third-party CLI dep):
+
+  vltk data <dataset:split> [...] [--flags]       build loaders, print batch
+  vltk extract <extractor> <dataset> [--flags]    run feature extraction
+  vltk simple <experiment> [--flags]              run a registered experiment
+  vltk config [--flags]                           print the resolved config
+  vltk adapters | experiments                     list registries
+
+Flags: ``--yaml=file`` loads a base config; any ``--a.b.c=x`` dot-flag
+overrides it (reference: utils/base.py:167-188 unflatten semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+from typing import Dict, List, Tuple
+
+from vltk_tpu.config import Config, unflatten_dict
+
+
+def _parse_flags(argv: List[str]) -> Tuple[List[str], Dict[str, str]]:
+    """Split positionals from ``--key=value`` flags (``--flag`` -> true)."""
+    positional, flags = [], {}
+    for arg in argv:
+        if arg.startswith("--"):
+            body = arg[2:]
+            if "=" in body:
+                key, value = body.split("=", 1)
+            else:
+                key, value = body, "true"
+            flags[key] = value
+        else:
+            positional.append(arg)
+    return positional, flags
+
+
+def _build_config(flags: Dict[str, str]) -> Config:
+    yaml_path = flags.pop("yaml", None)
+    cfg = Config()
+    if yaml_path:
+        import yaml
+
+        with open(yaml_path) as f:
+            cfg.update(yaml.safe_load(f) or {})
+    if flags:
+        cfg.update(unflatten_dict(flags))
+    return cfg
+
+
+def _crash_report(cfg: Config, exc: BaseException) -> None:
+    """Write the traceback under logdir (reference: future/cli.py:18-41
+    captured stderr + emailed it on crash; we persist to disk)."""
+    try:
+        os.makedirs(cfg.logdir, exist_ok=True)
+        path = os.path.join(cfg.logdir, "crash.txt")
+        with open(path, "a") as f:
+            f.write("".join(traceback.format_exception(exc)))
+        print(f"crash report written to {path}", file=sys.stderr)
+    except OSError:
+        pass
+
+
+def cmd_data(positional: List[str], cfg: Config) -> int:
+    if positional:
+        cfg.data.update({"train_datasets": [positional]})
+    from vltk_tpu.experiments import Experiments
+
+    Experiments.get("data")(cfg)()
+    return 0
+
+
+def cmd_extract(positional: List[str], cfg: Config, flags_extra: Dict) -> int:
+    if len(positional) < 2:
+        print("usage: vltk extract <extractor> <dataset> [--flags]", file=sys.stderr)
+        return 2
+    extractor_name, dataset_name = positional[0], positional[1]
+    from vltk_tpu.adapters import Adapters
+
+    extractor = Adapters.get(extractor_name)
+    extractor.extract(
+        cfg.data.datadir,
+        dataset_name=dataset_name,
+        **flags_extra,
+    )
+    return 0
+
+
+def cmd_simple(positional: List[str], cfg: Config) -> int:
+    if not positional:
+        print("usage: vltk simple <experiment> [--flags]", file=sys.stderr)
+        return 2
+    from vltk_tpu.experiments import Experiments
+
+    exp_cls = Experiments.get(positional[0])
+    exp = exp_cls(cfg)
+    result = exp()
+    print(result)
+    return 0
+
+
+def main(argv: List[str] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    command, rest = argv[0], argv[1:]
+    positional, flags = _parse_flags(rest)
+
+    if command == "adapters":
+        from vltk_tpu.adapters import Adapters
+
+        print("\n".join(Adapters.avail()))
+        return 0
+    if command == "experiments":
+        from vltk_tpu.experiments import Experiments
+
+        print("\n".join(Experiments.avail()))
+        return 0
+
+    # config-consuming commands: split known-config dot flags from extras
+    known_top = {f.name for f in Config.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+    cfg_flags = {k: v for k, v in flags.items() if k.split(".")[0] in known_top or k == "yaml"}
+    extra = {k: v for k, v in flags.items() if k not in cfg_flags}
+    cfg = _build_config(cfg_flags)
+
+    try:
+        if command == "config":
+            cfg.print_config()
+            return 0
+        if command == "data":
+            return cmd_data(positional, cfg)
+        if command == "extract":
+            return cmd_extract(positional, cfg, extra)
+        if command == "simple":
+            return cmd_simple(positional, cfg)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        _crash_report(cfg, exc)
+        raise
+    print(f"unknown command {command!r}", file=sys.stderr)
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

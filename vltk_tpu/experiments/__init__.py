@@ -1,0 +1,36 @@
+"""Experiment registry + concrete experiments.
+
+The reference registered experiments by name for the CLI (``vltk simple
+<exp>`` — reference: vltk/future/cli.py:83-101, experiments/example.py:6-27
+defines ``Data`` with name="data"). Explicit-import registry here, like
+Adapters/Processors.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Type
+
+from vltk_tpu.experiments.data import DataExperiment
+from vltk_tpu.experiments.lxmert_vqa import LxmertVQAExperiment
+
+
+class _ExperimentRegistry:
+    def __init__(self):
+        self._classes: Dict[str, type] = {}
+
+    def add(self, *classes: type) -> None:
+        for cls in classes:
+            self._classes[cls.name.lower()] = cls
+
+    def get(self, name: str) -> type:
+        key = name.lower()
+        if key not in self._classes:
+            raise KeyError(f"unknown experiment {name!r}; available: {self.avail()}")
+        return self._classes[key]
+
+    def avail(self) -> List[str]:
+        return sorted(self._classes)
+
+
+Experiments = _ExperimentRegistry()
+Experiments.add(DataExperiment, LxmertVQAExperiment)

@@ -1,0 +1,480 @@
+"""LXMERT-style cross-modal encoder — TPU-native (flax/XLA).
+
+The reference framework exists to *feed* LXMERT-style VL transformers (its
+FRCNN extractor produces the 36-box 2048-d region features those models
+consume — reference: vltk/adapters/frcnn.py:34-41) and its experiment layer
+toggles the LXMERT pretraining losses by name (``task_matched /
+task_mask_lm / task_obj_predict / task_qa`` — reference:
+vltk/configs.py:63-96), but it ships no VL model itself. This module is the
+framework-side model: the LXMERT architecture (Tan & Bansal, 1908.07490)
+built for TPU:
+
+* static shapes end-to-end: (N, S) tokens + (N, V, 2048) region features,
+  no ragged paths;
+* bf16 matmuls on the MXU (params stay f32), LayerNorm/softmax in f32;
+* tensor parallelism via param-name rules (parallel/sharding.py:LXMERT_RULES)
+  — q/k/v + MLP-up column-sharded, output projections row-sharded over the
+  ``model`` mesh axis;
+* optional sequence-parallel activation constraints over the ``seq`` axis
+  for long OCR-document inputs (the reference could only truncate to 128,
+  vltk/configs.py:113-114);
+* the LXMERT pretraining heads + losses the reference's config toggles
+  name: masked LM, cross-modality matching, visual obj/attr/feat heads, QA.
+
+Param naming is chosen so ``models/convert.py:torch_lxmert_to_jax`` can map
+HuggingFace ``transformers`` LXMERT checkpoints 1:1 (hermetic parity tests
+instantiate a random-init torch model and compare forwards).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -10000.0  # additive mask value, matches BERT/LXMERT convention
+
+
+@dataclasses.dataclass(frozen=True)
+class LxmertConfig:
+    """Static hyper-parameters (HF ``unc-nlp/lxmert-base-uncased`` defaults)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    l_layers: int = 9
+    x_layers: int = 5
+    r_layers: int = 5
+    visual_feat_dim: int = 2048
+    visual_pos_dim: int = 4
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    # heads
+    num_answers: int = 3129
+    num_objects: int = 1600
+    num_attrs: int = 400
+    ignore_id: int = -100
+    # compute
+    dtype: Optional[str] = None  # "bfloat16" for MXU; params stay f32
+    activation_sharding: bool = False  # seq-parallel constraints (needs mesh)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.float32 if self.dtype is None else jnp.dtype(self.dtype)
+
+
+def _dense_init(cfg: LxmertConfig):
+    return nn.initializers.normal(stddev=cfg.initializer_range)
+
+
+def _constrain(x: jnp.ndarray, cfg: LxmertConfig, spec: Tuple) -> jnp.ndarray:
+    """Sequence-parallel activation annotation; no-op unless enabled.
+
+    Requires tracing under a mesh context (``with mesh:``) when enabled —
+    the train-step builder (train/steps.py) arranges that.
+    """
+    if not cfg.activation_sharding:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
+class MultiHeadAttention(nn.Module):
+    """Post-LN residual attention block: ``ln(x + dropout(proj(attn)))``.
+
+    Generic over context so one module serves self-attention (ctx=x) and
+    cross-attention (ctx=other modality); LXMERT shares one cross-attention
+    weight set for both directions, which the caller gets by applying this
+    module twice with swapped inputs.
+    """
+
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, x, ctx, ctx_mask, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        n, s, h = x.shape
+        nh, dh = cfg.num_heads, cfg.head_dim
+
+        q = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="query")(x)
+        k = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="key")(ctx)
+        v = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="value")(ctx)
+        q = q.reshape(n, s, nh, dh)
+        k = k.reshape(n, ctx.shape[1], nh, dh)
+        v = v.reshape(n, ctx.shape[1], nh, dh)
+
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(
+            jnp.asarray(dh, dt)
+        )
+        if ctx_mask is not None:
+            bias = (1.0 - ctx_mask[:, None, None, :]) * NEG_INF
+            scores = scores + bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+        probs = nn.Dropout(cfg.attention_dropout, name="att_drop")(
+            probs, deterministic=deterministic
+        )
+        out = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, s, h)
+        out = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="att_out")(
+            out
+        )
+        out = nn.Dropout(cfg.hidden_dropout, name="out_drop")(
+            out, deterministic=deterministic
+        )
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln")(
+            x + out
+        )
+
+
+class FeedForward(nn.Module):
+    """gelu MLP with post-LN residual (BERT intermediate+output)."""
+
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        h = x.shape[-1]
+        y = nn.Dense(
+            cfg.intermediate_size,
+            kernel_init=_dense_init(cfg),
+            dtype=dt,
+            name="intermediate",
+        )(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="mlp_out")(y)
+        y = nn.Dropout(cfg.hidden_dropout, name="drop")(
+            y, deterministic=deterministic
+        )
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln")(
+            x + y
+        )
+
+
+class TransformerLayer(nn.Module):
+    """Single-modality layer: self-attention + FFN."""
+
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        x = MultiHeadAttention(self.cfg, name="att")(x, x, mask, deterministic)
+        return FeedForward(self.cfg, name="ffn")(x, deterministic)
+
+
+class CrossModalityLayer(nn.Module):
+    """LXMERT x-layer: shared bi-directional cross-attention, then per-
+    modality self-attention and FFN (1908.07490 §3.2)."""
+
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, lang, lang_mask, visn, visn_mask, deterministic=True):
+        cfg = self.cfg
+        cross = MultiHeadAttention(cfg, name="cross_att")
+        lang2 = cross(lang, visn, visn_mask, deterministic)
+        visn2 = cross(visn, lang, lang_mask, deterministic)
+
+        lang2 = MultiHeadAttention(cfg, name="lang_self_att")(
+            lang2, lang2, lang_mask, deterministic
+        )
+        visn2 = MultiHeadAttention(cfg, name="visn_self_att")(
+            visn2, visn2, visn_mask, deterministic
+        )
+        lang2 = FeedForward(cfg, name="lang_ffn")(lang2, deterministic)
+        visn2 = FeedForward(cfg, name="visn_ffn")(visn2, deterministic)
+        return lang2, visn2
+
+
+class Embeddings(nn.Module):
+    """BERT-style token embeddings (word + position + type, LN, dropout)."""
+
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, deterministic=True):
+        cfg = self.cfg
+        n, s = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        emb_init = nn.initializers.normal(stddev=cfg.initializer_range)
+        words = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, embedding_init=emb_init,
+            name="word_embeddings",
+        )(input_ids)
+        pos = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size, embedding_init=emb_init,
+            name="position_embeddings",
+        )(jnp.arange(s)[None, :].repeat(n, axis=0))
+        types = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, embedding_init=emb_init,
+            name="token_type_embeddings",
+        )(token_type_ids)
+        x = words + pos + types
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln")(x)
+        return nn.Dropout(cfg.hidden_dropout, name="drop")(
+            x, deterministic=deterministic
+        )
+
+
+class VisualFeatEncoder(nn.Module):
+    """Region features + box positions -> hidden (average of the two
+    projections, LXMERT convention). Boxes are (x1,y1,x2,y2) normalized to
+    [0,1] by image size — the fixed-shape FRCNN output feeds this directly
+    (models/frcnn.py output dict)."""
+
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, feats, boxes, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        f = nn.Dense(
+            cfg.hidden_size, kernel_init=_dense_init(cfg), dtype=dt, name="visn_fc"
+        )(feats)
+        f = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="visn_ln"
+        )(f)
+        b = nn.Dense(
+            cfg.hidden_size, kernel_init=_dense_init(cfg), dtype=dt, name="box_fc"
+        )(boxes)
+        b = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="box_ln"
+        )(b)
+        x = (f + b) / 2.0
+        return nn.Dropout(cfg.hidden_dropout, name="drop")(
+            x, deterministic=deterministic
+        )
+
+
+class Pooler(nn.Module):
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, lang):
+        x = nn.Dense(
+            self.cfg.hidden_size, kernel_init=_dense_init(self.cfg), name="dense"
+        )(lang[:, 0])
+        return jnp.tanh(x)
+
+
+class Lxmert(nn.Module):
+    """Backbone encoder: returns (lang_feats, visn_feats, pooled)."""
+
+    cfg: LxmertConfig = LxmertConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,       # (N, S) int32
+        visual_feats: jnp.ndarray,    # (N, V, visual_feat_dim)
+        visual_pos: jnp.ndarray,      # (N, V, 4) normalized xyxy
+        attention_mask: Optional[jnp.ndarray] = None,   # (N, S) 1=keep
+        visual_mask: Optional[jnp.ndarray] = None,      # (N, V) 1=keep
+        token_type_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        if attention_mask is None:
+            attention_mask = jnp.ones(input_ids.shape, jnp.float32)
+        attention_mask = attention_mask.astype(jnp.float32)
+        if visual_mask is not None:
+            visual_mask = visual_mask.astype(jnp.float32)
+
+        lang = Embeddings(cfg, name="embeddings")(
+            input_ids, token_type_ids, deterministic
+        )
+        visn = VisualFeatEncoder(cfg, name="visn_fc")(
+            visual_feats.astype(cfg.compute_dtype),
+            visual_pos.astype(cfg.compute_dtype),
+            deterministic,
+        )
+        lang = _constrain(lang, cfg, ("data", "seq", None))
+
+        for i in range(cfg.l_layers):
+            lang = TransformerLayer(cfg, name=f"layer_{i}")(
+                lang, attention_mask, deterministic
+            )
+            lang = _constrain(lang, cfg, ("data", "seq", None))
+        for i in range(cfg.r_layers):
+            visn = TransformerLayer(cfg, name=f"r_layer_{i}")(
+                visn, visual_mask, deterministic
+            )
+        for i in range(cfg.x_layers):
+            lang, visn = CrossModalityLayer(cfg, name=f"x_layer_{i}")(
+                lang, attention_mask, visn, visual_mask, deterministic
+            )
+            lang = _constrain(lang, cfg, ("data", "seq", None))
+
+        pooled = Pooler(cfg, name="pooler")(lang.astype(jnp.float32))
+        return lang.astype(jnp.float32), visn.astype(jnp.float32), pooled
+
+
+class AnswerHead(nn.Module):
+    """VQA answer head: pooled -> 2h gelu LN -> num_answers (LXMERT)."""
+
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, pooled):
+        cfg = self.cfg
+        x = nn.Dense(
+            cfg.hidden_size * 2, kernel_init=_dense_init(cfg), name="fc"
+        )(pooled)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln")(x)
+        return nn.Dense(
+            cfg.num_answers, kernel_init=_dense_init(cfg), name="logit"
+        )(x)
+
+
+class LxmertForVQA(nn.Module):
+    """Encoder + answer head (BASELINE.json config 4: end-to-end VQA)."""
+
+    cfg: LxmertConfig = LxmertConfig()
+
+    @nn.compact
+    def __call__(self, input_ids, visual_feats, visual_pos,
+                 attention_mask=None, visual_mask=None, token_type_ids=None,
+                 deterministic: bool = True):
+        _, _, pooled = Lxmert(self.cfg, name="lxmert")(
+            input_ids, visual_feats, visual_pos, attention_mask, visual_mask,
+            token_type_ids, deterministic,
+        )
+        return AnswerHead(self.cfg, name="answer_head")(pooled)
+
+
+class MLMHead(nn.Module):
+    """BERT LM head: transform + decode to vocab (tied weights optional —
+    kept untied here; tying is a checkpoint-conversion detail)."""
+
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, lang):
+        cfg = self.cfg
+        x = nn.Dense(
+            cfg.hidden_size, kernel_init=_dense_init(cfg), name="transform"
+        )(lang)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln")(x)
+        return nn.Dense(
+            cfg.vocab_size, kernel_init=_dense_init(cfg), name="decoder"
+        )(x)
+
+
+class VisualHead(nn.Module):
+    """Visual pretraining heads over visn states: obj / attr / feat."""
+
+    cfg: LxmertConfig
+
+    @nn.compact
+    def __call__(self, visn):
+        cfg = self.cfg
+        x = nn.Dense(
+            cfg.hidden_size, kernel_init=_dense_init(cfg), name="transform"
+        )(visn)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln")(x)
+        obj = nn.Dense(cfg.num_objects, kernel_init=_dense_init(cfg), name="obj")(x)
+        attr = nn.Dense(cfg.num_attrs, kernel_init=_dense_init(cfg), name="attr")(x)
+        feat = nn.Dense(
+            cfg.visual_feat_dim, kernel_init=_dense_init(cfg), name="feat"
+        )(x)
+        return obj, attr, feat
+
+
+class LxmertForPretraining(nn.Module):
+    """All LXMERT pretraining heads; which losses apply is a train-config
+    toggle (reference names: task_matched/task_mask_lm/task_obj_predict/
+    task_qa, vltk/configs.py:63-96)."""
+
+    cfg: LxmertConfig = LxmertConfig()
+
+    @nn.compact
+    def __call__(self, input_ids, visual_feats, visual_pos,
+                 attention_mask=None, visual_mask=None, token_type_ids=None,
+                 deterministic: bool = True):
+        lang, visn, pooled = Lxmert(self.cfg, name="lxmert")(
+            input_ids, visual_feats, visual_pos, attention_mask, visual_mask,
+            token_type_ids, deterministic,
+        )
+        out = {"lang": lang, "visn": visn, "pooled": pooled}
+        out["mlm_logits"] = MLMHead(self.cfg, name="mlm_head")(lang)
+        out["matched_logits"] = nn.Dense(
+            2, kernel_init=_dense_init(self.cfg), name="matched_head"
+        )(pooled)
+        obj, attr, feat = VisualHead(self.cfg, name="visual_head")(visn)
+        out["obj_logits"], out["attr_logits"], out["feat_pred"] = obj, attr, feat
+        out["qa_logits"] = AnswerHead(self.cfg, name="answer_head")(pooled)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# losses — the LXMERT pretraining/finetune objectives the reference's
+# processors prepare data for (vltk/processing/lang.py:25-137)
+# ---------------------------------------------------------------------------
+
+
+def masked_lm_loss(logits, labels, ignore_id: int = -100):
+    """CE over positions where labels != ignore_id (the `masked_labels`
+    written by masked_language_modeling, reference: processing/lang.py:101-137)."""
+    valid = labels != ignore_id
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
+
+
+def vqa_soft_loss(logits, target_scores):
+    """BCE-with-logits against VQA soft scores, scaled by num answers
+    (LXMERT convention; scores from soft_score, reference:
+    utils/adapters.py:285-295)."""
+    logits = logits.astype(jnp.float32)
+    per = optax_sigmoid_bce(logits, target_scores)
+    return jnp.mean(per) * logits.shape[-1]
+
+
+def optax_sigmoid_bce(logits, targets):
+    # stable sigmoid BCE; local to avoid importing optax in the model layer
+    zeros = jnp.zeros_like(logits)
+    relu = jnp.maximum(logits, zeros)
+    return relu - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def matched_loss(logits, is_matched):
+    """Cross-modality matching CE (matched_sentence_modeling targets,
+    reference: processing/lang.py:81-98)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, is_matched[:, None], axis=-1))
+
+
+def visual_feat_loss(pred, target, mask):
+    """L2 regression on masked ROI features (masked_feature_modeling,
+    reference: processing/lang.py:53-78). mask: (N, V) 1 = was masked."""
+    err = jnp.sum((pred.astype(jnp.float32) - target) ** 2, axis=-1)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(err * mask) / denom
+
+
+def visual_label_loss(logits, labels, mask):
+    """CE on masked-region object/attribute labels."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask) / denom

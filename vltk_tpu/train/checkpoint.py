@@ -1,0 +1,90 @@
+"""Checkpoint save/resume with the reference's on-disk semantics.
+
+Reference (vltk/abc/simple.py:496-529 save, 89-124 resume):
+``{model}_epoch_{n}.pt`` + ``optim_epoch_{n}.pt`` + ``info.json`` (epoch,
+step, scheduler state) + ``config.yaml``; resume picks the highest epoch.
+Here the tensors are flax msgpack trees; the surrounding layout and resume
+rule are the same.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import flax.serialization as fser
+import jax
+
+
+def _epoch_file(ckpt_dir: str, name: str, epoch: int) -> str:
+    return os.path.join(ckpt_dir, f"{name}_epoch_{epoch}.msgpack")
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    name: str,
+    epoch: int,
+    params,
+    opt_state=None,
+    info: Optional[Dict[str, Any]] = None,
+    config=None,
+) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    host_params = jax.device_get(params)
+    path = _epoch_file(ckpt_dir, name, epoch)
+    with open(path, "wb") as f:
+        f.write(fser.to_bytes(host_params))
+    if opt_state is not None:
+        with open(os.path.join(ckpt_dir, f"optim_epoch_{epoch}.msgpack"), "wb") as f:
+            f.write(fser.to_bytes(jax.device_get(opt_state)))
+    full_info = {"epoch": epoch, "name": name}
+    if info:
+        full_info.update(info)
+    with open(os.path.join(ckpt_dir, "info.json"), "w") as f:
+        json.dump(full_info, f, indent=2, default=str)
+    if config is not None and hasattr(config, "dump_yaml"):
+        config.dump_yaml(os.path.join(ckpt_dir, "config.yaml"))
+    return path
+
+
+def latest_epoch(ckpt_dir: str, name: str) -> Optional[int]:
+    """Highest saved epoch for ``name`` (resume rule, simple.py:89-124)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    pat = re.compile(re.escape(name) + r"_epoch_(\d+)\.msgpack$")
+    epochs = [
+        int(m.group(1))
+        for fn in os.listdir(ckpt_dir)
+        if (m := pat.match(fn))
+    ]
+    return max(epochs) if epochs else None
+
+
+def load_checkpoint(
+    ckpt_dir: str,
+    name: str,
+    params_template,
+    opt_state_template=None,
+    epoch: Optional[int] = None,
+):
+    """Returns (params, opt_state | None, info dict). Templates provide the
+    pytree structure (flax msgpack is structure-free)."""
+    if epoch is None:
+        epoch = latest_epoch(ckpt_dir, name)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoint for {name!r} in {ckpt_dir}")
+    with open(_epoch_file(ckpt_dir, name, epoch), "rb") as f:
+        params = fser.from_bytes(params_template, f.read())
+    opt_state = None
+    opt_path = os.path.join(ckpt_dir, f"optim_epoch_{epoch}.msgpack")
+    if opt_state_template is not None and os.path.exists(opt_path):
+        with open(opt_path, "rb") as f:
+            opt_state = fser.from_bytes(opt_state_template, f.read())
+    info: Dict[str, Any] = {"epoch": epoch}
+    info_path = os.path.join(ckpt_dir, "info.json")
+    if os.path.exists(info_path):
+        with open(info_path) as f:
+            info.update(json.load(f))
+    return params, opt_state, info

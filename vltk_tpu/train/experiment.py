@@ -1,0 +1,239 @@
+"""SimpleExperiment — the reference's intended experiment lifecycle,
+rebuilt as a clean JAX loop.
+
+Reference design being rebuilt (vltk/abc/simple.py, broken at import —
+SURVEY §2.8): lifecycle ``_init_dirs/_init_seed/_init_loaders/_init_models/
+_init_optim/_init_checkpoint`` (62-79), ``outer_loop`` epochs x (train,
+eval) (550-574), ``inner_loop`` batches -> user ``forward`` -> ``step``
+(576-682), ``test_run``/``break_loop_on_test`` single-batch smoke
+(652-653), epoch/iter logging to ``epoch_log.txt``/``steps_log.json``
+(446-494), save/resume per epoch (89-124, 496-529).
+
+User surface (replaces the reference's abstract ``forward/iter_tqdm/
+model_list``, simple.py:748-783):
+
+  * ``build_model()``      -> (apply_fn, params)  [required]
+  * ``loss_fn(params, batch, rng)`` -> (loss, aux dict)  [required, pure]
+  * ``eval_metrics(params, batch)`` -> dict  [optional]
+  * ``prepare_batch(batch)`` -> pytree of arrays  [optional filter]
+  * ``epoch_logstr(epoch, train_m, eval_m)``  [optional]
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from vltk_tpu.train.checkpoint import (
+    latest_epoch,
+    load_checkpoint,
+    save_checkpoint,
+)
+from vltk_tpu.train.optim import make_optimizer
+from vltk_tpu.train.steps import TrainState, create_state, make_eval_step, make_train_step
+
+
+class SimpleExperiment(abc.ABC):
+    name: str = "experiment"
+
+    def __init__(self, config, loaders=None, mesh=None, rules=None):
+        self.config = config
+        self.mesh = mesh
+        self.rules = rules
+        self._init_dirs()
+        self._init_seed()
+        self._init_loaders(loaders)
+        self._init_models()
+        self._init_optim()
+        self._init_checkpoint()
+
+    # -- lifecycle (reference: simple.py:62-79) -----------------------------
+
+    def _init_dirs(self) -> None:
+        self.logdir = os.path.join(self.config.logdir, self.name)
+        os.makedirs(self.logdir, exist_ok=True)
+        self.ckpt_dir = self.config.checkpoint_dir or os.path.join(
+            self.logdir, "checkpoints"
+        )
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+    def _init_seed(self) -> None:
+        self.rng = jax.random.PRNGKey(self.config.train.seed)
+
+    def _init_loaders(self, loaders) -> None:
+        if loaders is not None:
+            self.train_loader, self.eval_loader = loaders
+        else:
+            from vltk_tpu.data.builder import init_datasets
+
+            self.train_loader, self.eval_loader = init_datasets(self.config)
+        if self.train_loader is None:
+            raise ValueError("experiment requires a train loader")
+
+    def _init_models(self) -> None:
+        self.apply_fn, self.params = self.build_model()
+
+    def _init_optim(self) -> None:
+        steps_per_epoch = max(len(self.train_loader), 1)
+        self.total_steps = steps_per_epoch * self.config.train.epochs
+        self.tx = make_optimizer(self.config.train, self.total_steps)
+        self.state = create_state(
+            self.apply_fn, self.params, self.tx, self.mesh, self.rules
+        )
+        del self.params  # lives in state now
+        self.train_step = make_train_step(self.loss_fn, self.mesh)
+        self.eval_step = make_eval_step(self._eval_metric_fn, self.mesh)
+        self.start_epoch = 0
+        self.global_step = 0
+
+    def _init_checkpoint(self) -> None:
+        """Resume from the highest saved epoch, if any (simple.py:89-124)."""
+        epoch = latest_epoch(self.ckpt_dir, self.name)
+        if epoch is None:
+            return
+        params, opt_state, info = load_checkpoint(
+            self.ckpt_dir,
+            self.name,
+            jax.device_get(self.state.params),
+            jax.device_get(self.state.opt_state),
+        )
+        replace = {"params": params}
+        if opt_state is not None:
+            replace["opt_state"] = opt_state
+        step = int(info.get("step", 0))
+        self.state = self.state.replace(step=step, **replace)
+        self.start_epoch = epoch + 1
+        self.global_step = step
+
+    # -- user surface --------------------------------------------------------
+
+    @abc.abstractmethod
+    def build_model(self):
+        """-> (apply_fn(params, batch, rng, train) usable in loss_fn, params)"""
+
+    @abc.abstractmethod
+    def loss_fn(self, params, batch, rng):
+        """pure: -> (scalar loss, dict of scalar aux metrics)"""
+
+    def eval_metrics(self, params, batch) -> Dict[str, Any]:
+        return {}
+
+    def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Keep array-valued keys; drop strings/objects (the reference
+        moved whole batches to device, utils/base.py:302-334 — here only
+        numerics cross)."""
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.dtype != object:
+                out[k] = v
+            elif hasattr(v, "dtype"):
+                out[k] = v
+        return out
+
+    def epoch_logstr(self, epoch, train_metrics, eval_metrics) -> str:
+        parts = [f"epoch={epoch}"]
+        parts += [f"train_{k}={float(v):.5f}" for k, v in train_metrics.items()]
+        parts += [f"eval_{k}={float(v):.5f}" for k, v in eval_metrics.items()]
+        return " ".join(parts)
+
+    # -- loops (reference: simple.py:533-682) --------------------------------
+
+    def __call__(self) -> Dict[str, Any]:
+        try:
+            return self.outer_loop()
+        except BaseException:
+            if self.config.save_on_crash:
+                self.save(epoch=max(self.start_epoch - 1, 0), crash=True)
+            raise
+
+    def outer_loop(self) -> Dict[str, Any]:
+        last: Dict[str, Any] = {}
+        for epoch in range(self.start_epoch, self.config.train.epochs):
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch)
+            train_m = self.inner_loop(epoch)
+            eval_m = self.eval_loop()
+            self.save(epoch)
+            self.write_epoch(self.epoch_logstr(epoch, train_m, eval_m))
+            last = {"epoch": epoch, "train": train_m, "eval": eval_m}
+            if self.config.test_run and self.config.break_loop_on_test:
+                break
+        return last
+
+    def inner_loop(self, epoch: int) -> Dict[str, float]:
+        totals: Dict[str, float] = {}
+        count = 0
+        t0 = time.perf_counter()
+        for batch in self._device_batches(self.train_loader):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self.train_step(self.state, batch, step_rng)
+            self.global_step += 1
+            count += 1
+            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            for k, v in host.items():
+                totals[k] = totals.get(k, 0.0) + v
+            self.write_iter(
+                {
+                    "epoch": epoch,
+                    "step": self.global_step,
+                    "sec": round(time.perf_counter() - t0, 4),
+                    **host,
+                }
+            )
+            if self.config.test_run:
+                break
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def eval_loop(self) -> Dict[str, float]:
+        if self.eval_loader is None:
+            return {}
+        totals: Dict[str, float] = {}
+        count = 0
+        for batch in self._device_batches(self.eval_loader):
+            metrics = self.eval_step(self.state.params, batch)
+            count += 1
+            for k, v in jax.device_get(metrics).items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            if self.config.test_run:
+                break
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def _eval_metric_fn(self, params, batch):
+        return self.eval_metrics(params, batch)
+
+    def _device_batches(self, loader) -> Iterable[Dict[str, Any]]:
+        for batch in loader:
+            prepared = self.prepare_batch(batch)
+            if self.mesh is not None:
+                from vltk_tpu.parallel import shard_batch
+
+                prepared = shard_batch(prepared, self.mesh)
+            yield prepared
+
+    # -- persistence / logging (reference: simple.py:446-529) ----------------
+
+    def save(self, epoch: int, crash: bool = False) -> None:
+        save_checkpoint(
+            self.ckpt_dir,
+            self.name if not crash else f"{self.name}_crash",
+            epoch,
+            self.state.params,
+            self.state.opt_state,
+            info={"step": self.global_step},
+            config=self.config,
+        )
+
+    def write_epoch(self, line: str) -> None:
+        with open(os.path.join(self.logdir, "epoch_log.txt"), "a") as f:
+            f.write(line + "\n")
+
+    def write_iter(self, record: Dict[str, Any]) -> None:
+        with open(os.path.join(self.logdir, "steps_log.json"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+            f.flush()

@@ -1,0 +1,70 @@
+"""Optimizer factory: AdamW + linear warmup/decay + grad clipping.
+
+Semantics of the reference's ``_init_optim`` (reference:
+vltk/abc/simple.py:298-313, 716-725): torch AdamW over all params with
+weight decay, ``transformers.get_linear_schedule_with_warmup`` over
+``total_steps``, and clip-grad-norm in ``step`` (simple.py:670). BERT-style
+no-decay for biases and LayerNorm params.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import optax
+
+
+def linear_warmup_linear_decay(
+    learning_rate: float, total_steps: int, warmup_ratio: float = 0.1
+):
+    """0 -> lr over the warmup, then lr -> 0 over the remainder."""
+    warmup_steps = max(int(total_steps * warmup_ratio), 1)
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, learning_rate, warmup_steps),
+            optax.linear_schedule(
+                learning_rate, 0.0, max(total_steps - warmup_steps, 1)
+            ),
+        ],
+        boundaries=[warmup_steps],
+    )
+
+
+def _decay_mask(params):
+    """True where weight decay applies: skip biases and norm scales."""
+
+    def one(path, _):
+        names = [str(getattr(k, "key", k)) for k in path]
+        leaf = names[-1] if names else ""
+        if leaf in ("bias", "scale"):
+            return False
+        if any(n in ("ln", "layernorm", "norm") for n in (s.lower() for s in names)):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def make_optimizer(
+    train_config,
+    total_steps: int,
+    schedule=None,
+) -> optax.GradientTransformation:
+    """optax chain matching the reference step semantics."""
+    if schedule is None:
+        schedule = linear_warmup_linear_decay(
+            train_config.learning_rate, total_steps, train_config.warmup_ratio
+        )
+    parts = []
+    clip = getattr(train_config, "clip_grad_norm", 0.0) or 0.0
+    if clip > 0:
+        parts.append(optax.clip_by_global_norm(clip))
+    parts.append(
+        optax.adamw(
+            learning_rate=schedule,
+            weight_decay=train_config.weight_decay,
+            mask=_decay_mask,
+        )
+    )
+    return optax.chain(*parts)

@@ -1,0 +1,72 @@
+"""Jitted train/eval step builders over an optional device mesh.
+
+The reference's step is imperative (scaler.scale(loss).backward -> clip ->
+optim.step -> scheduler.step, vltk/abc/simple.py:665-682). Here it is one
+compiled XLA program: value_and_grad + optax update, with the train state
+donated so parameters update in place in HBM. Under a mesh, shardings
+propagate from the committed inputs (params placed by
+parallel.shard_params, batch by parallel.shard_batch) and XLA inserts the
+DP gradient psum / TP collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState (params, opt_state, step, apply_fn, tx)."""
+
+
+def create_state(apply_fn, params, tx, mesh=None, rules=None) -> TrainState:
+    """Build a TrainState; under a mesh, params are placed by ``rules`` and
+    the optimizer state inherits their shardings through jit propagation."""
+    if mesh is not None and rules is not None:
+        from vltk_tpu.parallel import shard_params
+
+        params = shard_params(params, rules, mesh)
+
+        def init(p):
+            return TrainState.create(apply_fn=apply_fn, params=p, tx=tx)
+
+        with mesh:
+            return jax.jit(init)(params)
+    return TrainState.create(apply_fn=apply_fn, params=params, tx=tx)
+
+
+def make_train_step(loss_fn: Callable, mesh=None, donate: bool = True):
+    """``loss_fn(params, batch, rng) -> (loss, aux_dict)`` -> jitted
+    ``step(state, batch, rng) -> (state, metrics)``."""
+
+    def step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, aux), grads = grad_fn(state.params, batch, rng)
+        state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, **aux}
+        return state, metrics
+
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    if mesh is None:
+        return jitted
+
+    def run(state, batch, rng):
+        with mesh:
+            return jitted(state, batch, rng)
+
+    return run
+
+
+def make_eval_step(metric_fn: Callable, mesh=None):
+    """``metric_fn(params, batch) -> dict`` -> jitted eval step."""
+    jitted = jax.jit(metric_fn)
+    if mesh is None:
+        return jitted
+
+    def run(params, batch):
+        with mesh:
+            return jitted(params, batch)
+
+    return run
