@@ -37,8 +37,28 @@ class Tokenizer:
         self.from_transformers = from_transformers
         self.max_seq_length = int(max_seq_length)
         vocab_path = vocab_path or V.VOCABPATH
+        self._vocab_path = vocab_path
 
-        if from_transformers:
+        if name == "NativeWordPiece":
+            # first-party C++ WordPiece (vltk_tpu/native/src/wordpiece.cpp)
+            # — replaces the Rust `tokenizers` dependency (SURVEY §2.10 N5)
+            from vltk_tpu.native.wordpiece import NativeWordPiece
+
+            self._tok = NativeWordPiece(
+                vocab_path, lowercase=lowercase, max_seq_length=self.max_seq_length
+            )
+            self.cls_token, self.sep_token = "[CLS]", "[SEP]"
+            self.pad_token, self.mask_token, self.unk_token = (
+                "[PAD]", "[MASK]", "[UNK]",
+            )
+            self.cls_id = self._tok.cls_id
+            self.sep_id = self._tok.sep_id
+            self.pad_id = self._tok.pad_id
+            self.mask_id = self._tok.mask_id
+            self.unk_id = self._tok.unk_id
+            self.vocab_size = self._tok.vocab_size
+            self._id_to_token = None
+        elif from_transformers:
             import transformers
 
             cls = getattr(transformers, name)
@@ -100,7 +120,17 @@ class Tokenizer:
     def encode_batch(self, texts: Sequence[str]) -> List[Dict[str, np.ndarray]]:
         L = self.max_seq_length
         out = []
-        if self.from_transformers:
+        if self.name == "NativeWordPiece":
+            enc = self._tok.encode_batch(list(texts))
+            for i in range(len(texts)):
+                out.append(
+                    {
+                        V.input_ids: enc["input_ids"][i],
+                        V.type_ids: enc["type_ids"][i],
+                        V.text_attention_mask: enc["attention_mask"][i],
+                    }
+                )
+        elif self.from_transformers:
             enc = self._tok(
                 list(texts),
                 padding="max_length",
@@ -135,6 +165,8 @@ class Tokenizer:
     def encode_words(self, words: Sequence[str]) -> List[List[int]]:
         """Per-word sub-token ids, no special tokens, no padding — the
         AuxTokenize OCR path (reference: processing/visn.py:70-89)."""
+        if self.name == "NativeWordPiece":
+            return self._tok.encode_words(list(words))
         if self.from_transformers:
             enc = self._tok(
                 list(words), add_special_tokens=False, return_attention_mask=False
@@ -144,8 +176,17 @@ class Tokenizer:
         return [list(e.ids) for e in encs]
 
     def decode(self, ids: Sequence[int]) -> str:
-        if self.from_transformers:
-            return self._tok.decode(list(ids), skip_special_tokens=True)
+        if self.name == "NativeWordPiece":
+            if self._id_to_token is None:
+                with open(self._vocab_path) as f:
+                    self._id_to_token = [l.rstrip("\n") for l in f]
+            toks = [
+                self._id_to_token[i]
+                for i in ids
+                if 0 <= i < len(self._id_to_token) and i not in self.special_ids
+            ]
+            text = " ".join(toks).replace(" ##", "")
+            return text
         return self._tok.decode(list(ids), skip_special_tokens=True)
 
 

@@ -72,6 +72,11 @@ def polygon_to_mask(
     219-224) with a PIL scanline fill — identical up to boundary-pixel
     rounding, which downstream mask losses are insensitive to.
     """
+    from vltk_tpu.native import masks as native_masks
+
+    out = native_masks.polygons_fill(polygons, int(height), int(width))
+    if out is not None:
+        return out
     img = Image.new("L", (int(width), int(height)), 0)
     draw = ImageDraw.Draw(img)
     for poly in polygons:
@@ -95,6 +100,11 @@ def seg_to_mask(segmentation, height: int, width: int) -> np.ndarray:
 
 def rle_decode(counts: Sequence[int], height: int, width: int) -> np.ndarray:
     """Uncompressed COCO RLE (column-major run lengths, starting with 0s)."""
+    from vltk_tpu.native import masks as native_masks
+
+    out = native_masks.rle_decode(counts, height, width)
+    if out is not None:
+        return out
     flat = np.zeros(height * width, dtype=np.uint8)
     pos = 0
     val = 0
@@ -122,6 +132,11 @@ def imagepoints_to_mask(points: Sequence[float], size: Tuple[int, int]) -> np.nd
     """CLEVR-ref style flattened-index run pairs -> binary mask
     (reference: utils/adapters.py:174-192)."""
     h, w = int(size[0]), int(size[1])
+    from vltk_tpu.native import masks as native_masks
+
+    out = native_masks.points_decode(points, h, w)
+    if out is not None:
+        return out
     flat = np.zeros(h * w, dtype=np.uint8)
     pts = list(points)
     for i in range(0, len(pts) - 1, 2):
