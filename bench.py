@@ -102,18 +102,29 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    else:
+        # persistent compile cache: repeat runs skip the 20-40s XLA compile
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/.cache/vltk_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
 
     batch = 2 if args.smoke else args.batch
     step, params, raw, raw_sizes = build_step(args.smoke, batch)
 
-    # warmup / compile
-    out = step(params, raw, raw_sizes)
-    jax.block_until_ready(out)
+    def run_once():
+        out = step(params, raw, raw_sizes)
+        # force completion with a host transfer — block_until_ready alone
+        # under-reports on the tunneled TPU platform
+        return float(jnp.sum(out[0]))
+
+    run_once()  # warmup / compile
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        out = step(params, raw, raw_sizes)
-    jax.block_until_ready(out)
+        run_once()
     dt = time.perf_counter() - t0
 
     n_chips = max(jax.local_device_count(), 1)

@@ -193,3 +193,43 @@ class TestRoIPool:
         const = jnp.ones((20, 20, 4))
         out2 = roi_align(const, jnp.asarray(boxes), 7, 1.0 / 16, 2)
         np.testing.assert_allclose(np.asarray(out2), 1.0, rtol=1e-6)
+
+
+class TestRoIPoolFormulations:
+    def test_sparse_table_matches_offsets(self, rng):
+        """The fast range-max-query formulation must agree exactly with
+        the independently derived offset-loop oracle on clipped boxes."""
+        from vltk_tpu.ops.roi_pool import roi_pool_offsets
+
+        for h, w, out_size in ((52, 84, 14), (20, 24, 7), (4, 4, 7)):
+            feat = rng.standard_normal((h, w, 16)).astype(np.float32)
+            n = 64
+            boxes = np.zeros((n, 4), np.float32)
+            boxes[:, 0] = rng.uniform(0, w * 16 - 2, n)
+            boxes[:, 1] = rng.uniform(0, h * 16 - 2, n)
+            boxes[:, 2] = boxes[:, 0] + rng.uniform(1, w * 16, n)
+            boxes[:, 3] = boxes[:, 1] + rng.uniform(1, h * 16, n)
+            boxes[:, 2] = np.minimum(boxes[:, 2], w * 16 - 1)
+            boxes[:, 3] = np.minimum(boxes[:, 3], h * 16 - 1)
+            # include degenerate tiny boxes
+            boxes[0] = [3, 3, 3.5, 3.5]
+            boxes[1] = [0, 0, w * 16 - 1, h * 16 - 1]  # full image
+            fast = roi_pool(jnp.asarray(feat), jnp.asarray(boxes), out_size, 1 / 16)
+            slow = roi_pool_offsets(
+                jnp.asarray(feat), jnp.asarray(boxes), out_size, 1 / 16
+            )
+            np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+    def test_sparse_table_bf16(self, rng):
+        from vltk_tpu.ops.roi_pool import roi_pool_offsets
+
+        feat = rng.standard_normal((20, 24, 8)).astype(np.float32)
+        boxes = np.array([[0, 0, 100, 100], [32, 16, 200, 150]], np.float32)
+        fast = roi_pool(
+            jnp.asarray(feat).astype(jnp.bfloat16), jnp.asarray(boxes), 7, 1 / 16
+        )
+        assert fast.dtype == jnp.bfloat16
+        slow = roi_pool_offsets(
+            jnp.asarray(feat).astype(jnp.bfloat16), jnp.asarray(boxes), 7, 1 / 16
+        )
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))

@@ -51,75 +51,53 @@ def _set(tree: Dict, path, value) -> None:
     node[path[-1]] = value
 
 
-def torch_lxmert_to_jax(state_dict: Mapping[str, Any]) -> Dict:
-    """Convert a HuggingFace ``transformers`` LXMERT ``state_dict``
-    (LxmertModel / LxmertForPreTraining / LxmertForQuestionAnswering) into
-    the flax ``params`` tree of :class:`vltk_tpu.models.lxmert` models.
-
-    The MLM decoder is weight-tied to the word embeddings in HF
-    (``cls.predictions.decoder.weight``); we materialize the tie as an
-    untied kernel here.
-    """
+def _lxmert_pairs(keys, root: str):
+    """(kind, flax_path, torch_prefix) correspondence table driving both
+    conversion directions. ``kind`` in {linear, ln, embed}."""
     import re
 
-    params: Dict = {}
-
-    def put(path: str, value: np.ndarray) -> None:
-        _set(params, tuple(path.split("/")), value)
-
-    def linear(flax_path: str, torch_prefix: str) -> None:
-        w = state_dict.get(torch_prefix + ".weight")
-        if w is None:
-            return
-        put(flax_path + "/kernel", _to_numpy(w).T)
-        b = state_dict.get(torch_prefix + ".bias")
-        if b is not None:
-            put(flax_path + "/bias", _to_numpy(b))
-
-    def ln(flax_path: str, torch_prefix: str) -> None:
-        w = state_dict.get(torch_prefix + ".weight")
-        if w is None:
-            return
-        put(flax_path + "/scale", _to_numpy(w))
-        put(flax_path + "/bias", _to_numpy(state_dict[torch_prefix + ".bias"]))
-
-    def att(flax_path: str, self_prefix: str, out_prefix: str) -> None:
-        for leaf in ("query", "key", "value"):
-            linear(f"{flax_path}/{leaf}", f"{self_prefix}.{leaf}")
-        linear(f"{flax_path}/att_out", f"{out_prefix}.dense")
-        ln(f"{flax_path}/ln", f"{out_prefix}.LayerNorm")
-
-    def ffn(flax_path: str, inter_prefix: str, out_prefix: str) -> None:
-        linear(f"{flax_path}/intermediate", f"{inter_prefix}.dense")
-        linear(f"{flax_path}/mlp_out", f"{out_prefix}.dense")
-        ln(f"{flax_path}/ln", f"{out_prefix}.LayerNorm")
-
-    # a bare LxmertModel state_dict has no "lxmert." prefix
-    root = "lxmert." if any(k.startswith("lxmert.") for k in state_dict) else ""
     enc_root = "lxmert" if root else ""
 
     def epath(sub: str) -> str:
         return f"{enc_root}/{sub}" if enc_root else sub
 
-    # embeddings
+    pairs = []
     for name in ("word_embeddings", "position_embeddings", "token_type_embeddings"):
-        key = f"{root}embeddings.{name}.weight"
-        if key in state_dict:
-            put(epath(f"embeddings/{name}/embedding"), _to_numpy(state_dict[key]))
-    ln(epath("embeddings/ln"), f"{root}embeddings.LayerNorm")
+        pairs.append(("embed", epath(f"embeddings/{name}"), f"{root}embeddings.{name}"))
+    pairs.append(("ln", epath("embeddings/ln"), f"{root}embeddings.LayerNorm"))
 
-    # visual feature encoder
-    linear(epath("visn_fc/visn_fc"), f"{root}encoder.visn_fc.visn_fc")
-    ln(epath("visn_fc/visn_ln"), f"{root}encoder.visn_fc.visn_layer_norm")
-    linear(epath("visn_fc/box_fc"), f"{root}encoder.visn_fc.box_fc")
-    ln(epath("visn_fc/box_ln"), f"{root}encoder.visn_fc.box_layer_norm")
+    pairs += [
+        ("linear", epath("visn_fc/visn_fc"), f"{root}encoder.visn_fc.visn_fc"),
+        ("ln", epath("visn_fc/visn_ln"), f"{root}encoder.visn_fc.visn_layer_norm"),
+        ("linear", epath("visn_fc/box_fc"), f"{root}encoder.visn_fc.box_fc"),
+        ("ln", epath("visn_fc/box_ln"), f"{root}encoder.visn_fc.box_layer_norm"),
+    ]
 
-    # single-modality layers
+    def att(flax_path, self_prefix, out_prefix):
+        for leaf in ("query", "key", "value"):
+            pairs.append(("linear", f"{flax_path}/{leaf}", f"{self_prefix}.{leaf}"))
+        pairs.append(("linear", f"{flax_path}/att_out", f"{out_prefix}.dense"))
+        pairs.append(("ln", f"{flax_path}/ln", f"{out_prefix}.LayerNorm"))
+
+    def ffn(flax_path, inter_prefix, out_prefix):
+        pairs.append(("linear", f"{flax_path}/intermediate", f"{inter_prefix}.dense"))
+        pairs.append(("linear", f"{flax_path}/mlp_out", f"{out_prefix}.dense"))
+        pairs.append(("ln", f"{flax_path}/ln", f"{out_prefix}.LayerNorm"))
+
     indices = set()
-    for key in state_dict:
-        m = re.search(r"encoder\.(layer|r_layers|x_layers)\.(\d+)\.", key)
+    for key in keys:
+        # torch: encoder.layer.0. / encoder.r_layers.0. — flax: layer_0/ /
+        # r_layer_0/ (singular). Normalize to the torch plural kind names.
+        m = re.search(r"(layer|r_layers?|x_layers?)[._](\d+)[._/]", key)
         if m:
-            indices.add((m.group(1), int(m.group(2))))
+            kind = m.group(1)
+            if kind.startswith("r_"):
+                kind = "r_layers"
+            elif kind.startswith("x_"):
+                kind = "x_layers"
+            else:
+                kind = "layer"
+            indices.add((kind, int(m.group(2))))
     for kind, i in sorted(indices):
         if kind == "layer":
             base, flax = f"{root}encoder.layer.{i}", epath(f"layer_{i}")
@@ -139,24 +117,101 @@ def torch_lxmert_to_jax(state_dict: Mapping[str, Any]) -> Dict:
         att(f"{flax}/att", f"{base}.attention.self", f"{base}.attention.output")
         ffn(f"{flax}/ffn", f"{base}.intermediate", f"{base}.output")
 
-    linear(epath("pooler/dense"), f"{root}pooler.dense")
+    pairs.append(("linear", epath("pooler/dense"), f"{root}pooler.dense"))
 
-    # pretraining / finetune heads (present only on head-bearing models)
-    linear("mlm_head/transform", "cls.predictions.transform.dense")
-    ln("mlm_head/ln", "cls.predictions.transform.LayerNorm")
+    # heads (present only on head-bearing models — skipped when absent)
+    pairs += [
+        ("linear", "mlm_head/transform", "cls.predictions.transform.dense"),
+        ("ln", "mlm_head/ln", "cls.predictions.transform.LayerNorm"),
+        ("linear", "matched_head", "cls.seq_relationship"),
+        ("linear", "visual_head/transform", "obj_predict_head.transform.dense"),
+        ("ln", "visual_head/ln", "obj_predict_head.transform.LayerNorm"),
+        ("linear", "visual_head/obj", "obj_predict_head.decoder_dict.obj"),
+        ("linear", "visual_head/attr", "obj_predict_head.decoder_dict.attr"),
+        ("linear", "visual_head/feat", "obj_predict_head.decoder_dict.feat"),
+        ("linear", "answer_head/fc", "answer_head.logit_fc.0"),
+        ("ln", "answer_head/ln", "answer_head.logit_fc.2"),
+        ("linear", "answer_head/logit", "answer_head.logit_fc.3"),
+    ]
+    return pairs
+
+
+def torch_lxmert_to_jax(state_dict: Mapping[str, Any]) -> Dict:
+    """Convert a HuggingFace ``transformers`` LXMERT ``state_dict``
+    (LxmertModel / LxmertForPreTraining / LxmertForQuestionAnswering) into
+    the flax ``params`` tree of :class:`vltk_tpu.models.lxmert` models.
+
+    The MLM decoder is weight-tied to the word embeddings in HF
+    (``cls.predictions.decoder.weight``); we materialize the tie as an
+    untied kernel here.
+    """
+    params: Dict = {}
+
+    def put(path: str, value: np.ndarray) -> None:
+        _set(params, tuple(path.split("/")), value)
+
+    root = "lxmert." if any(k.startswith("lxmert.") for k in state_dict) else ""
+    for kind, flax_path, torch_prefix in _lxmert_pairs(state_dict.keys(), root):
+        w = state_dict.get(torch_prefix + ".weight")
+        if w is None:
+            continue
+        w = _to_numpy(w)
+        if kind == "embed":
+            put(flax_path + "/embedding", w)
+            continue
+        if kind == "ln":
+            put(flax_path + "/scale", w)
+            put(flax_path + "/bias", _to_numpy(state_dict[torch_prefix + ".bias"]))
+            continue
+        put(flax_path + "/kernel", w.T)
+        b = state_dict.get(torch_prefix + ".bias")
+        if b is not None:
+            put(flax_path + "/bias", _to_numpy(b))
+
+    # MLM decoder: weight tied to word embeddings, bias lives at cls level
     if "cls.predictions.decoder.weight" in state_dict:
         put("mlm_head/decoder/kernel",
             _to_numpy(state_dict["cls.predictions.decoder.weight"]).T)
         put("mlm_head/decoder/bias", _to_numpy(state_dict["cls.predictions.bias"]))
-    linear("matched_head", "cls.seq_relationship")
-    linear("visual_head/transform", "obj_predict_head.transform.dense")
-    ln("visual_head/ln", "obj_predict_head.transform.LayerNorm")
-    for leaf in ("obj", "attr", "feat"):
-        linear(f"visual_head/{leaf}", f"obj_predict_head.decoder_dict.{leaf}")
-    linear("answer_head/fc", "answer_head.logit_fc.0")
-    ln("answer_head/ln", "answer_head.logit_fc.2")
-    linear("answer_head/logit", "answer_head.logit_fc.3")
     return params
+
+
+def jax_lxmert_to_torch(params: Mapping[str, Any], prefixed: bool = True) -> Dict:
+    """Export flax LXMERT params as an HF-named ``state_dict`` of numpy
+    arrays — the reverse direction the reference only had for ViT
+    (reference: vltk/utils/base.py:191-261, legacy/vit_ckp_convert.py).
+    Pass the result through ``torch.tensor`` per-value to load into an HF
+    module (``prefixed=False`` for a bare LxmertModel)."""
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params, sep="/")
+    root = "lxmert." if prefixed else ""
+    out: Dict[str, np.ndarray] = {}
+    for kind, flax_path, torch_prefix in _lxmert_pairs(flat.keys(), root):
+        if kind == "embed":
+            w = flat.get(flax_path + "/embedding")
+            if w is not None:
+                out[torch_prefix + ".weight"] = np.asarray(w)
+            continue
+        if kind == "ln":
+            s = flat.get(flax_path + "/scale")
+            if s is not None:
+                out[torch_prefix + ".weight"] = np.asarray(s)
+                out[torch_prefix + ".bias"] = np.asarray(flat[flax_path + "/bias"])
+            continue
+        k = flat.get(flax_path + "/kernel")
+        if k is not None:
+            out[torch_prefix + ".weight"] = np.asarray(k).T
+            b = flat.get(flax_path + "/bias")
+            if b is not None:
+                out[torch_prefix + ".bias"] = np.asarray(b)
+
+    if "mlm_head/decoder/kernel" in flat:
+        out["cls.predictions.decoder.weight"] = np.asarray(
+            flat["mlm_head/decoder/kernel"]
+        ).T
+        out["cls.predictions.bias"] = np.asarray(flat["mlm_head/decoder/bias"])
+    return out
 
 
 def torch_frcnn_to_jax(state_dict: Mapping[str, Any]) -> Dict:

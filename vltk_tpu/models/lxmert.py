@@ -472,6 +472,34 @@ def visual_feat_loss(pred, target, mask):
     return jnp.sum(err * mask) / denom
 
 
+def resize_num_qa_labels(params, num_answers: int, rng=None):
+    """Re-size the answer head's output layer to ``num_answers``, keeping
+    the overlapping rows (reference: ``resize_num_qa_labels`` during model
+    init, vltk/abc/simple.py:135-236). Works on any params tree containing
+    an ``answer_head/logit`` Dense."""
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params, sep="/")
+    kernel_key, bias_key = "answer_head/logit/kernel", "answer_head/logit/bias"
+    if kernel_key not in flat:
+        raise KeyError("params tree has no answer_head/logit")
+    old_kernel = flat[kernel_key]
+    old_bias = flat[bias_key]
+    in_dim, old_n = old_kernel.shape
+    if old_n == num_answers:
+        return params
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    new_kernel = (
+        jax.random.normal(rng, (in_dim, num_answers), old_kernel.dtype) * 0.02
+    )
+    new_bias = jnp.zeros((num_answers,), old_bias.dtype)
+    keep = min(old_n, num_answers)
+    flat[kernel_key] = new_kernel.at[:, :keep].set(old_kernel[:, :keep])
+    flat[bias_key] = new_bias.at[:keep].set(old_bias[:keep])
+    return tu.unflatten_dict(flat, sep="/")
+
+
 def visual_label_loss(logits, labels, mask):
     """CE on masked-region object/attribute labels."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

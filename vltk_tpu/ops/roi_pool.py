@@ -1,16 +1,24 @@
 """RoI pooling in pure XLA with static shapes.
 
 The reference used torchvision's C++/CUDA ``RoIPool`` (reference:
-vltk/modeling/frcnn.py:30, 1179 — RoIPool, *not* RoIAlign). Data-dependent
-bin extents are reformulated as a static loop over a bounded set of in-bin
-offsets with masked max — exact torchvision semantics as long as no bin
-spans more offsets than the static bound (guaranteed: bound derives from
-the static feature-map size).
+vltk/modeling/frcnn.py:30, 1179 — RoIPool, *not* RoIAlign). Two exact
+formulations are provided:
 
-``roi_align`` (bilinear, sampling_ratio fixed) is also provided as the fast
-path for new models. A Pallas kernel backing both lives in
-vltk_tpu/ops/pallas/roi_kernels.py and is used automatically on TPU for
-large workloads.
+* :func:`roi_pool` — the fast path: a 2D *sparse table* (sliding-window
+  max at power-of-two widths). Clipped RoI bins never span more than
+  ``ceil((dim+1)/output)+1`` cells per axis, so every bin max is exactly
+  the max of **4 table lookups** (2 per axis, the classic range-max-query
+  identity). This replaces a ``max_bin_h*max_bin_w``-iteration gather loop
+  (~40 full-output gathers) with 4 gathers + a handful of elementwise max
+  streams — ~10x less HBM traffic, which profiling on a v5e chip showed
+  was the single dominant cost of the whole FRCNN forward.
+
+* :func:`roi_pool_offsets` — the direct offset-loop formulation (one
+  masked-max gather per in-bin offset). Kept as the independently-derived
+  parity oracle for tests.
+
+``roi_align`` (bilinear, fixed sampling grid) is also provided for new
+models; torchvision-compatible.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e30
 
@@ -32,13 +41,51 @@ def _gather_cells(feat: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.nd
     return flat[idx]
 
 
+def _roi_bin_edges(boxes, spatial_scale, h, w, output_size):
+    """torchvision RoIPool integer bin edges.
+
+    Scale then std::round (half away from zero) the roi corners; width =
+    end - start + 1; bin i spans [floor(i*R/P), ceil((i+1)*R/P)) offset by
+    the roi corner, clipped to the map.
+    Returns (hstart, hend) (P, output) and (wstart, wend) (P, output).
+    """
+    ph = pw = output_size
+    scaled = boxes * spatial_scale
+    roi = jnp.where(
+        scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
+    ).astype(jnp.int32)
+    x1, y1, x2, y2 = roi[:, 0], roi[:, 1], roi[:, 2], roi[:, 3]
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+
+    grid = jnp.arange(output_size, dtype=jnp.int32)
+    hstart = jnp.clip((grid[None, :] * roi_h[:, None]) // ph + y1[:, None], 0, h)
+    hend = jnp.clip(
+        ((grid[None, :] + 1) * roi_h[:, None] + ph - 1) // ph + y1[:, None], 0, h
+    )
+    wstart = jnp.clip((grid[None, :] * roi_w[:, None]) // pw + x1[:, None], 0, w)
+    wend = jnp.clip(
+        ((grid[None, :] + 1) * roi_w[:, None] + pw - 1) // pw + x1[:, None], 0, w
+    )
+    return hstart, hend, wstart, wend
+
+
+def _shift_max(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """max(x[i], x[min(i+shift, n-1)]) along ``axis`` — one doubling step
+    of the sliding-window-max table (edge-clamped, so entry i holds the
+    max over x[i : min(i+2*shift, n)])."""
+    n = x.shape[axis]
+    idx = jnp.minimum(jnp.arange(n) + shift, n - 1)
+    return jnp.maximum(x, jnp.take(x, idx, axis=axis))
+
+
 def roi_pool(
     features: jnp.ndarray,
     boxes: jnp.ndarray,
     output_size: int = 14,
     spatial_scale: float = 1.0 / 16,
 ) -> jnp.ndarray:
-    """Exact torchvision RoIPool.
+    """Exact torchvision RoIPool via 2D range-max sparse tables.
 
     Args:
       features: (H, W, C) one image's feature map (vmap over batch outside).
@@ -51,37 +98,75 @@ def roi_pool(
     h, w, c = features.shape
     p = boxes.shape[0]
     ph = pw = output_size
+    hstart, hend, wstart, wend = _roi_bin_edges(boxes, spatial_scale, h, w, ph)
 
-    # torchvision: scale then std::round (half away from zero) roi corners;
-    # width = end - start + 1
-    scaled = boxes * spatial_scale
-    roi = jnp.where(
-        scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
-    ).astype(jnp.int32)
-    x1, y1, x2, y2 = roi[:, 0], roi[:, 1], roi[:, 2], roi[:, 3]
-    roi_w = jnp.maximum(x2 - x1 + 1, 1)  # int32
-    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+    # static bin-extent bounds (same bound the offset loop uses)
+    max_bin_h = min(math.ceil((h + 1) / ph) + 1, h)
+    max_bin_w = min(math.ceil((w + 1) / pw) + 1, w)
+    kh_levels = int(math.floor(math.log2(max_bin_h))) + 1
+    kw_levels = int(math.floor(math.log2(max_bin_w))) + 1
 
-    # Bin edges floor(b*R/P) / ceil((b+1)*R/P) computed in exact integer
-    # arithmetic — identical to torchvision's float32 math except where f32
-    # rounding crosses an integer boundary (where integer is the correct
-    # value of the rational edge).
-    grid = jnp.arange(output_size, dtype=jnp.int32)
-    hstart = jnp.clip(
-        (grid[None, :] * roi_h[:, None]) // ph + y1[:, None], 0, h
+    # tables[kh*Kw + kw][y, x] = max over features[y:y+2^kh, x:x+2^kw]
+    w_tables = [features]
+    for k in range(1, kw_levels):
+        w_tables.append(_shift_max(w_tables[-1], 1 << (k - 1), axis=1))
+    tables = []
+    for wt in w_tables:
+        col = wt
+        tables.append(col)
+        for k in range(1, kh_levels):
+            col = _shift_max(col, 1 << (k - 1), axis=0)
+            tables.append(col)
+    # layout: index = kw * kh_levels + kh
+    stacked = jnp.stack(tables)  # (Kw*Kh, H, W, C)
+    flat = stacked.reshape(kw_levels * kh_levels * h * w, c)
+
+    # per-bin levels: k = floor(log2(len))
+    log2_lut = jnp.asarray(
+        [0] + [int(math.floor(math.log2(l))) for l in range(1, max(h, w) + 2)],
+        jnp.int32,
     )
-    hend = jnp.clip(
-        ((grid[None, :] + 1) * roi_h[:, None] + ph - 1) // ph + y1[:, None], 0, h
-    )
-    wstart = jnp.clip(
-        (grid[None, :] * roi_w[:, None]) // pw + x1[:, None], 0, w
-    )
-    wend = jnp.clip(
-        ((grid[None, :] + 1) * roi_w[:, None] + pw - 1) // pw + x1[:, None], 0, w
+    lh = hend - hstart  # (P, ph)
+    lw = wend - wstart  # (P, pw)
+    kh = log2_lut[jnp.clip(lh, 1, max_bin_h)]  # (P, ph)
+    kw = log2_lut[jnp.clip(lw, 1, max_bin_w)]  # (P, pw)
+
+    ys0 = hstart
+    ys1 = jnp.maximum(hend - (1 << kh), 0)
+    xs0 = wstart
+    xs1 = jnp.maximum(wend - (1 << kw), 0)
+
+    level = kw[:, None, :] * kh_levels + kh[:, :, None]  # (P, ph, pw)
+    base = level * (h * w)
+
+    def take(y, x):
+        # y: (P, ph) broadcast over j; x: (P, pw) broadcast over i
+        idx = base + y[:, :, None] * w + x[:, None, :]
+        return flat[idx]  # (P, ph, pw, C)
+
+    out = jnp.maximum(
+        jnp.maximum(take(ys0, xs0), take(ys0, xs1)),
+        jnp.maximum(take(ys1, xs0), take(ys1, xs1)),
     )
 
-    # static bound on in-bin extent (bins of a clipped roi never exceed
-    # ceil((dim+1)/output) + 1 cells)
+    empty = (lh <= 0)[:, :, None] | (lw <= 0)[:, None, :]
+    return jnp.where(empty[..., None], jnp.zeros((), features.dtype), out)
+
+
+def roi_pool_offsets(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    output_size: int = 14,
+    spatial_scale: float = 1.0 / 16,
+) -> jnp.ndarray:
+    """Exact torchvision RoIPool — direct offset-loop formulation (one
+    masked-max gather per possible in-bin offset). Parity oracle for
+    :func:`roi_pool`; O(max_bin_h*max_bin_w) full-output gathers."""
+    h, w, c = features.shape
+    p = boxes.shape[0]
+    ph = pw = output_size
+    hstart, hend, wstart, wend = _roi_bin_edges(boxes, spatial_scale, h, w, ph)
+
     max_bin_h = math.ceil((h + 1) / ph) + 1
     max_bin_w = math.ceil((w + 1) / pw) + 1
 
@@ -154,7 +239,7 @@ def roi_align(
                 features,
                 jnp.broadcast_to(iy[:, :, None], (p, os, os)),
                 jnp.broadcast_to(ix[:, None, :], (p, os, os)),
-            )
+            ).astype(jnp.float32)
 
         v00 = g(y0, x0)
         v01 = g(y0, x1i)
@@ -170,6 +255,6 @@ def roi_align(
         )
         return acc + val
 
-    acc0 = jnp.zeros((p, os, os, c), features.dtype)
+    acc0 = jnp.zeros((p, os, os, c), jnp.float32)
     acc = jax.lax.fori_loop(0, sampling_ratio * sampling_ratio, sample, acc0)
-    return acc / (sampling_ratio * sampling_ratio)
+    return (acc / (sampling_ratio * sampling_ratio)).astype(features.dtype)

@@ -23,6 +23,7 @@ from vltk_tpu.train.checkpoint import (
 )
 from vltk_tpu.train.steps import make_eval_step, make_train_step, create_state
 from vltk_tpu.train.experiment import SimpleExperiment
+from vltk_tpu.train.complex import ComplexExperiment, Loop
 
 __all__ = [
     "make_optimizer",
@@ -36,4 +37,6 @@ __all__ = [
     "make_eval_step",
     "create_state",
     "SimpleExperiment",
+    "ComplexExperiment",
+    "Loop",
 ]

@@ -50,8 +50,13 @@ def make_optimizer(
     train_config,
     total_steps: int,
     schedule=None,
+    freeze_patterns=(),
 ) -> optax.GradientTransformation:
-    """optax chain matching the reference step semantics."""
+    """optax chain matching the reference step semantics.
+
+    ``freeze_patterns``: regexes over '/'-joined param paths whose matches
+    receive zero updates (reference: ``freeze_layers`` gradient masking,
+    vltk/abc/complex.py:109-120 — there done by zeroing ``.grad``)."""
     if schedule is None:
         schedule = linear_warmup_linear_decay(
             train_config.learning_rate, total_steps, train_config.warmup_ratio
@@ -67,4 +72,26 @@ def make_optimizer(
             mask=_decay_mask,
         )
     )
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if freeze_patterns:
+        tx = with_frozen(tx, freeze_patterns)
+    return tx
+
+
+def with_frozen(tx: optax.GradientTransformation, patterns):
+    """Route params whose path matches any regex in ``patterns`` to
+    ``set_to_zero`` (frozen), everything else to ``tx``."""
+    import re
+
+    compiled = [re.compile(p) for p in patterns]
+
+    def labels(params):
+        def one(path, _):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            return "frozen" if any(c.search(name) for c in compiled) else "train"
+
+        return jax.tree_util.tree_map_with_path(one, params)
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels
+    )
