@@ -182,3 +182,83 @@ def test_parity_vs_hf_torch(rng, model_kind):
             out.question_answering_score.numpy(),
             atol=2e-5,
         )
+
+
+class TestVisualBert:
+    def _cfg(self):
+        from vltk_tpu.models.visualbert import VisualBertConfig
+
+        return VisualBertConfig(
+            vocab_size=80, hidden_size=16, num_heads=2, intermediate_size=32,
+            l_layers=2, visual_feat_dim=8, max_position_embeddings=32,
+            num_labels=3,
+        )
+
+    def test_forward_shapes(self, rng):
+        from vltk_tpu.models.visualbert import VisualBert
+
+        cfg = self._cfg()
+        model = VisualBert(cfg)
+        ids = rng.integers(0, 80, (2, 6)).astype(np.int32)
+        feats = rng.normal(size=(2, 4, 8)).astype(np.float32)
+        pos = rng.uniform(0, 1, (2, 4, 4)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), ids, feats, pos)["params"]
+        seq, pooled = model.apply({"params": params}, ids, feats, pos)
+        assert seq.shape == (2, 10, 16)  # S + V tokens
+        assert pooled.shape == (2, 16)
+
+    def test_classifier_learns(self, rng):
+        """Tiny overfit: the classification loss must drop."""
+        import optax
+
+        from vltk_tpu.models.visualbert import (
+            VisualBertForClassification,
+            classification_loss,
+        )
+
+        cfg = self._cfg()
+        model = VisualBertForClassification(cfg)
+        ids = rng.integers(0, 80, (8, 6)).astype(np.int32)
+        feats = rng.normal(size=(8, 4, 8)).astype(np.float32)
+        labels = jnp.asarray(rng.integers(0, 3, 8).astype(np.int32))
+        params = model.init(jax.random.PRNGKey(0), ids, feats)["params"]
+        tx = optax.adam(5e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt):
+            def lf(p):
+                logits = model.apply({"params": p}, ids, feats)
+                return classification_loss(logits, labels)
+
+            loss, grads = jax.value_and_grad(lf)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), opt, loss
+
+        losses = []
+        for _ in range(30):
+            params, opt, loss = step(params, opt)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+    def test_tp_rules_cover_visualbert(self):
+        """The shared LXMERT TP rules shard VisualBERT's blocks too."""
+        from jax.sharding import PartitionSpec as P
+
+        from vltk_tpu.config import MeshConfig
+        from vltk_tpu.models.visualbert import VisualBert
+        from vltk_tpu.parallel import LXMERT_RULES, infer_shardings, make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        cfg = self._cfg()
+        model = VisualBert(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, 4), np.int32),
+            np.zeros((1, 2, 8), np.float32),
+        )["params"]
+        mesh = make_mesh(MeshConfig(axes=(("data", 4), ("model", 2))))
+        sh = infer_shardings(params, LXMERT_RULES, mesh)
+        assert sh["layer_0"]["att"]["query"]["kernel"].spec == P(None, "model")
+        assert sh["layer_0"]["ffn"]["mlp_out"]["kernel"].spec == P("model", None)

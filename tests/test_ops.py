@@ -233,3 +233,40 @@ class TestRoIPoolFormulations:
             jnp.asarray(feat).astype(jnp.bfloat16), jnp.asarray(boxes), 7, 1 / 16
         )
         np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+class TestRoIPoolPallas:
+    def test_pallas_matches_xla(self, rng):
+        """Pallas kernel (interpret mode) vs the XLA sparse-table path."""
+        import jax
+
+        from vltk_tpu.ops.pallas_kernels import roi_pool_pallas
+
+        b, h, w, c, p, out_size = 2, 20, 24, 8, 6, 7
+        feat = rng.standard_normal((b, h, w, c)).astype(np.float32)
+        boxes = np.zeros((b, p, 4), np.float32)
+        boxes[..., 0] = rng.uniform(0, w * 16 - 2, (b, p))
+        boxes[..., 1] = rng.uniform(0, h * 16 - 2, (b, p))
+        boxes[..., 2] = np.minimum(
+            boxes[..., 0] + rng.uniform(1, w * 16, (b, p)), w * 16 - 1
+        )
+        boxes[..., 3] = np.minimum(
+            boxes[..., 1] + rng.uniform(1, h * 16, (b, p)), h * 16 - 1
+        )
+        boxes[0, 0] = [3, 3, 3.5, 3.5]  # degenerate tiny box
+        got = roi_pool_pallas(
+            jnp.asarray(feat), jnp.asarray(boxes), out_size, 1 / 16,
+            interpret=True,
+        )
+        want = jax.vmap(lambda f, bx: roi_pool(f, bx, out_size, 1 / 16))(
+            jnp.asarray(feat), jnp.asarray(boxes)
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_auto_dispatch_off_tpu(self, rng):
+        from vltk_tpu.ops.pallas_kernels import roi_pool_auto
+
+        feat = rng.standard_normal((1, 16, 16, 4)).astype(np.float32)
+        boxes = np.array([[[0, 0, 100, 100], [16, 16, 200, 200]]], np.float32)
+        out = roi_pool_auto(jnp.asarray(feat), jnp.asarray(boxes), 7, 1 / 16)
+        assert out.shape == (1, 2, 7, 7, 4)

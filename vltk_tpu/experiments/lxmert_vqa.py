@@ -55,7 +55,31 @@ class LxmertVQAExperiment(SimpleExperiment):
         for key in wanted:
             if key in batch and hasattr(batch[key], "dtype"):
                 out[key] = batch[key]
+        # loader batches carry sparse (label-id, soft-score) pairs padded
+        # with ignore_id (langdataset._attach_labels); the BCE objective
+        # needs them dense over the answer vocabulary
+        if V.labels in out:
+            out[V.scores] = self._densify_scores(out[V.labels], out.get(V.scores))
+            out.pop(V.labels)
         return out
+
+    def _densify_scores(self, label_ids, scores) -> np.ndarray:
+        """(N, L) sparse answer ids + scores -> (N, num_answers) dense."""
+        n_answers = self.model_config.num_answers
+        label_ids = np.asarray(label_ids)
+        if label_ids.ndim == 1:  # single sampled label per row
+            label_ids = label_ids[:, None]
+            scores = None if scores is None else np.asarray(scores)[:, None]
+        if scores is None:
+            scores = np.ones_like(label_ids, np.float32)
+        scores = np.asarray(scores, np.float32)
+        dense = np.zeros((label_ids.shape[0], n_answers), np.float32)
+        valid = (label_ids >= 0) & (label_ids < n_answers)
+        rows = np.broadcast_to(
+            np.arange(label_ids.shape[0])[:, None], label_ids.shape
+        )
+        dense[rows[valid], label_ids[valid]] = scores[valid]
+        return dense
 
     def _visual_mask(self, batch):
         for key in (V.boxes_mask, V.visual_attention_mask):

@@ -6,3 +6,9 @@ from vltk_tpu.models.lxmert import (
     LxmertForPretraining,
     LxmertForVQA,
 )
+from vltk_tpu.models.visualbert import (
+    VisualBert,
+    VisualBertConfig,
+    VisualBertForClassification,
+)
+from vltk_tpu.models.pretrained import from_pretrained

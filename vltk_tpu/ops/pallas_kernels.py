@@ -1,0 +1,140 @@
+"""Pallas TPU kernels for the detection hot path.
+
+``roi_pool_pallas`` — exact torchvision RoIPool as a Mosaic kernel. The
+XLA formulations (ops/roi_pool.py) bottom out in HBM row-gathers, which
+profiling on v5e showed run at ~25 GB/s effective (gather-issue bound, not
+bandwidth bound). Here the whole per-image feature map block is pinned in
+VMEM (52x84x1024 bf16 = 8.9 MB < 16 MB) and each grid step (one RoI)
+computes its 14x14 bins with a two-pass separable masked max:
+
+  pass 1: for each of 14 row-bins, load the (MAXBH, W, C) row window with
+          one static-size dynamic slice, mask rows outside [hstart, hend),
+          reduce -> (W, C) row-max scratch;
+  pass 2: for each of 14 col-bins, slice (14, MAXBW, C) from the scratch,
+          mask cols outside [wstart, wend), reduce -> (14, C) output col.
+
+All VMEM traffic, no gathers; bin arithmetic (integer edges identical to
+torchvision, see ops/roi_pool.py:_roi_bin_edges) is precomputed in XLA and
+fed through SMEM. Grid = (B, P) with the image block reused across the P
+inner steps (grid iterates last axis fastest).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vltk_tpu.ops.roi_pool import _roi_bin_edges
+
+_NEG = -1e30
+
+
+def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, rowmax_ref,
+            *, out_size: int, max_bh: int, max_bw: int, h: int, w: int):
+    dtype = feat_ref.dtype
+    neg = jnp.asarray(_NEG, dtype)
+    pi = pl.program_id(1)  # RoI index (edges come in as full (1,P,os) blocks)
+
+    # pass 1: row bins -> rowmax scratch, laid out (W, out_size, C) so the
+    # pass-2 dynamic column slice is on dim 0 (Mosaic only allows dynamic
+    # starts outside the last two (sublane, lane) dims)
+    for i in range(out_size):
+        hs = hs_ref[0, pi, i]
+        he = he_ref[0, pi, i]
+        y0 = jnp.clip(hs, 0, h - max_bh)
+        rows = feat_ref[0, pl.ds(y0, max_bh), :, :]  # (max_bh, W, C)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (max_bh, 1, 1), 0) + y0
+        keep = (ridx >= hs) & (ridx < he)
+        rows = jnp.where(keep, rows, neg)
+        rowmax_ref[:, i, :] = jnp.max(rows, axis=0)  # (W, C)
+
+    # pass 2: col bins -> output (out_size, out_size, C)
+    for j in range(out_size):
+        ws = ws_ref[0, pi, j]
+        we = we_ref[0, pi, j]
+        x0 = jnp.clip(ws, 0, w - max_bw)
+        cols = rowmax_ref[pl.ds(x0, max_bw), :, :]  # (max_bw, out_size, C)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (max_bw, 1, 1), 0) + x0
+        keep = (cidx >= ws) & (cidx < we)
+        cols = jnp.where(keep, cols, neg)
+        m = jnp.max(cols, axis=0).astype(jnp.float32)  # (out_size, C)
+        # empty bins (hend<=hstart or wend<=wstart) -> 0 like torchvision;
+        # compare in f32 (bf16 compares are unsupported on some Mosaic
+        # targets)
+        out_ref[0, 0, :, j, :] = jnp.where(m <= _NEG / 2, 0.0, m).astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("output_size", "spatial_scale", "interpret")
+)
+def roi_pool_pallas(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    output_size: int = 14,
+    spatial_scale: float = 1.0 / 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched exact RoIPool.
+
+    Args:
+      features: (B, H, W, C) feature maps (bf16 recommended; a single
+        image block must fit VMEM: H*W*C*itemsize < ~10 MB).
+      boxes: (B, P, 4) xyxy input-image coordinates, clipped to the image.
+      interpret: run in interpreter mode (CPU tests).
+
+    Returns (B, P, output_size, output_size, C).
+    """
+    b, h, w, c = features.shape
+    p = boxes.shape[1]
+    os_ = output_size
+    max_bh = min(math.ceil((h + 1) / os_) + 1, h)
+    max_bw = min(math.ceil((w + 1) / os_) + 1, w)
+
+    hs, he, ws, we = jax.vmap(
+        lambda bx: _roi_bin_edges(bx, spatial_scale, h, w, os_)
+    )(boxes)  # each (B, P, out_size)
+
+    kernel = functools.partial(
+        _kernel, out_size=os_, max_bh=max_bh, max_bw=max_bw, h=h, w=w
+    )
+    # full (1, P, os) SMEM blocks (Mosaic requires the last two block dims
+    # to equal the array dims or align to (8, 128)); the kernel indexes the
+    # RoI row with program_id(1)
+    edge_spec = pl.BlockSpec(
+        (1, p, os_), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.SMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, p),
+        in_specs=[
+            edge_spec, edge_spec, edge_spec, edge_spec,
+            pl.BlockSpec(
+                (1, h, w, c), lambda bi, pi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, os_, os_, c), lambda bi, pi: (bi, pi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, p, os_, os_, c), features.dtype),
+        scratch_shapes=[pltpu.VMEM((w, os_, c), features.dtype)],
+        interpret=interpret,
+    )(hs, he, ws, we, features)
+
+
+def roi_pool_auto(features_b, boxes_b, output_size=14, spatial_scale=1.0 / 16):
+    """Batched RoIPool dispatcher: pallas kernel on TPU, XLA sparse-table
+    formulation elsewhere. features_b (B,H,W,C), boxes_b (B,P,4)."""
+    from vltk_tpu.ops.roi_pool import roi_pool
+
+    if jax.default_backend() == "tpu":
+        return roi_pool_pallas(features_b, boxes_b, output_size, spatial_scale)
+    return jax.vmap(
+        lambda f, bx: roi_pool(f, bx, output_size, spatial_scale)
+    )(features_b, boxes_b)
