@@ -70,6 +70,9 @@ class VisnLangDataset(Adapter):
         """Per-split JSON discovery -> forward -> {split}.arrow
         (reference: visnlangadatper.py:112-283)."""
         base = os.path.join(datadir, cls.name())
+        # forwards that declare a ``datadir`` kwarg get it automatically
+        # (DocVQA reads the vision side's OCR jsons for span grounding)
+        kwargs.setdefault("datadir", datadir)
         if splits is None:
             splits = sorted(cls.data_info.keys()) or sorted(V.SPLITALIASES)
         out: Dict[str, Adapter] = {}

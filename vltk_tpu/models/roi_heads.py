@@ -87,14 +87,14 @@ class Res5RoIHeads(nn.Module):
         (N, P, ...) fixed shape.
         """
         n, p = boxes.shape[0], boxes.shape[1]
-        pooled = jax.vmap(
-            lambda f, b: roi_pool(
-                f,
-                b,
-                output_size=self.pooler_resolution,
-                spatial_scale=1.0 / self.feature_stride,
-            )
-        )(features, boxes)  # (N, P, 14, 14, C)
+        from vltk_tpu.ops.pallas_kernels import roi_pool_auto
+
+        pooled = roi_pool_auto(
+            features,
+            boxes,
+            output_size=self.pooler_resolution,
+            spatial_scale=1.0 / self.feature_stride,
+        )  # (N, P, 14, 14, C) — pallas kernel on TPU, XLA tables elsewhere
         res = self.pooler_resolution
         pooled = pooled.reshape(n * p, res, res, features.shape[-1])
         x = Res5Head(

@@ -29,23 +29,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vltk_tpu.ops.roi_pool import _roi_bin_edges
-
 _NEG = -1e30
 
 
-def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, rowmax_ref,
+def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, rowmax_ref,
             *, out_size: int, max_bh: int, max_bw: int, h: int, w: int):
     dtype = feat_ref.dtype
     neg = jnp.asarray(_NEG, dtype)
-    pi = pl.program_id(1)  # RoI index (edges come in as full (1,P,os) blocks)
+    bi = pl.program_id(0)
+    pi = pl.program_id(1)
+    # scalar prefetch carries only 4 ints per RoI (corner + size), flat 1D
+    # (SMEM pads the last two dims to (8,128) tiles, and the per-bin edge
+    # arrays blew the 1 MB SMEM budget inside the full model) — bin edges
+    # are recomputed here with the same integer formulas as
+    # ops/roi_pool.py:_roi_bin_edges
+    ri = bi * pl.num_programs(1) + pi
+    y1 = y1_ref[ri]
+    x1 = x1_ref[ri]
+    rh = rh_ref[ri]
+    rw = rw_ref[ri]
 
     # pass 1: row bins -> rowmax scratch, laid out (W, out_size, C) so the
     # pass-2 dynamic column slice is on dim 0 (Mosaic only allows dynamic
     # starts outside the last two (sublane, lane) dims)
     for i in range(out_size):
-        hs = hs_ref[0, pi, i]
-        he = he_ref[0, pi, i]
+        hs = jnp.clip((i * rh) // out_size + y1, 0, h)
+        he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
         y0 = jnp.clip(hs, 0, h - max_bh)
         rows = feat_ref[0, pl.ds(y0, max_bh), :, :]  # (max_bh, W, C)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (max_bh, 1, 1), 0) + y0
@@ -55,8 +64,8 @@ def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, rowmax_ref,
 
     # pass 2: col bins -> output (out_size, out_size, C)
     for j in range(out_size):
-        ws = ws_ref[0, pi, j]
-        we = we_ref[0, pi, j]
+        ws = jnp.clip((j * rw) // out_size + x1, 0, w)
+        we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
         x0 = jnp.clip(ws, 0, w - max_bw)
         cols = rowmax_ref[pl.ds(x0, max_bw), :, :]  # (max_bw, out_size, C)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (max_bw, 1, 1), 0) + x0
@@ -95,37 +104,41 @@ def roi_pool_pallas(
     max_bh = min(math.ceil((h + 1) / os_) + 1, h)
     max_bw = min(math.ceil((w + 1) / os_) + 1, w)
 
-    hs, he, ws, we = jax.vmap(
-        lambda bx: _roi_bin_edges(bx, spatial_scale, h, w, os_)
-    )(boxes)  # each (B, P, out_size)
+    # integer roi corners/sizes, torchvision rounding (std::round half away
+    # from zero) — shared with _roi_bin_edges
+    scaled = boxes * spatial_scale
+    roi = jnp.where(
+        scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
+    ).astype(jnp.int32)
+    y1 = roi[..., 1].reshape(-1)
+    x1 = roi[..., 0].reshape(-1)
+    rh = jnp.maximum(roi[..., 3] - roi[..., 1] + 1, 1).reshape(-1)
+    rw = jnp.maximum(roi[..., 2] - roi[..., 0] + 1, 1).reshape(-1)
 
     kernel = functools.partial(
         _kernel, out_size=os_, max_bh=max_bh, max_bw=max_bw, h=h, w=w
     )
-    # full (1, P, os) SMEM blocks (Mosaic requires the last two block dims
-    # to equal the array dims or align to (8, 128)); the kernel indexes the
-    # RoI row with program_id(1)
-    edge_spec = pl.BlockSpec(
-        (1, p, os_), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.SMEM
-    )
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
         grid=(b, p),
         in_specs=[
-            edge_spec, edge_spec, edge_spec, edge_spec,
             pl.BlockSpec(
-                (1, h, w, c), lambda bi, pi: (bi, 0, 0, 0),
+                (1, h, w, c), lambda bi, pi, *_: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, os_, os_, c), lambda bi, pi: (bi, pi, 0, 0, 0),
+            (1, 1, os_, os_, c), lambda bi, pi, *_: (bi, pi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, p, os_, os_, c), features.dtype),
         scratch_shapes=[pltpu.VMEM((w, os_, c), features.dtype)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, os_, os_, c), features.dtype),
         interpret=interpret,
-    )(hs, he, ws, we, features)
+    )(y1, x1, rh, rw, features)
 
 
 def roi_pool_auto(features_b, boxes_b, output_size=14, spatial_scale=1.0 / 16):

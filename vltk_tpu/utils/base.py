@@ -181,3 +181,15 @@ def tensor_equality(a, b, rtol: float = 1e-4, atol: float = 1e-5) -> bool:
 def ensure_dir(path: str) -> str:
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def load_labels(path: str = None, kind: str = "objects"):
+    """VG class/attribute id -> name lists for FRCNN outputs
+    (reference: vltk/compat.py:84-94 load_labels over libdata
+    objects.txt/attributes.txt)."""
+    from vltk_tpu import vars as V
+
+    if path is None:
+        path = V.OBJECTSPATH if kind == "objects" else V.ATTRIBUTESPATH
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
