@@ -88,7 +88,7 @@ def build_step(smoke: bool, batch: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
 

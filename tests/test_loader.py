@@ -171,3 +171,42 @@ class TestEvalLoader:
         assert evald is not None and not evald.shuffle
         n = sum(b[V.input_ids].shape[0] for b in evald)
         assert n == 24  # no drop_last on eval
+
+
+class TestHostSharding:
+    def test_disjoint_cover(self):
+        """Two host shards of the same epoch partition the global order."""
+        from vltk_tpu.data.loader import _BaseLoader
+
+        class _Range:
+            def __len__(self):
+                return 20
+
+            def __getitem__(self, i):
+                return {"i": np.int32(i)}
+
+        loaders = [
+            _BaseLoader(_Range(), batch_size=2, shuffle=True, seed=7,
+                        drop_last=False, shard=(r, 2))
+            for r in range(2)
+        ]
+        seen = []
+        for ld in loaders:
+            ld.set_epoch(3)
+            for batch in ld:
+                seen.extend(int(v) for v in batch["i"])
+        assert sorted(seen) == list(range(20))
+
+    def test_same_seed_same_global_order(self):
+        from vltk_tpu.data.loader import _BaseLoader
+
+        class _Range:
+            def __len__(self):
+                return 12
+
+            def __getitem__(self, i):
+                return {"i": np.int32(i)}
+
+        a = _BaseLoader(_Range(), 3, True, seed=5, shard=(0, 3))
+        b = _BaseLoader(_Range(), 3, True, seed=5, shard=(0, 3))
+        assert [list(x["i"]) for x in a] == [list(x["i"]) for x in b]

@@ -59,9 +59,14 @@ def _crash_report(cfg: Config, exc: BaseException) -> None:
     try:
         os.makedirs(cfg.logdir, exist_ok=True)
         path = os.path.join(cfg.logdir, "crash.txt")
+        text = "".join(traceback.format_exception(exc))
         with open(path, "a") as f:
-            f.write("".join(traceback.format_exception(exc)))
+            f.write(text)
         print(f"crash report written to {path}", file=sys.stderr)
+        if cfg.email:
+            from vltk_tpu.utils.base import send_email
+
+            send_email(cfg.email, "vltk crash", text)
     except OSError:
         pass
 

@@ -95,6 +95,7 @@ class _BaseLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch_depth: int = 2,
+        shard: Optional[tuple] = None,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -103,6 +104,11 @@ class _BaseLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch_depth = prefetch_depth
+        # multi-host input pipeline: (process_index, process_count) strides
+        # the (seed-synchronized) global order so each host reads a disjoint
+        # slice — per-host feeding for pmap/pjit (SURVEY §5.8; the reference
+        # had a single-process torch DataLoader only)
+        self.shard = shard
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -120,6 +126,9 @@ class _BaseLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.shard is not None:
+            rank, world = self.shard
+            order = order[rank::world]
         return order
 
     def _batches(self) -> Iterator[List[int]]:

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Dict, List, Type
 
 from vltk_tpu.experiments.data import DataExperiment
+from vltk_tpu.experiments.lxmert_pretrain import LxmertPretrainExperiment
 from vltk_tpu.experiments.lxmert_vqa import LxmertVQAExperiment
 
 
@@ -33,4 +34,4 @@ class _ExperimentRegistry:
 
 
 Experiments = _ExperimentRegistry()
-Experiments.add(DataExperiment, LxmertVQAExperiment)
+Experiments.add(DataExperiment, LxmertVQAExperiment, LxmertPretrainExperiment)

@@ -37,13 +37,13 @@ def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, rowmax_ref,
     dtype = feat_ref.dtype
     neg = jnp.asarray(_NEG, dtype)
     bi = pl.program_id(0)
-    pi = pl.program_id(1)
+    pi = pl.program_id(2)  # grid is (batch, channel-blocks, rois)
     # scalar prefetch carries only 4 ints per RoI (corner + size), flat 1D
     # (SMEM pads the last two dims to (8,128) tiles, and the per-bin edge
     # arrays blew the 1 MB SMEM budget inside the full model) — bin edges
     # are recomputed here with the same integer formulas as
     # ops/roi_pool.py:_roi_bin_edges
-    ri = bi * pl.num_programs(1) + pi
+    ri = bi * pl.num_programs(2) + pi
     y1 = y1_ref[ri]
     x1 = x1_ref[ri]
     rh = rh_ref[ri]
@@ -118,20 +118,28 @@ def roi_pool_pallas(
     kernel = functools.partial(
         _kernel, out_size=os_, max_bh=max_bh, max_bw=max_bw, h=h, w=w
     )
+    # block the channel dim so the (1, H, W, Cb) image block stays well
+    # under VMEM even double-buffered (Mosaic pipelines input blocks);
+    # channel blocks sit between batch and RoIs in the grid so the image
+    # block is reused across all P inner steps
+    cb = c
+    while cb > 128 and (h * w * cb * features.dtype.itemsize) > 4 * 2**20:
+        cb //= 2
+    n_cb = -(-c // cb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, p),
+        grid=(b, n_cb, p),
         in_specs=[
             pl.BlockSpec(
-                (1, h, w, c), lambda bi, pi, *_: (bi, 0, 0, 0),
+                (1, h, w, cb), lambda bi, ci, pi, *_: (bi, 0, 0, ci),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, os_, os_, c), lambda bi, pi, *_: (bi, pi, 0, 0, 0),
+            (1, 1, os_, os_, cb), lambda bi, ci, pi, *_: (bi, pi, 0, 0, ci),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((w, os_, c), features.dtype)],
+        scratch_shapes=[pltpu.VMEM((w, os_, cb), features.dtype)],
     )
     return pl.pallas_call(
         kernel,

@@ -193,3 +193,23 @@ def load_labels(path: str = None, kind: str = "objects"):
         path = V.OBJECTSPATH if kind == "objects" else V.ATTRIBUTESPATH
     with open(path) as f:
         return [line.strip() for line in f if line.strip()]
+
+
+def send_email(address: str, subject: str, body: str, host: str = "localhost") -> bool:
+    """Crash/status notification (reference: vltk/utils/base.py:152-164,
+    wired to the CLI's atexit crash handler future/cli.py:18-41). Returns
+    False instead of raising when no mail transport is reachable."""
+    import smtplib
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"] = address
+    msg["To"] = address
+    msg["Subject"] = subject
+    msg.set_content(body)
+    try:
+        with smtplib.SMTP(host, timeout=5) as server:
+            server.send_message(msg)
+        return True
+    except OSError:
+        return False
