@@ -59,3 +59,33 @@ def test_crash_report_written(tmp_path, capsys):
     with pytest.raises(KeyError):
         main(["simple", "no_such_experiment", f"--logdir={logdir}"])
     assert os.path.exists(os.path.join(logdir, "crash.txt"))
+
+
+def test_cli_data_command_end_to_end(tmp_path, capsys):
+    """`vltk data` over a synthetic corpus builds loaders and prints shapes."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.demo import make_raw_corpus
+
+    datadir = str(tmp_path / "raw")
+    make_raw_corpus(datadir)
+    from vltk_tpu.adapters import Adapters
+
+    Adapters.get("coco2014").extract(datadir)
+    Adapters.get("vqa").extract(datadir)
+
+    rc = main(
+        [
+            "data",
+            "vqa:train",
+            f"--data.datadir={datadir}",
+            "--data.train_batch_size=4",
+            "--data.num_workers=0",
+            "--data.rand_feats=(36,64)",
+            f"--logdir={tmp_path / 'logs'}",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "input_ids" in out and "features" in out

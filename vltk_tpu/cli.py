@@ -73,7 +73,9 @@ def _crash_report(cfg: Config, exc: BaseException) -> None:
 
 def cmd_data(positional: List[str], cfg: Config) -> int:
     if positional:
-        cfg.data.update({"train_datasets": [positional]})
+        # "vqa:train" -> ("vqa", "train"); bare "vqa" -> all splits
+        specs = [p.split(":", 1) if ":" in p else [p] for p in positional]
+        cfg.data.update({"train_datasets": specs})
     from vltk_tpu.experiments import Experiments
 
     Experiments.get("data")(cfg)()
@@ -110,6 +112,12 @@ def cmd_simple(positional: List[str], cfg: Config) -> int:
 
 
 def main(argv: List[str] = None) -> int:
+    try:  # die quietly when piped into `head`
+        import signal
+
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (ImportError, ValueError, AttributeError):
+        pass
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
