@@ -114,17 +114,21 @@ def main():
     batch = 2 if args.smoke else args.batch
     step, params, raw, raw_sizes = build_step(args.smoke, batch)
 
-    def run_once():
-        out = step(params, raw, raw_sizes)
+    def fetch(out):
         # force completion with a host transfer — block_until_ready alone
         # under-reports on the tunneled TPU platform
         return float(jnp.sum(out[0]))
 
-    run_once()  # warmup / compile
+    fetch(step(params, raw, raw_sizes))  # warmup / compile
 
+    # dispatch all steps, fetch once at the end: device execution is
+    # in-order, so the final transfer bounds all steps while paying the
+    # host<->device roundtrip only once
     t0 = time.perf_counter()
+    out = None
     for _ in range(args.steps):
-        run_once()
+        out = step(params, raw, raw_sizes)
+    fetch(out)
     dt = time.perf_counter() - t0
 
     n_chips = max(jax.local_device_count(), 1)

@@ -270,3 +270,45 @@ class TestRoIPoolPallas:
         boxes = np.array([[[0, 0, 100, 100], [16, 16, 200, 200]]], np.float32)
         out = roi_pool_auto(jnp.asarray(feat), jnp.asarray(boxes), 7, 1 / 16)
         assert out.shape == (1, 2, 7, 7, 4)
+
+
+class TestMatrixNMS:
+    def test_matrix_matches_scan(self, rng):
+        from vltk_tpu.ops.nms import nms_fixed, nms_fixed_matrix
+
+        for _ in range(8):
+            n = 120
+            b = rng.uniform(0, 300, (n, 4)).astype(np.float32)
+            b[:, 2:] = b[:, :2] + rng.uniform(5, 150, (n, 2))
+            s = rng.normal(size=n).astype(np.float32)
+            valid = rng.random(n) > 0.15
+            k1, v1 = nms_fixed(jnp.asarray(b), jnp.asarray(s), 0.5, 40,
+                               jnp.asarray(valid))
+            k2, v2 = nms_fixed_matrix(jnp.asarray(b), jnp.asarray(s), 0.5, 40,
+                                      jnp.asarray(valid))
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(
+                np.asarray(k1)[np.asarray(v1)], np.asarray(k2)[np.asarray(v2)]
+            )
+
+    def test_topk_membership_matches_lax(self, rng):
+        import jax
+
+        from vltk_tpu.ops.nms import topk_mask_compact
+
+        for n, k in ((5000, 600), (100, 100), (50, 64)):
+            s = rng.normal(size=n).astype(np.float32)
+            idx, valid = topk_mask_compact(jnp.asarray(s), k)
+            got = set(np.asarray(idx)[np.asarray(valid)].tolist())
+            want = set(
+                np.asarray(jax.lax.top_k(jnp.asarray(s), min(k, n))[1]).tolist()
+            )
+            assert got == want
+
+    def test_kth_largest_exact(self, rng):
+        from vltk_tpu.ops.nms import kth_largest
+
+        s = rng.normal(size=(3, 1000)).astype(np.float32)
+        got = np.asarray(kth_largest(jnp.asarray(s), 100))
+        want = np.sort(s, axis=-1)[:, -100]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
