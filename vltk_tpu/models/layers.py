@@ -103,3 +103,63 @@ def torch_maxpool(x: jnp.ndarray, window: int = 3, stride: int = 2, pad: int = 1
         strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
     )
+
+
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv with an exact space-to-depth fast path.
+
+    A 3-channel conv occupies 3/128 MXU lanes — in-jit profiling on v5e
+    put the plain stem at 21.5 ms of a 37 ms backbone (batch 8,
+    832x1344). The classic TPU rewrite (MLPerf ResNet "conv0
+    space-to-depth"): pad the 7x7 kernel to 8x8 (one zero row/col at the
+    top/left), then both kernel and input reshape by 2x2 space-to-depth,
+    turning the conv into a 4x4 stride-1 conv over 4C channels —
+    identical arithmetic (out[y,x] = sum w7[i,j] x[2y+i-3, 2x+j-3] with
+    i = 2a+p-1), 4x the lane utilization.
+
+    The parameter keeps the canonical (7, 7, C, F) "kernel" shape so the
+    torch checkpoint converter is untouched; the transform happens at
+    apply time (XLA folds it). Falls back to the plain conv for odd
+    spatial sizes.
+    """
+
+    features: int = 64
+    use_s2d: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, c, self.features),
+        )
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        k = kernel.astype(dt)
+        n, h, w, _ = x.shape
+        if not self.use_s2d or h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        # kernel: zero row/col in front -> (8,8) -> (4,2,4,2,C,F) -> (4,4,4C,F)
+        w8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = (
+            w8.reshape(4, 2, 4, 2, c, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, self.features)
+        )
+        # input: (N,H,W,C) -> (N,H/2,W/2,4C), channel order (p, q, c)
+        xs = (
+            x.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
+        return jax.lax.conv_general_dilated(
+            xs, k4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )

@@ -13,6 +13,15 @@ computes its 14x14 bins with a two-pass separable masked max:
   pass 2: for each of 14 col-bins, slice (14, MAXBW, C) from the scratch,
           mask cols outside [wstart, wend), reduce -> (14, C) output col.
 
+Measured 41 ms for (8, 300) RoIs over (52, 84, 1024) bf16 on v5e — 2x the
+XLA sparse-table path, 16x the original gather loop. Two further variants
+were built and benchmarked at identical speed (in-jit timing), so the
+kernel is at a structural floor, likely the strided rowmax-scratch
+traffic: (a) in-kernel sliding-window-max tables cutting pass-1 reads
+from 5 masked rows to 2 table rows per bin; (b) grouping 10 RoIs per grid
+step to amortize step overhead. Both were reverted for simplicity (git
+history: "in-kernel tables" experiments).
+
 All VMEM traffic, no gathers; bin arithmetic (integer edges identical to
 torchvision, see ops/roi_pool.py:_roi_bin_edges) is precomputed in XLA and
 fed through SMEM. Grid = (B, P) with the image block reused across the P
