@@ -255,3 +255,39 @@ class TestConverterStructure:
             assert expect[key] == leaf.shape, (
                 f"{key}: converted {leaf.shape} != model {expect[key]}"
             )
+
+
+class TestStemSpaceToDepth:
+    def test_s2d_exact_vs_plain(self, rng):
+        """The space-to-depth stem conv is arithmetically identical."""
+        from vltk_tpu.models.layers import StemConv
+
+        x = jnp.asarray(rng.standard_normal((2, 40, 56, 3)).astype(np.float32))
+        fast = StemConv(features=16, use_s2d=True)
+        slow = StemConv(features=16, use_s2d=False)
+        params = fast.init(jax.random.PRNGKey(0), x)
+        a = fast.apply(params, x)
+        b = slow.apply(params, x)
+        assert a.shape == b.shape == (2, 20, 28, 16)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_odd_spatial_falls_back(self, rng):
+        from vltk_tpu.models.layers import StemConv
+
+        x = jnp.asarray(rng.standard_normal((1, 33, 47, 3)).astype(np.float32))
+        fast = StemConv(features=8, use_s2d=True)
+        params = fast.init(jax.random.PRNGKey(0), x)
+        out = fast.apply(params, x)  # plain path, no crash
+        assert out.shape[1:3] == (17, 24)
+
+    def test_backbone_param_paths_unchanged(self, rng):
+        """stem/conv1/conv/kernel keeps the canonical (7,7,3,64) shape the
+        torch checkpoint converter targets."""
+        from vltk_tpu.models.backbone import ResNetC4
+
+        bb = ResNetC4(depth=50, stem_out_channels=8, res2_out_channels=16,
+                      width_per_group=4)
+        x = jnp.zeros((1, 32, 32, 3))
+        params = bb.init(jax.random.PRNGKey(0), x)["params"]
+        assert params["stem"]["conv1"]["conv"]["kernel"].shape == (7, 7, 3, 8)
+        assert "scale" in params["stem"]["conv1"]["norm"]

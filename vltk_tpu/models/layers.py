@@ -163,3 +163,22 @@ class StemConv(nn.Module):
             xs, k4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+
+
+class StemConvNorm(nn.Module):
+    """StemConv + frozen norm + relu, with the same param paths as the
+    ConvNorm it replaces (conv/kernel, norm/*) so checkpoint conversion is
+    unchanged."""
+
+    features: int = 64
+    use_s2d: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = StemConv(
+            features=self.features, use_s2d=self.use_s2d, dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = FrozenBatchNorm(self.features, name="norm")(x)
+        return nn.relu(x)
