@@ -1,5 +1,12 @@
 from vltk_tpu.models.frcnn import FRCNN, FRCNNConfig
-from vltk_tpu.models.convert import torch_frcnn_to_jax, torch_lxmert_to_jax
+from vltk_tpu.models.convert import (
+    jax_lxmert_to_torch,
+    jax_vit_to_torch,
+    torch_frcnn_to_jax,
+    torch_lxmert_to_jax,
+    torch_vit_to_jax,
+)
+from vltk_tpu.models.vit import ViT, ViTConfig
 from vltk_tpu.models.lxmert import (
     Lxmert,
     LxmertConfig,

@@ -259,3 +259,108 @@ def torch_frcnn_to_jax(state_dict: Mapping[str, Any]) -> Dict:
         else:
             _set(params, flax_prefix + tuple(mods) + (leaf,), value)
     return params
+
+
+def _vit_pairs(n_layers: int):
+    """(kind, flax_path, torch_prefix) for HF ViTModel <-> models/vit.py."""
+    pairs = [
+        ("linear", "pooler", "pooler.dense"),
+        ("ln", "ln", "layernorm"),
+    ]
+    for i in range(n_layers):
+        base = f"encoder.layer.{i}"
+        att = f"layer_{i}_att"
+        mlp = f"layer_{i}_mlp"
+        pairs += [
+            ("ln", f"{att}/ln_before", f"{base}.layernorm_before"),
+            ("linear", f"{att}/query", f"{base}.attention.attention.query"),
+            ("linear", f"{att}/key", f"{base}.attention.attention.key"),
+            ("linear", f"{att}/value", f"{base}.attention.attention.value"),
+            ("linear", f"{att}/att_out", f"{base}.attention.output.dense"),
+            ("ln", f"{mlp}/ln_after", f"{base}.layernorm_after"),
+            ("linear", f"{mlp}/intermediate", f"{base}.intermediate.dense"),
+            ("linear", f"{mlp}/mlp_out", f"{base}.output.dense"),
+        ]
+    return pairs
+
+
+def torch_vit_to_jax(state_dict: Mapping[str, Any]) -> Dict:
+    """HF ``transformers`` ViTModel state_dict -> flax params for
+    :class:`vltk_tpu.models.vit.ViT` (the inverse completes the
+    reference's one-way legacy converter, vltk/legacy/vit_ckp_convert.py)."""
+    import re
+
+    params: Dict = {}
+
+    def put(path, value):
+        _set(params, tuple(path.split("/")), value)
+
+    put("cls_token", _to_numpy(state_dict["embeddings.cls_token"]))
+    put(
+        "position_embeddings",
+        _to_numpy(state_dict["embeddings.position_embeddings"]),
+    )
+    proj = _to_numpy(state_dict["embeddings.patch_embeddings.projection.weight"])
+    put("patch_embed/kernel", np.transpose(proj, (2, 3, 1, 0)))  # OIHW->HWIO
+    put(
+        "patch_embed/bias",
+        _to_numpy(state_dict["embeddings.patch_embeddings.projection.bias"]),
+    )
+
+    n_layers = 1 + max(
+        (
+            int(m.group(1))
+            for k in state_dict
+            if (m := re.search(r"encoder\.layer\.(\d+)\.", k))
+        ),
+        default=-1,
+    )
+    for kind, flax_path, torch_prefix in _vit_pairs(n_layers):
+        w = state_dict.get(torch_prefix + ".weight")
+        if w is None:
+            continue
+        w = _to_numpy(w)
+        b = _to_numpy(state_dict[torch_prefix + ".bias"])
+        if kind == "ln":
+            put(flax_path + "/scale", w)
+            put(flax_path + "/bias", b)
+        else:
+            put(flax_path + "/kernel", w.T)
+            put(flax_path + "/bias", b)
+    return params
+
+
+def jax_vit_to_torch(params: Mapping[str, Any]) -> Dict:
+    """flax ViT params -> HF-named numpy state_dict (JAX->torch, the
+    direction the reference's vit_ckp_convert covered)."""
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params, sep="/")
+    out: Dict[str, np.ndarray] = {
+        "embeddings.cls_token": np.asarray(flat["cls_token"]),
+        "embeddings.position_embeddings": np.asarray(flat["position_embeddings"]),
+        "embeddings.patch_embeddings.projection.weight": np.transpose(
+            np.asarray(flat["patch_embed/kernel"]), (3, 2, 0, 1)
+        ),
+        "embeddings.patch_embeddings.projection.bias": np.asarray(
+            flat["patch_embed/bias"]
+        ),
+    }
+    n_layers = 1 + max(
+        (
+            int(k.split("_")[1])
+            for k in flat
+            if k.startswith("layer_") and k.endswith("att/ln_before/scale")
+        ),
+        default=-1,
+    )
+    for kind, flax_path, torch_prefix in _vit_pairs(n_layers):
+        if kind == "ln":
+            out[torch_prefix + ".weight"] = np.asarray(flat[flax_path + "/scale"])
+            out[torch_prefix + ".bias"] = np.asarray(flat[flax_path + "/bias"])
+        else:
+            out[torch_prefix + ".weight"] = np.asarray(
+                flat[flax_path + "/kernel"]
+            ).T
+            out[torch_prefix + ".bias"] = np.asarray(flat[flax_path + "/bias"])
+    return out
