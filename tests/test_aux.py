@@ -236,3 +236,23 @@ def test_handle_tpu_oom_retries():
 def test_device_memory_stats_shape():
     stats = device_memory_stats()
     assert isinstance(stats, dict)  # may be empty on CPU backend
+
+
+def test_draw_boxes_and_save(tmp_path, rng):
+    from vltk_tpu.utils.viz import draw_boxes, save_detections
+
+    img = (rng.uniform(0, 255, (60, 80, 3))).astype(np.uint8)
+    boxes = np.array([[5, 5, 30, 40], [40, 10, 70, 50]], np.float32)
+    out = draw_boxes(img, boxes, labels=["cat", "dog"], scores=[0.9, 0.7])
+    assert out.size == (80, 60)
+    # boxes actually drawn: some pixels changed
+    assert (np.asarray(out) != img).any()
+
+    dets = {
+        "boxes": boxes,
+        "obj_ids": np.array([0, 1]),
+        "obj_probs": np.array([0.9, 0.7]),
+        "mask": np.array([True, False]),
+    }
+    path = save_detections(str(tmp_path / "d.png"), img, dets, ["cat", "dog"])
+    assert os.path.exists(path)
