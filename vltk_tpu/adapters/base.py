@@ -22,7 +22,6 @@ device batches without per-batch padding.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import tarfile
@@ -32,14 +31,13 @@ import zipfile
 from collections import Counter
 from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence, Union
 
-import numpy as np
 import pyarrow as pa
 from datasets import Features as HFFeatures
 from datasets.arrow_writer import ArrowWriter
 
 from vltk_tpu import vars as V
 from vltk_tpu.inspection import collect_args_to_func
-from vltk_tpu.utils.base import get_metadata, set_metadata, try_load
+from vltk_tpu.utils.base import get_metadata, set_metadata
 
 _ID_KEYS = {V.imgid, V.qid, V.filepath, V.split, V.img, V.text}
 WRITE_BATCH_SIZE = 1024

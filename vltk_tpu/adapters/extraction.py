@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Any, Dict, Iterable, Iterator, List, Mapping, Optional, Sequence
+from typing import Any, Dict,  Iterator, List, Mapping, Optional, Sequence
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
 
 from vltk_tpu import vars as V
 from vltk_tpu.adapters.base import Adapter

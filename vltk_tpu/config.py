@@ -20,9 +20,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import os
 from dataclasses import dataclass, field, fields
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict,  Optional, Tuple
 
 
 def _coerce(value: Any) -> Any:

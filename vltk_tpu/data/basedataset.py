@@ -11,7 +11,7 @@ Pure host-side bookkeeping — nothing here touches the device.
 from __future__ import annotations
 
 import bisect
-from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict,  List,  Sequence, Tuple
 
 
 class SplitRanges:

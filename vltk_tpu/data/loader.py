@@ -26,8 +26,6 @@ from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
-from vltk_tpu import vars as V
-
 
 def collate(entries: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack fixed-shape entries; string/object keys become lists

@@ -13,8 +13,7 @@ never see ragged token streams.
 
 from __future__ import annotations
 
-import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import  Dict, List, Optional, Sequence
 
 import numpy as np
 

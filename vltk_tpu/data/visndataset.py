@@ -14,7 +14,7 @@ capacities with masks and merged under VLOVERLAP renames.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence
+from typing import Any, Callable, Dict,  Mapping, Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ shapes. Two iteration orders survive from the reference:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence
+from typing import Any, Callable, Dict, List,  Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ path-rename (vltk_tpu/models/convert.py).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import  Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ compiler fuses into the neighbouring conv.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional,  Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

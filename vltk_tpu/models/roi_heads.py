@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from vltk_tpu.models.backbone import Res5Head
-from vltk_tpu.ops.roi_pool import roi_pool
 
 
 class FastRCNNOutputLayers(nn.Module):

@@ -21,7 +21,7 @@ here: greedy NMS already emits in descending score order.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any,  Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from vltk_tpu.models.lxmert import (
     Embeddings,
     LxmertConfig,
-    MultiHeadAttention,
     Pooler,
     TransformerLayer,
     _dense_init,

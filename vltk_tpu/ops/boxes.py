@@ -8,7 +8,7 @@ designed for vmap/jit: no data-dependent shapes, everything masked.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 

@@ -24,11 +24,9 @@ models; torchvision-compatible.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 NEG_INF = -1e30
 

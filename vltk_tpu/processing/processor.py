@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence
 
-import numpy as np
 
 from vltk_tpu.inspection import collect_args_to_func
 

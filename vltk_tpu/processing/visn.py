@@ -10,7 +10,7 @@ no hidden config object. All outputs are fixed-shape arrays padded to
 from __future__ import annotations
 
 from itertools import chain
-from typing import Any, Dict, List
+from typing import   List
 
 import numpy as np
 

@@ -25,7 +25,7 @@ import abc
 import json
 import os
 import time
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Iterable
 
 import jax
 import numpy as np
@@ -36,7 +36,7 @@ from vltk_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from vltk_tpu.train.optim import make_optimizer
-from vltk_tpu.train.steps import TrainState, create_state, make_eval_step, make_train_step
+from vltk_tpu.train.steps import create_state, make_eval_step, make_train_step
 
 
 class SimpleExperiment(abc.ABC):

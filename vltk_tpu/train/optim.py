@@ -9,7 +9,6 @@ no-decay for biases and LayerNorm params.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import optax

@@ -11,7 +11,7 @@ DP gradient psum / TP collectives.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 from flax.training import train_state
