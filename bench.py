@@ -15,7 +15,9 @@ normalize + pad), post_nms_topk=300 proposals, 36 detections out —
 landscape COCO-shaped inputs on a (832, 1344) canvas.
 
   --smoke   tiny model on CPU (CI / driver sanity)
-  --batch   device batch size (default 8)
+  --fast    non-parity throughput preset (100 proposals; see
+            FRCNNConfig.fast_extraction)
+  --batch   device batch size (default 16)
   --steps   timed steps (default 5)
 """
 
@@ -26,7 +28,7 @@ import sys
 import time
 
 
-def build_step(smoke: bool, batch: int):
+def build_step(smoke: bool, batch: int, fast: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,6 +55,11 @@ def build_step(smoke: bool, batch: int):
         raw_canvas, canvas = (64, 64), (64, 64)
         short, maximum = 48.0, 64.0
         raw_hw = (48, 64)
+    elif fast:
+        cfg = FRCNNConfig.fast_extraction()
+        raw_canvas, canvas = (512, 672), (832, 1344)
+        short, maximum = 800.0, 1333.0
+        raw_hw = (480, 640)
     else:
         cfg = FRCNNConfig(post_nms_topk=300, dtype="bfloat16")
         raw_canvas, canvas = (512, 672), (832, 1344)
@@ -88,6 +95,7 @@ def build_step(smoke: bool, batch: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--fast", action="store_true")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
@@ -112,7 +120,7 @@ def main():
     import jax.numpy as jnp
 
     batch = 2 if args.smoke else args.batch
-    step, params, raw, raw_sizes = build_step(args.smoke, batch)
+    step, params, raw, raw_sizes = build_step(args.smoke, batch, args.fast)
 
     def fetch(out):
         # force completion with a host transfer — block_until_ready alone
@@ -137,7 +145,8 @@ def main():
         json.dumps(
             {
                 "metric": "frcnn_extraction_throughput"
-                + ("_smoke" if args.smoke else ""),
+                + ("_smoke" if args.smoke else "")
+                + ("_fast" if args.fast else ""),
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / 2000.0, 4),

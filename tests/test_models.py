@@ -291,3 +291,15 @@ class TestStemSpaceToDepth:
         params = bb.init(jax.random.PRNGKey(0), x)["params"]
         assert params["stem"]["conv1"]["conv"]["kernel"].shape == (7, 7, 3, 8)
         assert "scale" in params["stem"]["conv1"]["norm"]
+
+
+def test_fast_extraction_preset():
+    from vltk_tpu.models import FRCNNConfig
+
+    cfg = FRCNNConfig.fast_extraction()
+    assert cfg.post_nms_topk == 100
+    assert cfg.pre_nms_topk == 2000
+    assert cfg.dtype == "bfloat16"
+    assert cfg.max_detections == 36  # output contract unchanged
+    # overrides win
+    assert FRCNNConfig.fast_extraction(post_nms_topk=64).post_nms_topk == 64

@@ -81,6 +81,19 @@ class FRCNNConfig:
     # compute dtype for convs/matmuls (None -> float32); params stay f32
     dtype: Optional[str] = None
 
+    @classmethod
+    def fast_extraction(cls, **overrides) -> "FRCNNConfig":
+        """Throughput preset (NOT detection-parity with the reference):
+        100 proposals instead of 300 cut the res5 stage — the FLOPs-
+        dominant stage, ~87% MXU-bound — by 3x; bf16 compute. Detection
+        quality for 36-box extraction is typically unaffected (the 36
+        survivors come from the top of the score distribution), but boxes
+        can differ from the torch reference, so the default config stays
+        parity-exact."""
+        kwargs = dict(pre_nms_topk=2000, post_nms_topk=100, dtype="bfloat16")
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
     @property
     def num_anchors(self) -> int:
         return len(self.anchor_sizes) * len(self.aspect_ratios)
