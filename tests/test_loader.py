@@ -210,3 +210,71 @@ class TestHostSharding:
         a = _BaseLoader(_Range(), 3, True, seed=5, shard=(0, 3))
         b = _BaseLoader(_Range(), 3, True, seed=5, shard=(0, 3))
         assert [list(x["i"]) for x in a] == [list(x["i"]) for x in b]
+
+
+class TestExtractorIntegration:
+    def test_extract_then_build_loader_with_features(self, tmp_path):
+        """BASELINE config 3/4 shape: FRCNN extraction arrow feeds the VL
+        loader as precomputed features (reference: builder.py:288-314)."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from examples.demo import make_raw_corpus
+
+        import vltk_tpu as vltk
+        from vltk_tpu.adapters import Adapters
+
+        datadir = str(tmp_path)
+        make_raw_corpus(datadir, n_images=4, n_questions=48)
+        Adapters.get("coco2014").extract(datadir)
+        Adapters.get("vqa").extract(datadir)
+
+        # tiny random-weight extraction over the synthetic images
+        frcnn = Adapters.get("frcnn")
+
+        class TinyFRCNN(frcnn):
+            _name = "frcnn"
+            model_batch_size = 2
+            raw_canvas = (64, 64)
+            resized_canvas = (64, 64)
+            short = 48.0
+            maximum = 64.0
+
+        TinyFRCNN.extract(
+            datadir,
+            dataset_name="coco2014",
+            depth=50,
+            stem_out_channels=8,
+            res2_out_channels=16,
+            width_per_group=4,
+            rpn_hidden_channels=16,
+            anchor_sizes=(16, 32),
+            pre_nms_topk=32,
+            post_nms_topk=8,
+            num_classes=7,
+            num_attrs=5,
+            pooler_resolution=7,
+            min_detections=4,
+            max_detections=4,
+            max_detections_schema=4,
+            visual_dim=128,
+        )
+
+        config = vltk.Config()
+        config.data.update(
+            {
+                "train_datasets": [["vqa", "train"]],
+                "extractor": "frcnn",
+                "datadir": datadir,
+                "train_batch_size": 4,
+                "num_workers": 0,
+                "max_detections": 4,
+                "visual_dim": 128,
+            }
+        )
+        config.data.lang.update({"max_seq_length": 12})
+        train_loader, _ = vltk.build(config)
+        batch = next(iter(train_loader))
+        assert batch["features"].shape == (4, 4, 128)
+        assert batch["boxes"].shape == (4, 4, 4)
+        assert np.isfinite(batch["features"]).all()
