@@ -258,3 +258,33 @@ def test_vqa_experiment_on_mesh(tmp_path, rng):
         json.loads(l) for l in open(os.path.join(exp.logdir, "steps_log.json"))
     ]
     assert records[-1]["loss"] < records[0]["loss"]
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    """Sharded save/restore preserves values and shardings."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vltk_tpu.train.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    sharding = NamedSharding(mesh, P(None, "model"))
+    w = jax.device_put(
+        jnp.arange(32, dtype=jnp.float32).reshape(4, 8), sharding
+    )
+    tree = {"layer": {"kernel": w, "bias": jnp.ones(8)}}
+    save_checkpoint_sharded(str(tmp_path), "m", 3, tree)
+
+    template = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        tree,
+    )
+    restored = load_checkpoint_sharded(str(tmp_path), "m", template)
+    np.testing.assert_array_equal(
+        np.asarray(restored["layer"]["kernel"]), np.asarray(w)
+    )
+    assert restored["layer"]["kernel"].sharding.spec == P(None, "model")

@@ -88,3 +88,42 @@ def load_checkpoint(
         with open(info_path) as f:
             info.update(json.load(f))
     return params, opt_state, info
+
+
+# ---------------------------------------------------------------------------
+# orbax backend — sharded / multi-host checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_sharded(ckpt_dir: str, name: str, epoch: int, state_tree) -> str:
+    """Save a (possibly sharded) pytree with orbax — each host writes only
+    its shards, no device_get gather (use for mesh-sharded TrainStates;
+    the msgpack path above gathers to host and is fine single-host)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"{name}_epoch_{epoch}_orbax"))
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(path, state_tree, force=True)
+    checkpointer.wait_until_finished()
+    with open(os.path.join(ckpt_dir, "info.json"), "w") as f:
+        json.dump({"epoch": epoch, "name": name, "format": "orbax"}, f)
+    return path
+
+
+def load_checkpoint_sharded(ckpt_dir: str, name: str, template_tree,
+                            epoch: Optional[int] = None):
+    """Restore an orbax checkpoint; ``template_tree`` of jax.ShapeDtypeStruct
+    or arrays (with shardings) drives placement."""
+    import orbax.checkpoint as ocp
+
+    if epoch is None:
+        pat = re.compile(re.escape(name) + r"_epoch_(\d+)_orbax$")
+        epochs = [
+            int(m.group(1)) for fn in os.listdir(ckpt_dir) if (m := pat.match(fn))
+        ]
+        if not epochs:
+            raise FileNotFoundError(f"no orbax checkpoint for {name!r} in {ckpt_dir}")
+        epoch = max(epochs)
+    path = os.path.abspath(os.path.join(ckpt_dir, f"{name}_epoch_{epoch}_orbax"))
+    checkpointer = ocp.StandardCheckpointer()
+    return checkpointer.restore(path, template_tree)
