@@ -288,3 +288,26 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
         np.asarray(restored["layer"]["kernel"]), np.asarray(w)
     )
     assert restored["layer"]["kernel"].sharding.spec == P(None, "model")
+
+
+def test_vqa_experiment_auto_sizes_answer_head(tmp_path, rng):
+    """num_answers follows the loaders' answer vocabulary."""
+    from vltk_tpu.experiments import Experiments
+
+    batches = _vqa_batches(rng, n=1)
+
+    class Loader(_ListLoader):
+        metadata_ids = {"answers": {f"a{i}": i for i in range(9)}}
+
+    cfg = _mk_config(tmp_path, epochs=1, learning_rate=0.01)
+    cfg.test_run = True
+    cfg.data.update({"max_detections": 3, "visual_dim": 8})
+    cfg.data.lang.update({"max_seq_length": 6})
+
+    class Tiny(Experiments.get("lxmert_vqa")):
+        model_config = TINY  # num_answers=4 but vocab has 9
+
+    exp = Tiny(cfg, loaders=(Loader(batches), None))
+    assert exp.model_config.num_answers == 9
+    params = jax.device_get(exp.state.params)
+    assert params["answer_head"]["logit"]["kernel"].shape[-1] == 9

@@ -29,6 +29,15 @@ class LxmertVQAExperiment(SimpleExperiment):
 
     def build_model(self):
         cfg = self.model_config
+        # auto-size the answer head to the loaders' answer vocabulary (the
+        # builder's global string->id table; reference resized via
+        # resize_num_qa_labels, vltk/abc/simple.py:135-236)
+        answers = getattr(self.train_loader, "metadata_ids", {}).get("answers")
+        if answers and len(answers) != cfg.num_answers:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, num_answers=len(answers))
+            self.model_config = cfg
         self.model = LxmertForVQA(cfg)
         d = self.config.data
         ids = np.zeros((1, d.lang.max_seq_length), np.int32)
