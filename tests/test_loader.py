@@ -278,3 +278,32 @@ class TestExtractorIntegration:
         assert batch["features"].shape == (4, 4, 128)
         assert batch["boxes"].shape == (4, 4, 4)
         assert np.isfinite(batch["features"]).all()
+
+
+class TestDevicePutIter:
+    def test_double_buffered_feed(self):
+        """device_put_iter yields device arrays for every batch, in order."""
+        from vltk_tpu.data.loader import device_put_iter
+
+        batches = [
+            {"x": np.full((2, 3), i, np.float32), "name": [f"b{i}"]}
+            for i in range(4)
+        ]
+        out = list(device_put_iter(batches))
+        assert len(out) == 4
+        for i, b in enumerate(out):
+            assert float(b["x"][0, 0]) == i
+            assert hasattr(b["x"], "devices")  # on device
+            assert "name" in b  # non-array keys pass through
+
+    def test_empty_loader(self):
+        from vltk_tpu.data.loader import device_put_iter
+
+        assert list(device_put_iter([])) == []
+
+    def test_key_filter(self):
+        from vltk_tpu.data.loader import device_put_iter
+
+        batches = [{"x": np.ones(2, np.float32), "y": np.zeros(2, np.float32)}]
+        out = list(device_put_iter(batches, keys=["x"]))
+        assert "x" in out[0] and "y" not in out[0]
