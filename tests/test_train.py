@@ -311,3 +311,29 @@ def test_vqa_experiment_auto_sizes_answer_head(tmp_path, rng):
     assert exp.model_config.num_answers == 9
     params = jax.device_get(exp.state.params)
     assert params["answer_head"]["logit"]["kernel"].shape[-1] == 9
+
+
+def test_mesh_resume_preserves_shardings(tmp_path, rng):
+    """Checkpoint resume under a mesh must restore the TP shardings (a
+    plain host-array replace would silently replicate everything)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(MeshConfig(axes=(("data", 4), ("model", 2))))
+    cfg = _mk_config(tmp_path, epochs=1, learning_rate=0.01)
+    cfg.test_run = True
+    batches = _vqa_batches(rng, n=1)
+    loaders = (_ListLoader(batches), None)
+    exp = _VQAExperiment(cfg, loaders=loaders, mesh=mesh, rules=LXMERT_RULES)
+    exp()
+
+    exp2 = _VQAExperiment(cfg, loaders=loaders, mesh=mesh, rules=LXMERT_RULES)
+    assert exp2.start_epoch == 1
+    q = exp2.state.params["lxmert"]["layer_0"]["att"]["query"]["kernel"]
+    assert q.sharding.spec == P(None, "model"), q.sharding
+    # values actually restored
+    np.testing.assert_allclose(
+        np.asarray(q), np.asarray(exp.state.params["lxmert"]["layer_0"]["att"]["query"]["kernel"]),
+        rtol=1e-6,
+    )

@@ -103,9 +103,22 @@ class SimpleExperiment(abc.ABC):
             jax.device_get(self.state.params),
             jax.device_get(self.state.opt_state),
         )
-        replace = {"params": params}
+
+        def replace_like(host_tree, live_tree):
+            """Restore host arrays onto the live tree's device placement —
+            under a mesh the TP shardings must survive the resume, or the
+            next donated step would silently replicate everything."""
+            return jax.tree_util.tree_map(
+                lambda host, live: jax.device_put(host, live.sharding)
+                if hasattr(live, "sharding")
+                else host,
+                host_tree,
+                live_tree,
+            )
+
+        replace = {"params": replace_like(params, self.state.params)}
         if opt_state is not None:
-            replace["opt_state"] = opt_state
+            replace["opt_state"] = replace_like(opt_state, self.state.opt_state)
         step = int(info.get("step", 0))
         self.state = self.state.replace(step=step, **replace)
         self.start_epoch = epoch + 1
