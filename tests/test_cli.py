@@ -89,3 +89,35 @@ def test_cli_data_command_end_to_end(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "input_ids" in out and "features" in out
+
+
+def test_simple_builds_mesh_from_config(tmp_path, rng, monkeypatch):
+    """`vltk simple` honors MeshConfig: multi-axis configs get a real mesh
+    + TP rules passed to the experiment."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    captured = {}
+
+    class FakeExp:
+        name = "fake"
+
+        def __init__(self, cfg, mesh=None, rules=None):
+            captured["mesh"] = mesh
+            captured["rules"] = rules
+
+        def __call__(self):
+            return {"ok": True}
+
+    from vltk_tpu.experiments import Experiments
+
+    Experiments.add(FakeExp)
+    rc = main(
+        ["simple", "fake", '--mesh.axes=((data,4),(model,2))',
+         f"--logdir={tmp_path}"]
+    )
+    assert rc == 0
+    assert captured["mesh"] is not None
+    assert dict(captured["mesh"].shape) == {"data": 4, "model": 2}
+    assert captured["rules"] is not None

@@ -105,7 +105,19 @@ def cmd_simple(positional: List[str], cfg: Config) -> int:
     from vltk_tpu.experiments import Experiments
 
     exp_cls = Experiments.get(positional[0])
-    exp = exp_cls(cfg)
+
+    # honor the declared mesh: multi-axis (or explicitly sized) meshes get
+    # built and the standard TP rules applied (--mesh.axes="((data,-1),)"
+    # stays the single-axis default and costs nothing)
+    mesh = rules = None
+    axes = tuple(cfg.mesh.axes)
+    if len(axes) > 1 or any(int(size) > 1 for _, size in axes):
+        from vltk_tpu.parallel import LXMERT_RULES
+
+        mesh = cfg.mesh.build()
+        rules = LXMERT_RULES
+
+    exp = exp_cls(cfg, mesh=mesh, rules=rules)
     result = exp()
     print(result)
     return 0

@@ -40,11 +40,7 @@ def _coerce(value: Any) -> Any:
     if low.startswith("(") and low.endswith(")") or (
         low.startswith("[") and low.endswith("]")
     ):
-        inner = low[1:-1].strip()
-        if not inner:
-            return ()
-        items = [_coerce(v.strip()) for v in inner.split(",") if v.strip()]
-        return tuple(items) if low.startswith("(") else list(items)
+        return _parse_nested(low)
     try:
         return int(low)
     except ValueError:
@@ -54,6 +50,45 @@ def _coerce(value: Any) -> Any:
     except ValueError:
         pass
     return value
+
+
+def _parse_nested(text: str):
+    """Parse possibly-nested ``(a,(b,1))`` / ``[x,2]`` CLI literals with
+    unquoted strings (needed for e.g. ``--mesh.axes=((data,4),(model,2))``)."""
+    pos = 0
+
+    def parse():
+        nonlocal pos
+        open_ch = text[pos]
+        close_ch = ")" if open_ch == "(" else "]"
+        pos += 1
+        items = []
+        token = ""
+
+        def flush():
+            nonlocal token
+            if token.strip():
+                items.append(_coerce(token.strip()))
+            token = ""
+
+        while pos < len(text):
+            ch = text[pos]
+            if ch in "([":
+                items.append(parse())
+            elif ch == close_ch:
+                flush()
+                pos += 1
+                return tuple(items) if open_ch == "(" else list(items)
+            elif ch == ",":
+                flush()
+                pos += 1
+            else:
+                token += ch
+                pos += 1
+        flush()
+        return tuple(items) if open_ch == "(" else list(items)
+
+    return parse()
 
 
 def unflatten_dict(flat: Dict[str, Any]) -> Dict[str, Any]:
