@@ -246,6 +246,7 @@ def _build_one(cfg, Adapters, datadir: str, specs, train: bool, shared: Dict):
         max_visual_seq_length=cfg.lang.max_visual_seq_length,
         max_seq_length=cfg.lang.max_seq_length,
         metadata_ids=shared["metadata_ids"],
+        ignore_id=cfg.lang.ignore_id,
     )
     visn = VisnHandler(
         cfg,

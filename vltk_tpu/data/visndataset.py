@@ -69,8 +69,13 @@ class VisnHandler:
             if self.annotations.has(imgid):
                 self._attach_annotations(entry, self.annotations.get(imgid))
 
+        # processors see RAW annotation values (word strings, label strings
+        # — AuxTokenize/TokenLabels consume them); id-mapping and VLOVERLAP
+        # renames happen after, like the reference (visndataset.py:190-213
+        # runs processors before the rename)
         for proc in self.visn_processors:
             entry = proc(entry)
+        self._finalize_annotations(entry)
         return entry
 
     # ------------------------------------------------------------------
@@ -98,8 +103,9 @@ class VisnHandler:
         entry[V.filepath] = path
 
     def _attach_annotations(self, entry: Dict[str, Any], row: Mapping[str, Any]):
-        """Annotation row -> fixed-shape arrays, VLOVERLAP-renamed
-        (reference: visndataset.py:190-213)."""
+        """Annotation row -> entry, values kept raw under their original
+        keys so vision processors can consume them (only gt boxes get their
+        fixed-shape treatment here)."""
         cfg = self.config
         d = int(cfg.max_detections)
         for key, value in row.items():
@@ -107,28 +113,44 @@ class VisnHandler:
                 continue
             if key in (V.segmentations, V.polygons, V.RLE) and cfg.ignore_segmentation:
                 continue
-            out_key = V.VLOVERLAP.get(key, key)
             if key == V.boxes:
                 boxes = np.asarray(value, np.float32).reshape(-1, 4)[:d]
                 entry["gt_" + V.boxes] = pad_tensor(boxes, d)
                 mask = np.zeros((d,), np.int32)
                 mask[: boxes.shape[0]] = 1
                 entry["gt_" + V.boxes_mask] = mask
-            elif _is_string_list(value):
-                table = self.metadata_ids.get(key, {})
+            else:
+                entry[key] = value
+
+    def _label_table(self, key: str) -> Mapping[str, int]:
+        """id table for a string column; singular/plural columns share the
+        global label table (builder builds "labels"/"objects")."""
+        return (
+            self.metadata_ids.get(key)
+            or self.metadata_ids.get(key + "s")
+            or self.metadata_ids.get(V.labels, {})
+        )
+
+    def _finalize_annotations(self, entry: Dict[str, Any]) -> None:
+        """Leftover string values -> id arrays, VLOVERLAP keys renamed
+        (reference: visndataset.py:190-213 rename after processors)."""
+        d = int(self.config.max_detections)
+        for key in list(entry.keys()):
+            value = entry[key]
+            if key in (V.imgid, V.filepath, "__dataset__", "__split__"):
+                continue
+            out_key = V.VLOVERLAP.get(key, key)
+            if _is_string_list(value):
+                table = self._label_table(key)
                 ids = [int(table.get(s, -1)) for s in value][:d]
+                entry.pop(key)
                 entry[out_key] = pad_tensor(np.asarray(ids, np.int32), d, value=-1)
             elif isinstance(value, str):
-                table = self.metadata_ids.get(key, {})
+                table = self._label_table(key)
+                entry.pop(key)
                 entry[out_key] = np.int32(table.get(value, -1))
-            elif key in (V.polygons, V.RLE, V.segmentations):
-                entry[out_key] = value  # decoded by segmentation processors
-            else:
-                arr = np.asarray(value)
-                if arr.dtype == object:
-                    entry[out_key] = value
-                else:
-                    entry[out_key] = arr
+            elif out_key != key:
+                entry[out_key] = entry.pop(key)
 
 
 def _is_string_list(value: Any) -> bool:

@@ -13,6 +13,7 @@ from typing import Dict, List, Type
 from vltk_tpu.experiments.data import DataExperiment
 from vltk_tpu.experiments.lxmert_pretrain import LxmertPretrainExperiment
 from vltk_tpu.experiments.lxmert_vqa import LxmertVQAExperiment
+from vltk_tpu.experiments.ocr_tokens import OCRTokenExperiment
 
 
 class _ExperimentRegistry:
@@ -34,4 +35,4 @@ class _ExperimentRegistry:
 
 
 Experiments = _ExperimentRegistry()
-Experiments.add(DataExperiment, LxmertVQAExperiment, LxmertPretrainExperiment)
+Experiments.add(DataExperiment, LxmertVQAExperiment, LxmertPretrainExperiment, OCRTokenExperiment)

@@ -7,6 +7,11 @@ from vltk_tpu.models.convert import (
     torch_vit_to_jax,
 )
 from vltk_tpu.models.vit import ViT, ViTConfig
+from vltk_tpu.models.layoutlm import (
+    LayoutLM,
+    LayoutLMConfig,
+    LayoutLMForTokenClassification,
+)
 from vltk_tpu.models.lxmert import (
     Lxmert,
     LxmertConfig,

@@ -1,0 +1,107 @@
+"""LayoutLM-style OCR document encoder — TPU-native (flax/XLA).
+
+The reference's document path (FUNSD/DocVQA) prepared LayoutLM-shaped
+inputs — flattened OCR sub-tokens with 0-1000-normalized token boxes
+(reference: vltk/processing/visn.py:59-195 AuxTokenize/OCRBoxFixed/
+TokenLabels; tests/test_funsd_extract.py:11-30 exercises the chain) — but
+shipped no model to consume them. This is that model: BERT-style token
+embeddings plus four quantized-coordinate embeddings (x0/y0/x1/y1, vocab
+1001 each, LayoutLM convention), a single-stream transformer (sharing the
+block implementation and TP rules with the other encoders), and a
+per-token classification head for form understanding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vltk_tpu.models.lxmert import (
+    Embeddings,
+    LxmertConfig,
+    TransformerLayer,
+    _dense_init,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayoutLMConfig(LxmertConfig):
+    """Single-stream depth in ``l_layers``; ``num_labels`` is the per-token
+    class count (FUNSD: question/answer/other + ignore padding)."""
+
+    l_layers: int = 12
+    num_labels: int = 4
+    coord_vocab: int = 1001  # 0-1000 normalized coordinates inclusive
+
+
+class LayoutLM(nn.Module):
+    """(ids, boxes) -> (sequence (N, L, H)). Boxes are (N, L, 4) ints in
+    [0, 1000] — xyxy, the OCRBoxFixed output."""
+
+    cfg: LayoutLMConfig = LayoutLMConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        token_boxes: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        x = Embeddings(cfg, name="embeddings")(
+            input_ids, token_type_ids, deterministic
+        )
+        emb_init = nn.initializers.normal(stddev=cfg.initializer_range)
+        boxes = jnp.clip(token_boxes.astype(jnp.int32), 0, cfg.coord_vocab - 1)
+        for i, name in enumerate(("x0", "y0", "x1", "y1")):
+            x = x + nn.Embed(
+                cfg.coord_vocab,
+                cfg.hidden_size,
+                embedding_init=emb_init,
+                name=f"{name}_embeddings",
+            )(boxes[..., i])
+        if attention_mask is None:
+            attention_mask = jnp.ones(input_ids.shape, jnp.float32)
+        for i in range(cfg.l_layers):
+            x = TransformerLayer(cfg, name=f"layer_{i}")(
+                x, attention_mask.astype(jnp.float32), deterministic
+            )
+        return x
+
+
+class LayoutLMForTokenClassification(nn.Module):
+    """Per-token logits over form-understanding labels (the reference's
+    TokenLabels processor output, vltk/processing/visn.py:144-164)."""
+
+    cfg: LayoutLMConfig = LayoutLMConfig()
+
+    @nn.compact
+    def __call__(self, input_ids, token_boxes, attention_mask=None,
+                 token_type_ids=None, deterministic: bool = True):
+        x = LayoutLM(self.cfg, name="layoutlm")(
+            input_ids, token_boxes, attention_mask, token_type_ids,
+            deterministic,
+        )
+        x = nn.Dropout(self.cfg.hidden_dropout, name="drop")(
+            x, deterministic=deterministic
+        )
+        return nn.Dense(
+            self.cfg.num_labels, kernel_init=_dense_init(self.cfg),
+            name="classifier",
+        )(x)
+
+
+def token_classification_loss(logits, labels, ignore_id: int = -100):
+    """Token-level CE ignoring padded/unlabeled positions."""
+    valid = labels != ignore_id
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / denom

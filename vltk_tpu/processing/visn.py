@@ -193,23 +193,48 @@ class OCRBoxFixed(VisnProcessor):
 
 
 class TokenLabels(VisnProcessor):
-    """Word labels expanded to sub-token labels
-    (reference: processing/visn.py:144-164)."""
+    """Word labels expanded to fixed-length sub-token label ids
+    (reference: processing/visn.py:144-164). Reads the raw word-level label
+    strings (``tokenlabels`` if a prior processor produced them, else the
+    adapter's ``label`` column), expands through ``tokenmap``, maps to ids
+    via the global label table, pads with ``ignore_id``."""
 
-    keys = (V.tokenlabels, V.tokenmap)
+    keys = (V.tokenmap,)
 
     def setup(
-        self, max_visual_seq_length: int = 128, add_visual_cls: bool = False
+        self,
+        max_visual_seq_length: int = 128,
+        add_visual_cls: bool = False,
+        metadata_ids=None,
+        ignore_id: int = -100,
     ):
         self.max_len = max_visual_seq_length
         self.add_visual_cls = add_visual_cls
+        self.metadata_ids = metadata_ids or {}
+        self.ignore_id = ignore_id
 
     def forward(self, entry, **kwargs):
-        labels = list(entry[V.tokenlabels])
+        labels = entry.pop(V.tokenlabels, None)
+        if labels is None:
+            labels = entry.pop(V.label, None)
+        if labels is None:
+            return entry
+        labels = list(labels)
         if self.add_visual_cls:
-            labels = [""] + labels
+            labels = [None] + labels
         labels = _expand_by_tokenmap(labels, entry[V.tokenmap])
-        entry[V.tokenlabels] = labels[: self.max_len - 1]
+        table = (
+            self.metadata_ids.get(V.label)
+            or self.metadata_ids.get(V.labels, {})
+        )
+        ids = [
+            self.ignore_id if l is None else int(table.get(l, self.ignore_id))
+            for l in labels
+        ][: self.max_len - 1]
+        entry[V.tokenlabels] = np.asarray(
+            truncate_and_pad_list(ids, self.max_len, self.ignore_id),
+            dtype=np.int32,
+        )
         return entry
 
 
