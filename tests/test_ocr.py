@@ -96,4 +96,113 @@ def test_funsd_end_to_end_experiment(tmp_path, rng):
     records = [
         json.loads(l) for l in open(os.path.join(exp.logdir, "steps_log.json"))
     ]
-    assert records[-1]["loss"] < records[0]["loss"]
+    k = 2
+    first = sum(r["loss"] for r in records[:k]) / k
+    last = sum(r["loss"] for r in records[-k:]) / k
+    assert last < first, (first, last)
+
+
+def _make_docvqa(datadir, n_docs=4):
+    """Synthetic DocVQA corpus: OCR jsons + QA with groundable answers."""
+    words_sets = [
+        ["invoice", "total", "amount", "due", "42.00"],
+        ["contract", "date", "january", "2020", "signed"],
+        ["receipt", "total", "paid", "cash", "9.99"],
+        ["form", "name", "john", "smith", "approved"],
+    ]
+    for i in range(n_docs):
+        words = words_sets[i % len(words_sets)]
+        ocr = {
+            "status": "Succeeded",
+            "recognitionResults": [
+                {
+                    "lines": [
+                        {
+                            "boundingBox": [0, 0, 100, 0, 100, 12, 0, 12],
+                            "words": [
+                                {
+                                    "text": w,
+                                    "boundingBox": [
+                                        j * 20, 0, j * 20 + 18, 0,
+                                        j * 20 + 18, 12, j * 20, 12,
+                                    ],
+                                }
+                                for j, w in enumerate(words)
+                            ],
+                        }
+                    ]
+                }
+            ],
+        }
+        path = os.path.join(
+            datadir, "docvqavisn", V.ANNOTATION_DIR, f"doc{i}.json"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(ocr, f)
+    qa = {
+        "data": [
+            {
+                "question": f"what is item {i}?",
+                "image": f"documents/doc{i}.png",
+                "answers": [" ".join(words_sets[i % len(words_sets)][1:3])],
+                "docId": i,
+            }
+            for i in range(n_docs)
+        ]
+    }
+    path = os.path.join(datadir, "docvqa", "docvqa_val.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(qa, f)
+
+
+def test_docvqa_span_end_to_end(tmp_path, rng):
+    """DocVQA ETL -> VL join -> OCR + span processors -> span-QA training."""
+    import vltk_tpu as vltk
+    from vltk_tpu.adapters import Adapters
+    from vltk_tpu.models import LayoutLMConfig
+
+    datadir = str(tmp_path / "raw")
+    _make_docvqa(datadir)
+    Adapters.get("docvqavisn").extract(datadir)
+    Adapters.get("docvqa").extract(datadir)
+
+    config = Config()
+    config.logdir = str(tmp_path / "logs")
+    config.train.update({"epochs": 8, "learning_rate": 0.05})
+    config.data.update(
+        {
+            "train_datasets": [["docvqa", "val"]],
+            "datadir": datadir,
+            "train_batch_size": 4,
+            "num_workers": 0,
+            "drop_last": False,
+            "ignore_image": True,
+            "ignore_filepath": True,
+            "visn_processors": ["auxtokenize", "ocrboxfixed"],
+            "visnlang_processors": ["span"],
+        }
+    )
+    config.data.lang.update({"max_visual_seq_length": 20, "max_seq_length": 8})
+    train_loader, _ = vltk.build(config)
+    batch = next(iter(train_loader))
+    assert "span_start" in batch and "span_end" in batch
+    assert batch[V.tokenbox].shape[-2:] == (20, 4)
+
+    class Tiny(Experiments.get("docvqa_span")):
+        model_config = LayoutLMConfig(
+            vocab_size=30522, hidden_size=16, num_heads=2,
+            intermediate_size=32, l_layers=1, max_position_embeddings=32,
+        )
+
+    exp = Tiny(config, loaders=(train_loader, None))
+    result = exp()
+    assert "span_acc" in result["train"]
+    records = [
+        json.loads(l) for l in open(os.path.join(exp.logdir, "steps_log.json"))
+    ]
+    k = 2
+    first = sum(r["loss"] for r in records[:k]) / k
+    last = sum(r["loss"] for r in records[-k:]) / k
+    assert last < first, (first, last)

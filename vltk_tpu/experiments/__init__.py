@@ -13,6 +13,7 @@ from typing import Dict, List, Type
 from vltk_tpu.experiments.data import DataExperiment
 from vltk_tpu.experiments.lxmert_pretrain import LxmertPretrainExperiment
 from vltk_tpu.experiments.lxmert_vqa import LxmertVQAExperiment
+from vltk_tpu.experiments.docvqa_span import DocVQASpanExperiment
 from vltk_tpu.experiments.ocr_tokens import OCRTokenExperiment
 
 
@@ -35,4 +36,10 @@ class _ExperimentRegistry:
 
 
 Experiments = _ExperimentRegistry()
-Experiments.add(DataExperiment, LxmertVQAExperiment, LxmertPretrainExperiment, OCRTokenExperiment)
+Experiments.add(
+    DataExperiment,
+    DocVQASpanExperiment,
+    LxmertVQAExperiment,
+    LxmertPretrainExperiment,
+    OCRTokenExperiment,
+)

@@ -10,6 +10,7 @@ from vltk_tpu.models.vit import ViT, ViTConfig
 from vltk_tpu.models.layoutlm import (
     LayoutLM,
     LayoutLMConfig,
+    LayoutLMForSpanQA,
     LayoutLMForTokenClassification,
 )
 from vltk_tpu.models.lxmert import (

@@ -105,3 +105,44 @@ def token_classification_loss(logits, labels, ignore_id: int = -100):
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
+
+
+class LayoutLMForSpanQA(nn.Module):
+    """Extractive span QA over OCR sub-tokens — the DocVQA objective
+    (answer spans grounded via Jaccard at ETL time, reference:
+    vltk/adapters/docvqa.py:92-105; sub-token expansion by the Span
+    processor, vltk/processing/visnlang.py:9-29)."""
+
+    cfg: LayoutLMConfig = LayoutLMConfig()
+
+    @nn.compact
+    def __call__(self, input_ids, token_boxes, attention_mask=None,
+                 token_type_ids=None, deterministic: bool = True):
+        x = LayoutLM(self.cfg, name="layoutlm")(
+            input_ids, token_boxes, attention_mask, token_type_ids,
+            deterministic,
+        )
+        logits = nn.Dense(
+            2, kernel_init=_dense_init(self.cfg), name="qa_outputs"
+        )(x)
+        start, end = logits[..., 0], logits[..., 1]
+        if attention_mask is not None:
+            bias = (1.0 - attention_mask.astype(jnp.float32)) * -10000.0
+            start = start + bias
+            end = end + bias
+        return start, end
+
+
+def span_qa_loss(start_logits, end_logits, span_start, span_end,
+                 ignore_id: int = -100):
+    """Mean CE over start+end positions, rows with ignore_id skipped."""
+
+    def one(logits, labels):
+        valid = labels != ignore_id
+        safe = jnp.where(valid, labels, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        denom = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
+
+    return (one(start_logits, span_start) + one(end_logits, span_end)) / 2
