@@ -131,11 +131,15 @@ def nms_fixed_matrix(
     ``keep[i] = valid[i] & not OR_{j<i}(iou[i,j] > t & keep[j])`` over
     score-descending order. Iterating from all-kept converges in
     O(longest suppression chain) sweeps (typically 2-5 on detector
-    outputs), each sweep one (K, K) masked mat-vec — this replaces
-    ``max_out`` *sequential* argmax steps (latency-bound on TPU: the
-    300-step scan over 6k candidates measured 55 ms on v5e; this runs in
-    a few ms) at the cost of a (K, K) IoU matrix, so use it when
-    K^2 is affordable (the dispatcher in :func:`nms_fixed_auto` guards).
+    outputs), each sweep one (K, K) masked mat-vec, at the cost of a
+    (K, K) IoU matrix + an argsort.
+
+    Measured on v5e with in-jit repetition (see CLAUDE.md on timing):
+    at RPN size (8 x 6000 candidates, max_out=300) this runs 10.6 ms vs
+    0.7 ms for the :func:`nms_fixed` scan — the scan wins whenever
+    ``max_out`` is small, which is every path in this framework, so the
+    models use the scan. This variant is kept for large-``max_out``
+    regimes where the scan's sequential step count dominates.
 
     Same contract as :func:`nms_fixed`: (keep indices desc-score, valid).
     """
@@ -194,8 +198,12 @@ def nms_fixed_auto(
 
 def kth_largest(scores: jnp.ndarray, k: int, iters: int = 40) -> jnp.ndarray:
     """Exact-to-f32-precision k-th largest value along the last axis via
-    value bisection (no sort / no top_k — ``lax.top_k`` with k=6000 over
-    82k anchors measured 52 ms on v5e; this is ~20 cheap passes)."""
+    value bisection (no sort / no top_k).
+
+    Note: on v5e, ``lax.top_k`` (k=6000 over 82k) measures 0.6 ms with
+    in-jit repetition while this + scatter compaction measures 4.3 ms —
+    top_k stays the model default; these exist for cases that only need
+    a threshold (no indices) or must avoid sorts."""
     lo = jnp.min(scores, axis=-1)
     hi = jnp.max(scores, axis=-1)
 
@@ -215,8 +223,10 @@ def topk_mask_compact(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Indices of the top-k values of a 1D array, in *arbitrary* order
     (threshold + cumsum-scatter compaction; ties beyond k dropped by
-    position). Returns (idx (k,), valid (k,)). Use when only membership
-    matters (greedy NMS re-selects by argmax anyway)."""
+    position). Returns (idx (k,), valid (k,)).
+
+    Slower than ``lax.top_k`` on v5e (scatter-bound; see kth_largest
+    note) — a library alternative, not the model default."""
     n = scores.shape[0]
     if k >= n:
         idx = jnp.arange(n, dtype=jnp.int32)
