@@ -113,11 +113,43 @@ def test_simple_builds_mesh_from_config(tmp_path, rng, monkeypatch):
     from vltk_tpu.experiments import Experiments
 
     Experiments.add(FakeExp)
-    rc = main(
-        ["simple", "fake", '--mesh.axes=((data,4),(model,2))',
-         f"--logdir={tmp_path}"]
-    )
-    assert rc == 0
-    assert captured["mesh"] is not None
-    assert dict(captured["mesh"].shape) == {"data": 4, "model": 2}
-    assert captured["rules"] is not None
+    try:
+        rc = main(
+            ["simple", "fake", '--mesh.axes=((data,4),(model,2))',
+             f"--logdir={tmp_path}"]
+        )
+        assert rc == 0
+        assert captured["mesh"] is not None
+        assert dict(captured["mesh"].shape) == {"data": 4, "model": 2}
+        assert captured["rules"] is not None
+    finally:
+        Experiments._classes.pop("fake", None)
+
+
+def test_nested_parse_rejects_trailing_input():
+    from vltk_tpu.config import _coerce
+
+    with pytest.raises(ValueError):
+        _coerce("(a,b),(c,d)")
+    assert _coerce("((a,1),(b,2))") == (("a", 1), ("b", 2))
+
+
+def test_simple_rejects_malformed_mesh_axes(tmp_path):
+    from vltk_tpu.experiments import Experiments
+
+    class FakeExp2:
+        name = "fake2"
+
+        def __init__(self, cfg, mesh=None, rules=None):
+            pass
+
+        def __call__(self):
+            return {}
+
+    Experiments.add(FakeExp2)
+    try:
+        with pytest.raises(ValueError, match="mesh.axes"):
+            main(["simple", "fake2", "--mesh.axes=(data,8)",
+                  f"--logdir={tmp_path}"])
+    finally:
+        Experiments._classes.pop("fake2", None)

@@ -106,12 +106,19 @@ def cmd_simple(positional: List[str], cfg: Config) -> int:
 
     exp_cls = Experiments.get(positional[0])
 
-    # honor the declared mesh: multi-axis (or explicitly sized) meshes get
-    # built and the standard TP rules applied (--mesh.axes="((data,-1),)"
-    # stays the single-axis default and costs nothing)
+    # honor the declared mesh whenever the user explicitly set mesh.axes
+    # (diff-tracked by BaseConfig), building it with the standard TP rules;
+    # the untouched default stays mesh-less
     mesh = rules = None
-    axes = tuple(cfg.mesh.axes)
-    if len(axes) > 1 or any(int(size) > 1 for _, size in axes):
+    if "axes" in cfg.mesh.overwritten:
+        axes = tuple(cfg.mesh.axes)
+        if not all(
+            isinstance(a, (tuple, list)) and len(a) == 2 for a in axes
+        ):
+            raise ValueError(
+                f"mesh.axes must be ((name, size), ...) pairs, got {axes!r} "
+                "— e.g. --mesh.axes='((data,4),(model,2))'"
+            )
         from vltk_tpu.parallel import LXMERT_RULES
 
         mesh = cfg.mesh.build()

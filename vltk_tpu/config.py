@@ -54,7 +54,10 @@ def _coerce(value: Any) -> Any:
 
 def _parse_nested(text: str):
     """Parse possibly-nested ``(a,(b,1))`` / ``[x,2]`` CLI literals with
-    unquoted strings (needed for e.g. ``--mesh.axes=((data,4),(model,2))``)."""
+    unquoted strings (needed for e.g. ``--mesh.axes=((data,4),(model,2))``).
+
+    Raises ValueError on trailing input — ``(a,b),(c,d)`` without outer
+    parens must not silently drop the second group."""
     pos = 0
 
     def parse():
@@ -88,7 +91,13 @@ def _parse_nested(text: str):
         flush()
         return tuple(items) if open_ch == "(" else list(items)
 
-    return parse()
+    out = parse()
+    if pos != len(text):
+        raise ValueError(
+            f"trailing input after position {pos} in {text!r} — nest groups "
+            "inside one outer (...) or [...]"
+        )
+    return out
 
 
 def unflatten_dict(flat: Dict[str, Any]) -> Dict[str, Any]:

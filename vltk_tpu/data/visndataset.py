@@ -123,12 +123,14 @@ class VisnHandler:
                 entry[key] = value
 
     def _label_table(self, key: str) -> Mapping[str, int]:
-        """id table for a string column; singular/plural columns share the
-        global label table (builder builds "labels"/"objects")."""
+        """id table for a string column; a singular column uses its plural
+        table ("label" -> "labels"). Unknown columns get NO table (-1 ids)
+        — a blanket fallback to the global label table would assign
+        unrelated ids to coincidentally-matching strings."""
         return (
             self.metadata_ids.get(key)
             or self.metadata_ids.get(key + "s")
-            or self.metadata_ids.get(V.labels, {})
+            or {}
         )
 
     def _finalize_annotations(self, entry: Dict[str, Any]) -> None:

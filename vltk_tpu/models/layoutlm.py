@@ -25,6 +25,7 @@ from vltk_tpu.models.lxmert import (
     LxmertConfig,
     TransformerLayer,
     _dense_init,
+    masked_cross_entropy,
 )
 
 
@@ -99,12 +100,7 @@ class LayoutLMForTokenClassification(nn.Module):
 
 def token_classification_loss(logits, labels, ignore_id: int = -100):
     """Token-level CE ignoring padded/unlabeled positions."""
-    valid = labels != ignore_id
-    safe = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    denom = jnp.maximum(jnp.sum(valid), 1)
-    return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
+    return masked_cross_entropy(logits, labels, ignore_id)
 
 
 class LayoutLMForSpanQA(nn.Module):
@@ -136,13 +132,7 @@ class LayoutLMForSpanQA(nn.Module):
 def span_qa_loss(start_logits, end_logits, span_start, span_end,
                  ignore_id: int = -100):
     """Mean CE over start+end positions, rows with ignore_id skipped."""
-
-    def one(logits, labels):
-        valid = labels != ignore_id
-        safe = jnp.where(valid, labels, 0)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
-        denom = jnp.maximum(jnp.sum(valid), 1)
-        return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
-
-    return (one(start_logits, span_start) + one(end_logits, span_end)) / 2
+    return (
+        masked_cross_entropy(start_logits, span_start, ignore_id)
+        + masked_cross_entropy(end_logits, span_end, ignore_id)
+    ) / 2

@@ -430,15 +430,21 @@ class LxmertForPretraining(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def masked_lm_loss(logits, labels, ignore_id: int = -100):
-    """CE over positions where labels != ignore_id (the `masked_labels`
-    written by masked_language_modeling, reference: processing/lang.py:101-137)."""
+def masked_cross_entropy(logits, labels, ignore_id: int = -100):
+    """CE averaged over positions where labels != ignore_id — the shared
+    objective of masked LM, token classification, and span heads."""
     valid = labels != ignore_id
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
+
+
+def masked_lm_loss(logits, labels, ignore_id: int = -100):
+    """CE over positions where labels != ignore_id (the `masked_labels`
+    written by masked_language_modeling, reference: processing/lang.py:101-137)."""
+    return masked_cross_entropy(logits, labels, ignore_id)
 
 
 def vqa_soft_loss(logits, target_scores):
