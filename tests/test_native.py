@@ -161,3 +161,14 @@ def test_polygon_area_sanity():
     assert 95 <= int(got.sum()) <= 125
     # fully inside rows are solid
     assert got[10, 6:14].all()
+
+
+@needs_native
+def test_wordpiece_tiny_max_len_no_overflow():
+    """max_seq_length < 2 must not write past the row buffer."""
+    from vltk_tpu.native.wordpiece import NativeWordPiece
+
+    nat = NativeWordPiece(V.VOCABPATH, max_seq_length=1)
+    enc = nat.encode_batch(["hello world", ""])
+    assert enc["input_ids"].shape == (2, 1)
+    assert (enc["input_ids"][:, 0] == nat.cls_id).all()

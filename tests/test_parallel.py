@@ -149,3 +149,18 @@ def test_shard_batch_places_leading_dim():
     x = np.zeros((16, 3), np.float32)
     out = shard_batch({"x": x}, mesh)
     assert out["x"].sharding.spec == P("data")
+
+
+def test_infer_shardings_missing_axis_replicates():
+    """Rules naming an axis the mesh lacks fall back to replication."""
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", -1),)))  # no 'model' axis
+    model = Lxmert(CFG)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 4), np.int32),
+        np.zeros((1, 2, CFG.visual_feat_dim), np.float32),
+        np.zeros((1, 2, 4), np.float32),
+    )["params"]
+    sh = infer_shardings(params, LXMERT_RULES, mesh)
+    assert sh["layer_0"]["att"]["query"]["kernel"].spec == P()

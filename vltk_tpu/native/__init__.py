@@ -43,16 +43,20 @@ def _build() -> Optional[str]:
     if os.path.exists(so_path):
         return so_path
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # per-process tmp name: concurrent cold-start builds (loader workers)
+    # must not truncate each other's output; the atomic replace means the
+    # last finisher wins and everyone loads a complete .so
+    tmp = f"{so_path}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
         *(os.path.join(_SRC_DIR, s) for s in _SOURCES),
-        "-o", so_path + ".tmp",
+        "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
     except (OSError, subprocess.SubprocessError):
-        return None
-    os.replace(so_path + ".tmp", so_path)
+        return so_path if os.path.exists(so_path) else None
     return so_path
 
 

@@ -256,11 +256,11 @@ void vltk_wp_encode_batch(void* h, const char** texts, int64_t n,
       int32_t* mrow = mask ? mask + i * max_len : nullptr;
       int32_t* trow = type_ids ? type_ids + i * max_len : nullptr;
       int32_t pos = 0;
-      if (add_special) row[pos++] = wp.cls_id;
-      int32_t budget = add_special ? max_len - 2 : max_len;
+      if (add_special && pos < max_len) row[pos++] = wp.cls_id;
+      int32_t budget = add_special ? std::max(max_len - 2, 0) : max_len;
       int32_t take = std::min<int32_t>(static_cast<int32_t>(toks.size()), budget);
       for (int32_t t = 0; t < take; ++t) row[pos++] = toks[t];
-      if (add_special) row[pos++] = wp.sep_id;
+      if (add_special && pos < max_len) row[pos++] = wp.sep_id;
       int32_t used = pos;
       for (; pos < max_len; ++pos) row[pos] = wp.pad_id;
       if (mrow)
@@ -269,7 +269,8 @@ void vltk_wp_encode_batch(void* h, const char** texts, int64_t n,
         for (int32_t t = 0; t < max_len; ++t) trow[t] = 0;
     }
   };
-  int32_t threads = std::max<int32_t>(1, n_threads);
+  int32_t threads = std::max<int32_t>(
+      1, std::min<int64_t>(n_threads, n));
   if (threads == 1 || n <= 1) {
     worker();
     return;
@@ -280,7 +281,10 @@ void vltk_wp_encode_batch(void* h, const char** texts, int64_t n,
 }
 
 // Per-word sub-token ids (OCR AuxTokenize path): flat ids out + per-word
-// counts; returns total ids written, or -needed if cap is too small.
+// counts. Returns the total id count (always positive); words whose copy
+// would exceed `cap` are counted but not written — callers compare the
+// return value against cap and retry with a bigger buffer (the Python
+// wrapper does).
 int64_t vltk_wp_encode_words(void* h, const char** words, int64_t n,
                              int32_t* out_ids, int64_t cap,
                              int32_t* word_lens) {

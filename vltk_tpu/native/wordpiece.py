@@ -53,7 +53,7 @@ class NativeWordPiece:
     def encode_batch(
         self, texts: Sequence[str], add_special_tokens: bool = True
     ) -> Dict[str, np.ndarray]:
-        """-> {input_ids, type_ids, text_attention_mask}: (N, L) int32."""
+        """-> {input_ids, type_ids, attention_mask}: (N, L) int32."""
         n, L = len(texts), self.max_seq_length
         ids = np.empty((n, L), np.int32)
         mask = np.empty((n, L), np.int32)

@@ -57,18 +57,16 @@ def infer_shardings(params, rules: Rules, mesh: Mesh):
     """
 
     def one(path_tuple, leaf):
-        path = "/".join(
-            getattr(k, "key", getattr(k, "idx", str(k)))
-            if not isinstance(k, str)
-            else k
-            for k in (getattr(p, "key", str(p)) for p in path_tuple)
-        )
+        path = "/".join(str(getattr(p, "key", p)) for p in path_tuple)
         spec = _spec_for(path, leaf.shape, rules)
-        # divisibility check per annotated dim
+        # replicate when the mesh lacks a named axis or a dim doesn't divide
         for dim, axis in enumerate(spec):
             if axis is None:
                 continue
             axes = (axis,) if isinstance(axis, str) else tuple(axis)
+            if any(a not in mesh.shape for a in axes):
+                spec = P()
+                break
             size = 1
             for a in axes:
                 size *= mesh.shape[a]
