@@ -307,3 +307,81 @@ class TestDevicePutIter:
         batches = [{"x": np.ones(2, np.float32), "y": np.zeros(2, np.float32)}]
         out = list(device_put_iter(batches, keys=["x"]))
         assert "x" in out[0] and "y" not in out[0]
+
+
+class TestReviewRegressions:
+    def test_shard_equal_batch_counts(self):
+        """Wrap-padded shards: every host yields the same batch count."""
+        from vltk_tpu.data.loader import _BaseLoader
+
+        class _Range:
+            def __len__(self):
+                return 39
+
+            def __getitem__(self, i):
+                return {"i": np.int32(i)}
+
+        loaders = [
+            _BaseLoader(_Range(), batch_size=4, shuffle=False,
+                        drop_last=True, shard=(r, 2))
+            for r in range(2)
+        ]
+        counts = [sum(1 for _ in ld) for ld in loaders]
+        assert counts[0] == counts[1] == len(loaders[0]) == len(loaders[1])
+
+    def test_early_break_reaps_producer(self):
+        """Abandoning a threaded iteration must not leak the producer."""
+        import threading
+
+        from vltk_tpu.data.loader import _BaseLoader
+
+        class _Range:
+            def __len__(self):
+                return 64
+
+            def __getitem__(self, i):
+                return {"i": np.int32(i)}
+
+        before = threading.active_count()
+        for _ in range(5):
+            it = iter(_BaseLoader(_Range(), 4, False, num_workers=2,
+                                  prefetch_depth=1))
+            next(it)
+            it.close()  # triggers GeneratorExit -> finally cleanup
+        # repeated abandoned epochs must not accumulate threads (pre-fix:
+        # +1 blocked producer and +2 pool workers per iteration)
+        assert threading.active_count() <= before + 3
+
+    def test_transpose_static_shape_and_mask(self):
+        from vltk_tpu.data.loader import transpose_vl
+
+        b, t = 3, 4
+        batch = {
+            "text_mask": np.array(
+                [[1, 1, 0, 0], [1, 0, 0, 0], [1, 1, 1, 0]], np.int32
+            ),
+            "input_ids": np.arange(b * t * 5).reshape(b, t, 5),
+            "features": np.ones((b, 4, 8), np.float32),  # 2nd dim == t!
+            "imgid": ["a", "b", "c"],
+        }
+        out = transpose_vl(batch, max_size=8)
+        # static leading dim regardless of valid count (6 valid here)
+        assert out["input_ids"].shape == (8, 5)
+        assert out["sentence_mask"].sum() == 6
+        # image-side key repeated per sentence, NOT flattened despite the
+        # coincidental second dim
+        assert out["features"].shape == (8, 4, 8)
+
+    def test_metadata_tables_append_not_union(self, datadir):
+        """Second loader build must extend, never re-enumerate, id tables."""
+        from vltk_tpu.data import builder as B
+
+        shared = {"metadata_ids": {"answers": {"no": 0, "yes": 1}}}
+        new = {"answers": {"maybe": 0, "yes": 1}}
+        tables = shared["metadata_ids"]
+        for key, table in new.items():
+            merged = tables.setdefault(key, {})
+            for s in sorted(table):
+                if s not in merged:
+                    merged[s] = len(merged)
+        assert tables["answers"] == {"no": 0, "yes": 1, "maybe": 2}

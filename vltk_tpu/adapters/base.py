@@ -305,8 +305,10 @@ class Adapter:
             )
         if not found:
             return None
-        if split is not None and split in found:
-            return found[split]
+        if split is not None:
+            # never hand back the annotations table as a missing text
+            # split — callers use None to decide to (re)extract
+            return found.get(split)
         if len(found) == 1:
             return next(iter(found.values()))
         return found
@@ -334,11 +336,13 @@ class Adapter:
                 urllib.request.urlretrieve(url, fname)
                 _unpack(fname, tmp)
             for item in os.listdir(tmp):
-                shutil.move(os.path.join(tmp, item), os.path.join(dest, item))
+                target = os.path.join(dest, item)
+                if os.path.isdir(target):
+                    shutil.rmtree(target)  # re-download: replace, don't nest
+                elif os.path.exists(target):
+                    os.remove(target)
+                shutil.move(os.path.join(tmp, item), target)
             return dest
-        except Exception:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 

@@ -217,13 +217,16 @@ def _build_one(cfg, Adapters, datadir: str, specs, train: bool, shared: Dict):
         [a for _, _, a in annotation_parts],
         cfg.metadata_filedict,
     )
-    # answers table must be shared between train and eval loaders
-    if "answers" in shared.get("metadata_ids", {}):
-        metadata_ids["answers"] = {
-            **shared["metadata_ids"]["answers"],
-            **metadata_ids.get("answers", {}),
-        }
-    shared.setdefault("metadata_ids", {}).update(metadata_ids)
+    # id tables are shared between the train and eval loaders: strings the
+    # second loader introduces APPEND at fresh ids — re-enumerating and
+    # dict-unioning two independently sorted tables would collide/shift ids
+    # (e.g. train {no:0,yes:1} + eval {maybe:0,yes:1} -> maybe==no)
+    shared_tables = shared.setdefault("metadata_ids", {})
+    for key, table in metadata_ids.items():
+        merged = shared_tables.setdefault(key, {})
+        for s in sorted(table):
+            if s not in merged:
+                merged[s] = len(merged)
 
     from vltk_tpu.processing import Processors
 

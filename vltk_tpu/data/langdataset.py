@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Mapping, Optional, Sequence
 
+import threading
+
 import numpy as np
 
 from vltk_tpu import vars as V
@@ -32,8 +34,21 @@ class LangHandler:
         self.tokenizer: Tokenizer = build_tokenizer(lang_config)
         self.metadata_ids = dict(metadata_ids or {})
         self.lang_processors = tuple(p.lower() for p in lang_processors)
-        self.rng = np.random.default_rng(seed)
+        # loader worker threads each get their own Generator — a shared
+        # np.random.Generator is not thread-safe and breaks reproducibility
+        self._seed_seq = np.random.SeedSequence(seed)
+        self._rng_lock = threading.Lock()
+        self._tls = threading.local()
         self.max_labels = 16  # FIXED_SHAPE_KEYS[labels]
+
+    @property
+    def rng(self) -> np.random.Generator:
+        rng = getattr(self._tls, "rng", None)
+        if rng is None:
+            with self._rng_lock:
+                rng = np.random.default_rng(self._seed_seq.spawn(1)[0])
+            self._tls.rng = rng
+        return rng
 
     # ------------------------------------------------------------------
     def answer_id(self, label: str) -> int:

@@ -50,17 +50,29 @@ def collate(entries: List[Dict[str, Any]]) -> Dict[str, Any]:
     return batch
 
 
-def transpose_vl(batch: Dict[str, Any], max_size: int = 512) -> Dict[str, Any]:
-    """img_first batch (B, T, ...) -> sentence-major batch (min(B*T, max_size), ...).
+#: image-side keys that must never be flattened as per-sentence even when
+#: their second dim coincidentally equals T
+_IMAGE_SIDE_KEYS = frozenset({
+    "features", "boxes", "boxes_mask", "image", "gt_boxes", "gt_boxes_mask",
+    "tokenbox", "visual_attention_mask",
+})
 
-    Image-side keys are repeated per sentence; invalid (padded) sentences are
-    dropped via ``text_mask``. Static counterpart of the reference's
+
+def transpose_vl(batch: Dict[str, Any], max_size: int = 512) -> Dict[str, Any]:
+    """img_first batch (B, T, ...) -> sentence-major batch with a STATIC
+    leading dim ``min(B*T, max_size)`` plus a ``sentence_mask`` marking the
+    real rows (padded slots repeat row 0) — a per-batch valid count would
+    recompile XLA every batch. Static counterpart of the reference's
     transpose (reference: visnlangdataset.py:287-353, max_size cap at 287).
     """
     text_mask = np.asarray(batch["text_mask"])  # (B, T)
     b, t = text_mask.shape
+    out_size = min(b * t, max_size)
     flat_keep = text_mask.reshape(-1).astype(bool)
-    idx = np.flatnonzero(flat_keep)[:max_size]
+    valid_idx = np.flatnonzero(flat_keep)[:out_size]
+    n_valid = valid_idx.shape[0]
+    idx = np.zeros((out_size,), np.int64)
+    idx[:n_valid] = valid_idx
     img_idx = idx // t
 
     out: Dict[str, Any] = {}
@@ -68,7 +80,11 @@ def transpose_vl(batch: Dict[str, Any], max_size: int = 512) -> Dict[str, Any]:
         if k in ("text_mask", "n_texts"):
             continue
         if isinstance(v, np.ndarray):
-            if v.ndim >= 2 and v.shape[:2] == (b, t):
+            if (
+                v.ndim >= 2
+                and v.shape[:2] == (b, t)
+                and k not in _IMAGE_SIDE_KEYS
+            ):
                 out[k] = v.reshape(b * t, *v.shape[2:])[idx]
             elif v.shape[:1] == (b,):
                 out[k] = v[img_idx]
@@ -78,6 +94,9 @@ def transpose_vl(batch: Dict[str, Any], max_size: int = 512) -> Dict[str, Any]:
             out[k] = [v[i] for i in img_idx]
         else:
             out[k] = v
+    mask = np.zeros((out_size,), np.int32)
+    mask[:n_valid] = 1
+    out["sentence_mask"] = mask
     return out
 
 
@@ -112,8 +131,15 @@ class _BaseLoader:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
 
-    def __len__(self) -> int:
+    def _shard_size(self) -> int:
         n = len(self.dataset)
+        if self.shard is None:
+            return n
+        _, world = self.shard
+        return -(-n // world)  # wrap-padded: every host sees the same count
+
+    def __len__(self) -> int:
+        n = self._shard_size()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -126,6 +152,11 @@ class _BaseLoader:
             rng.shuffle(order)
         if self.shard is not None:
             rank, world = self.shard
+            # wrap-pad so every host yields the SAME number of batches —
+            # unequal counts deadlock multi-host lockstep collectives
+            padded = -(-n // world) * world
+            if padded > n:
+                order = np.concatenate([order, order[: padded - n]])
             order = order[rank::world]
         return order
 
@@ -143,32 +174,53 @@ class _BaseLoader:
             for chunk in self._batches():
                 yield collate([self.dataset[i] for i in chunk])
             return
-        # threaded fetch with bounded prefetch
+        # threaded fetch with bounded prefetch; the stop event + put
+        # timeouts let an abandoned iteration (break / islice) unblock and
+        # reap the producer instead of leaking it on a full queue
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        stop = threading.Event()
+
+        def offer(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for chunk in self._batches():
+                    if stop.is_set():
+                        return
                     entries = list(pool.map(self.dataset.__getitem__, chunk))
-                    q.put(collate(entries))
-                q.put(None)
+                    if not offer(collate(entries)):
+                        return
+                offer(None)
             except BaseException as exc:  # propagate to the consumer
-                q.put(exc)
+                offer(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                pool.shutdown(wait=False)
-                raise item
-            yield item
-        t.join()
-        pool.shutdown(wait=False)
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while True:  # drain so a blocked put wakes immediately
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
+            pool.shutdown(wait=True)  # producer is joined; workers are idle
 
 
 class VisionLanguageLoader(_BaseLoader):

@@ -85,21 +85,25 @@ class VisionLanguageDataset:
                 "check adjust_imgid (reference: visnlangdataset.py:199-245)"
             )
 
+    def _all_text_imgids_by_row(self) -> List[str]:
+        """One bulk arrow column read per adapter — a per-row
+        ``slice(i,1).to_pylist()`` decode was O(n) single-row conversions
+        over the full table (~minutes for VQA-scale joins)."""
+        out: List[str] = []
+        for _, _, adapter in self.texts.ranges.parts:
+            out.extend(str(v) for v in adapter.table.column(V.imgid).to_pylist())
+        return out
+
     def _usable_text_rows(self) -> List[int]:
-        rows = []
-        for i in range(len(self.texts)):
-            name, split, adapter, local = self.texts.ranges.locate(i)
-            # row -> imgid via the adapter's reverse map
-            imgid = adapter.get_idx(local).get(V.imgid)
-            if imgid in self._visn_imgids:
-                rows.append(i)
-        return rows
+        return [
+            i
+            for i, imgid in enumerate(self._all_text_imgids_by_row())
+            if imgid in self._visn_imgids
+        ]
 
     def _index_texts_by_img(self) -> Dict[str, List[int]]:
         by_img: Dict[str, List[int]] = {}
-        for i in range(len(self.texts)):
-            _, _, adapter, local = self.texts.ranges.locate(i)
-            imgid = adapter.get_idx(local).get(V.imgid)
+        for i, imgid in enumerate(self._all_text_imgids_by_row()):
             if imgid in self._visn_imgids:
                 by_img.setdefault(imgid, []).append(i)
         return by_img
@@ -136,19 +140,28 @@ class VisionLanguageDataset:
         entry: Dict[str, Any] = {V.imgid: imgid}
         entry.update(vision)
         stacked: Dict[str, List] = {}
+        strings: Dict[str, List] = {}
         for te in text_entries:
             for k, v in te.items():
-                if isinstance(v, np.ndarray) or np.isscalar(v):
+                if k == V.imgid:
+                    continue  # the entry's imgid stays the plain string
+                if isinstance(v, (str, bytes)):
+                    # np.isscalar(str) is True — strings must not become
+                    # stacked '<U' arrays (device_put rejects them)
+                    strings.setdefault(k, []).append(v)
+                elif isinstance(v, np.ndarray) or np.isscalar(v):
                     stacked.setdefault(k, []).append(np.asarray(v))
         for k, vals in stacked.items():
             arr = np.stack(vals)
             pad = t - arr.shape[0]
             if pad > 0:
                 fill = np.zeros((pad, *arr.shape[1:]), arr.dtype)
-                if k in (V.labels, V.label):
+                if "label" in k:  # labels, label, masked_labels, tokenlabels
                     fill += self.lang.config.ignore_id
                 arr = np.concatenate([arr, fill])
             entry[k] = arr[:t]
+        for k, vals in strings.items():
+            entry[k] = (vals + [""] * t)[:t]
         mask = np.zeros((t,), np.int32)
         mask[: len(text_entries)] = 1
         entry["text_mask"] = mask
