@@ -132,3 +132,41 @@ class TestFRCNNExtraction:
         assert len(entry["object_ids"]) == 4
         # metadata captured the model config
         assert adapter.metadata["model_config"]["max_detections"] == 4
+
+
+class TestHostPipelineGate:
+    def test_device_fused_pipeline_does_not_pad(self, tmp_path, rng):
+        """The extractor's host pipeline only decodes: padding before the
+        device-side shortest-edge resize would bake pad into content and
+        destroy raw-size bookkeeping."""
+        from PIL import Image
+
+        from vltk_tpu.adapters.frcnn import FRCNN as FRCNNAdapter
+        from vltk_tpu import vars as V
+
+        path = str(tmp_path / "img.jpg")
+        Image.fromarray(
+            (rng.uniform(0, 255, (48, 64, 3))).astype("uint8")
+        ).save(path)
+        pipe = FRCNNAdapter.default_processor.build()
+        entry = pipe({V.filepath: path})
+        assert entry[V.img].shape[:2] == (48, 64)  # untouched raw shape
+
+    def test_host_pipeline_defaults_to_fixed_canvas(self, tmp_path, rng):
+        """Loader-side pipelines (device_fused=False default) still end on
+        the fixed canvas."""
+        from PIL import Image
+
+        import vltk_tpu as vltk
+        from vltk_tpu import vars as V
+
+        path = str(tmp_path / "img.jpg")
+        Image.fromarray(
+            (rng.uniform(0, 255, (30, 40, 3))).astype("uint8")
+        ).save(path)
+        pipe = vltk.VisionConfig(size=(32, 48)).build()
+        entry = pipe({V.filepath: path})
+        from vltk_tpu.processing.image import canvas_for
+
+        assert entry[V.img].shape[:2] == canvas_for((32, 48))
+        assert tuple(entry[V.rawsize]) == (30, 40)

@@ -234,7 +234,10 @@ class VisionConfig(BaseConfig):
     mean: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
     sdev: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     bgr: bool = True
-    device_fused: bool = True  # run resize/normalize/pad as one jitted program
+    # True = a device program (e.g. the batched extractor) does
+    # resize/normalize/pad, so the host pipeline only decodes; False = the
+    # host pipeline is the whole preprocess and ends on a fixed canvas
+    device_fused: bool = False
 
     def build(self):
         """Compose the configured transform pipeline (host side)."""

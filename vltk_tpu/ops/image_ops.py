@@ -51,7 +51,7 @@ def shortest_edge_scale(
 def preprocess_batch(
     images: jnp.ndarray,
     raw_sizes: jnp.ndarray,
-    canvas_hw: Tuple[int, int] = (800, 1344),
+    canvas_hw: Tuple[int, int] = (1344, 1344),
     short: float = 800.0,
     maximum: float = 1333.0,
     mean: Sequence[float] = CAFFE_BGR_MEAN,
@@ -82,6 +82,18 @@ def preprocess_batch(
     def one(img, raw_hw, new_hw_i):
         rh = raw_hw[0].astype(jnp.float32)
         rw = raw_hw[1].astype(jnp.float32)
+        # edge-replicate the content into the host pad region (clamped row/
+        # col gather): the linear resize kernel samples one texel past the
+        # content edge, and blending the zero pad there darkens the last
+        # row/column of every upscaled image (PIL/torch clamp at the edge)
+        hr, wr = img.shape[0], img.shape[1]
+        row_idx = jnp.minimum(
+            jnp.arange(hr), raw_hw[0].astype(jnp.int32) - 1
+        )
+        col_idx = jnp.minimum(
+            jnp.arange(wr), raw_hw[1].astype(jnp.int32) - 1
+        )
+        img = img[row_idx][:, col_idx]
         sy = new_hw_i[0] / rh
         sx = new_hw_i[1] / rw
         resized = jax.image.scale_and_translate(

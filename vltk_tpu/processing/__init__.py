@@ -104,9 +104,13 @@ def build_image_pipeline(config) -> Callable[[Any], Dict[str, Any]]:
                 f"available: {sorted(_IMAGE_TRANSFORMS)}"
             )
         stages.append(cls(**collect_args_to_func(cls.__init__, cfg)))
-    # always end on a fixed-shape canvas for the TPU data plane
-    if not any(isinstance(s, image_mod.Pad) for s in stages) and cfg.get(
-        "device_fused", True
+    # the host pipeline must end on a fixed-shape canvas UNLESS the device
+    # program owns resize/normalize/pad (device_fused) — padding before a
+    # device-side shortest-edge resize would bake the pad into the content
+    # and destroy raw-size bookkeeping (the batched FRCNN extractor pads on
+    # device from the true raw sizes)
+    if not any(isinstance(s, image_mod.Pad) for s in stages) and not cfg.get(
+        "device_fused", False
     ):
         stages.append(image_mod.Pad(canvas=cfg["canvas"], pad_value=cfg.get("pad_value", 0.0)))
 

@@ -109,9 +109,10 @@ class ResizeTensor:
         new_h, new_w = shortest_edge_size(raw_h, raw_w, self.short, self.maximum)
         if (new_h, new_w) != (raw_h, raw_w):
             resample = Image.BILINEAR if self.mode == "bilinear" else Image.NEAREST
-            # resize per-channel via PIL for float32 support
-            img = Image.fromarray(arr.astype(np.uint8)) if arr.max() > 1 else None
-            if img is not None and arr.dtype == np.float32 and arr.max() <= 255:
+            if arr.dtype == np.uint8 or (
+                arr.dtype == np.float32 and arr.min() >= 0 and arr.max() <= 255
+            ):
+                # integral pixel range: one 3-channel uint8 resize
                 resized = np.asarray(
                     Image.fromarray(arr.astype(np.uint8)).resize(
                         (new_w, new_h), resample=resample
@@ -119,12 +120,15 @@ class ResizeTensor:
                     dtype=np.float32,
                 )
             else:
+                # arbitrary float values (e.g. already caffe-normalized,
+                # negatives present): per-channel mode-"F" resize — a uint8
+                # cast would wrap negatives mod 256 into garbage
                 resized = np.stack(
                     [
                         np.asarray(
-                            Image.fromarray(arr[..., c]).resize(
-                                (new_w, new_h), resample=resample
-                            )
+                            Image.fromarray(
+                                arr[..., c].astype(np.float32), mode="F"
+                            ).resize((new_w, new_h), resample=resample)
                         )
                         for c in range(arr.shape[-1])
                     ],

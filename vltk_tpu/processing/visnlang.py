@@ -14,12 +14,23 @@ class Span(VisnLangProcessor):
 
     keys = (V.span, V.tokenmap)
 
-    def setup(self, max_visual_seq_length: int = 128, ignore_id: int = -100):
+    def setup(
+        self,
+        max_visual_seq_length: int = 128,
+        ignore_id: int = -100,
+        add_visual_cls: bool = False,
+    ):
         self.max_len = max_visual_seq_length
         self.ignore_id = ignore_id
+        self.add_visual_cls = add_visual_cls
 
     def forward(self, entry, **kwargs):
         start, end = (int(x) for x in entry.pop(V.span))
+        if self.add_visual_cls:
+            # AuxTokenize prepended a CLS word to the tokenmap: word-level
+            # annotation indices shift by one
+            start += 1
+            end += 1
         tokenmap = np.asarray(entry[V.tokenmap])
         valid = tokenmap != self.ignore_id
         counts = np.where(valid, tokenmap, 0)

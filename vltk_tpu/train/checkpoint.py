@@ -30,6 +30,7 @@ def save_checkpoint(
     opt_state=None,
     info: Optional[Dict[str, Any]] = None,
     config=None,
+    info_filename: str = "info.json",
 ) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     host_params = jax.device_get(params)
@@ -42,7 +43,7 @@ def save_checkpoint(
     full_info = {"epoch": epoch, "name": name}
     if info:
         full_info.update(info)
-    with open(os.path.join(ckpt_dir, "info.json"), "w") as f:
+    with open(os.path.join(ckpt_dir, info_filename), "w") as f:
         json.dump(full_info, f, indent=2, default=str)
     if config is not None and hasattr(config, "dump_yaml"):
         config.dump_yaml(os.path.join(ckpt_dir, "config.yaml"))

@@ -20,6 +20,7 @@ from typing import Any, Callable, Dict, Optional, Sequence
 import jax
 
 from vltk_tpu.train.experiment import SimpleExperiment
+from vltk_tpu.train.optim import make_optimizer
 from vltk_tpu.train.steps import make_eval_step, make_train_step
 
 
@@ -76,8 +77,23 @@ class ComplexExperiment(SimpleExperiment):
         return self._declared_loops
 
     def outer_loop(self) -> Dict[str, Any]:
+        # the LR schedule was provisionally built from the placeholder
+        # loader (len 0 -> total_steps == epochs, i.e. decayed to zero
+        # almost immediately); now that the loops are declared, rebuild it
+        # over the true per-epoch step count
+        loops = self._get_loops()
+        steps_per_epoch = sum(
+            len(loop.loader) for loop in loops if loop.train
+        )
+        total = max(steps_per_epoch, 1) * self.config.train.epochs
+        if total != self.total_steps:
+            self.total_steps = total
+            self.tx = make_optimizer(self.config.train, total)
+            self.state = self.state.replace(tx=self.tx)
+
         last: Dict[str, Any] = {}
         for epoch in range(self.start_epoch, self.config.train.epochs):
+            self._current_epoch = epoch
             epoch_metrics: Dict[str, Dict[str, float]] = {}
             for loop in self._get_loops():
                 if hasattr(loop.loader, "set_epoch"):

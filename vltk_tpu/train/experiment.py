@@ -158,16 +158,18 @@ class SimpleExperiment(abc.ABC):
     # -- loops (reference: simple.py:533-682) --------------------------------
 
     def __call__(self) -> Dict[str, Any]:
+        self._current_epoch = self.start_epoch
         try:
             return self.outer_loop()
         except BaseException:
             if self.config.save_on_crash:
-                self.save(epoch=max(self.start_epoch - 1, 0), crash=True)
+                self.save(epoch=self._current_epoch, crash=True)
             raise
 
     def outer_loop(self) -> Dict[str, Any]:
         last: Dict[str, Any] = {}
         for epoch in range(self.start_epoch, self.config.train.epochs):
+            self._current_epoch = epoch
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
             train_m = self.inner_loop(epoch)
@@ -183,24 +185,30 @@ class SimpleExperiment(abc.ABC):
         totals: Dict[str, float] = {}
         count = 0
         t0 = time.perf_counter()
-        for batch in self._device_batches(self.train_loader):
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.state, metrics = self.train_step(self.state, batch, step_rng)
-            self.global_step += 1
-            count += 1
-            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            for k, v in host.items():
-                totals[k] = totals.get(k, 0.0) + v
-            self.write_iter(
-                {
-                    "epoch": epoch,
-                    "step": self.global_step,
-                    "sec": round(time.perf_counter() - t0, 4),
-                    **host,
-                }
-            )
-            if self.config.test_run:
-                break
+        with open(os.path.join(self.logdir, "steps_log.json"), "a") as log:
+            for batch in self._device_batches(self.train_loader):
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics = self.train_step(self.state, batch, step_rng)
+                self.global_step += 1
+                count += 1
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                for k, v in host.items():
+                    totals[k] = totals.get(k, 0.0) + v
+                log.write(
+                    json.dumps(
+                        {
+                            "epoch": epoch,
+                            "step": self.global_step,
+                            "sec": round(time.perf_counter() - t0, 4),
+                            **host,
+                        }
+                    )
+                    + "\n"
+                )
+                if count % 16 == 0:
+                    log.flush()
+                if self.config.test_run:
+                    break
         return {k: v / max(count, 1) for k, v in totals.items()}
 
     def eval_loop(self) -> Dict[str, float]:
@@ -232,6 +240,8 @@ class SimpleExperiment(abc.ABC):
     # -- persistence / logging (reference: simple.py:446-529) ----------------
 
     def save(self, epoch: int, crash: bool = False) -> None:
+        # crash saves get their own info file: clobbering info.json would
+        # make the next resume pair pre-crash params with the crash step
         save_checkpoint(
             self.ckpt_dir,
             self.name if not crash else f"{self.name}_crash",
@@ -240,6 +250,7 @@ class SimpleExperiment(abc.ABC):
             self.state.opt_state,
             info={"step": self.global_step},
             config=self.config,
+            info_filename="crash_info.json" if crash else "info.json",
         )
 
     def write_epoch(self, line: str) -> None:
