@@ -224,3 +224,84 @@ class TestDocVQA:
         row = rows[0] if isinstance(rows, list) else rows
         assert row["answer"] == "amount due"
         assert row[V.span] == [1, 2]
+
+
+class TestETLReviewRegressions:
+    def test_ragged_features2d_roundtrips(self, tmp_datadir):
+        """Dynamic-dim columns must use None (with -1 HF datasets silently
+        REDISTRIBUTED ragged rows across images)."""
+        scenes = {
+            "scenes": [
+                {
+                    "image_filename": f"CLEVR_val_{i:06d}.png",
+                    "objects": [
+                        {"pixel_coords": [float(j), 0.0, 0.0], "color": "red",
+                         "shape": "cube", "size": "large", "material": "rubber"}
+                        for j in range(n)
+                    ],
+                }
+                for i, n in enumerate((2, 4))  # ragged: 2 then 4 objects
+            ]
+        }
+        _write(
+            os.path.join(tmp_datadir, "clevr", V.ANNOTATION_DIR, "scenes_val.json"),
+            scenes,
+        )
+        Adapters.get("clevr").extract(tmp_datadir)
+        ds = Adapters.get("clevr").load(tmp_datadir)
+        a = np.asarray(ds.get("CLEVR_val_000000")["positions"])
+        b = np.asarray(ds.get("CLEVR_val_000001")["positions"])
+        assert a.shape == (2, 3), a.shape
+        assert b.shape == (4, 3), b.shape
+        assert a[:, 0].tolist() == [0.0, 1.0]
+        assert b[:, 0].tolist() == [0.0, 1.0, 2.0, 3.0]
+
+    def test_split_token_matching(self, tmp_datadir):
+        """'test' must take train2014-style names but never testdev files."""
+        from vltk_tpu.adapters.gqa import GQA
+
+        base = os.path.join(tmp_datadir, "gqa")
+        qa = {"q0": {"question": "?", "answer": "yes", "imageId": "n1",
+                     "semantic": []}}
+        _write(os.path.join(base, "test_balanced_questions.json"), qa)
+        _write(os.path.join(base, "testdev_balanced_questions.json"), qa)
+        files = GQA._locate_split_files(base, "test")
+        names = [os.path.basename(f) for f in files]
+        assert names == ["test_balanced_questions.json"], names
+        files = GQA._locate_split_files(base, "testdev")
+        assert [os.path.basename(f) for f in files] == [
+            "testdev_balanced_questions.json"
+        ]
+
+    def test_schema_not_dropped_by_first_unlabeled_entry(self, tmp_datadir):
+        """One unannotated first question must not drop the label column."""
+        q = [
+            {"question_id": 1, "image_id": 7, "question": "unlabeled?"},
+            *[
+                {"question_id": 10 + i, "image_id": 7, "question": f"q{i}"}
+                for i in range(12)
+            ],
+        ]
+        anns = [
+            {
+                "question_id": 10 + i,
+                "image_id": 7,
+                "multiple_choice_answer": "cat",
+                "answers": [{"answer": "cat"}] * 10,
+            }
+            for i in range(12)
+        ]
+        d = os.path.join(tmp_datadir, "vqa", "train")
+        _write(os.path.join(d, "v2_questions_train.json"), {"questions": q})
+        _write(os.path.join(d, "v2_annotations_train.json"), {"annotations": anns})
+        out = Adapters.get("vqa").extract(tmp_datadir, splits=["train"])
+        ds = out["train"]
+        assert V.label in ds.column_names  # was dropped pre-fix
+
+    def test_map_ocr_predictions_zero_subtoken_alignment(self):
+        from vltk_tpu.utils.adapters import map_ocr_predictions
+
+        preds = [1, 1, 3]
+        tokenmap = [2, 0, 1, -100, -100]
+        out = map_ocr_predictions(preds, tokenmap)
+        assert out == [1, -100, 3]

@@ -103,6 +103,10 @@ class VisnExtraction(Adapter):
         base = os.path.join(datadir, dataset_name)
         split_files: Dict[str, Dict[str, str]] = {}
         if splits is None:
+            if not os.path.isdir(base):
+                raise FileNotFoundError(
+                    f"dataset directory {base!r} does not exist"
+                )
             splits = [
                 d
                 for d in sorted(os.listdir(base))
@@ -110,6 +114,12 @@ class VisnExtraction(Adapter):
             ] or [None]
         for split in splits:
             id2path = vdset.load_imgid2path(datadir, split)
+            if img_format:
+                id2path = {
+                    k: p
+                    for k, p in id2path.items()
+                    if p.lower().endswith(img_format.lower())
+                }
             if id2path:
                 split_files[split or "train"] = id2path
 
@@ -151,20 +161,33 @@ class VisnExtraction(Adapter):
         bs = cls.model_batch_size
 
         def load_batch(chunk):
+            # pad the final partial chunk by repeating the last item so the
+            # jitted step keeps its single compiled shape (one stray image
+            # would otherwise cost a minutes-long recompile on the tunnel);
+            # the padded copies are dropped after forward via n_real
+            n_real = len(chunk)
+            padded = list(chunk) + [chunk[-1]] * (bs - n_real)
             batch_entries = []
-            for imgid, path in chunk:
+            for imgid, path in padded:
                 entry = processor(path)
                 entry[V.imgid] = imgid
                 batch_entries.append(entry)
-            return cls.collate(batch_entries)
+            batch = cls.collate(batch_entries)
+            batch["n_real"] = n_real
+            return batch
 
-        # producer thread decodes images ahead of the device
+        # producer thread decodes images ahead of the device; exceptions
+        # travel through the queue (a dead producer would otherwise hang
+        # the consumer on q.get forever and swallow the traceback)
         q: "queue.Queue" = queue.Queue(maxsize=cls.prefetch_depth)
 
         def producer():
-            for i in range(0, len(items), bs):
-                q.put(load_batch(items[i : i + bs]))
-            q.put(None)
+            try:
+                for i in range(0, len(items), bs):
+                    q.put(load_batch(items[i : i + bs]))
+                q.put(None)
+            except BaseException as exc:
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -172,7 +195,12 @@ class VisnExtraction(Adapter):
             batch = q.get()
             if batch is None:
                 break
+            if isinstance(batch, BaseException):
+                t.join()
+                raise batch
+            n_real = batch.pop("n_real")
             results = cls.forward(model, batch, **fwd_kwargs)
+            results = results[:n_real]
             for entry in results:
                 yield entry
         t.join()
@@ -194,6 +222,7 @@ def _stack_entries(entries: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 def _known_splits():
-    return V.SPLITALIASES | {s + "2014" for s in V.SPLITALIASES} | {
-        s + "2017" for s in V.SPLITALIASES
+    years = ("2014", "2015", "2017")
+    return V.SPLITALIASES | {
+        s + y for s in V.SPLITALIASES for y in years
     }

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from vltk_tpu import vars as V
 from vltk_tpu.adapters.visn import VisnDataset
 from vltk_tpu.features import Features
@@ -27,7 +29,7 @@ class FUNSD(VisnDataset):
         entries = []
         seen = set()
         for fname, data in json_files.items():
-            imgid = fname.split(".")[0]
+            imgid = os.path.basename(fname).split(".")[0]
             if imgid in seen:
                 raise ValueError(f"duplicate FUNSD form id {imgid}")
             seen.add(imgid)

@@ -84,11 +84,13 @@ class VisnDataset(Adapter):
         for path in sorted(glob.glob(os.path.join(search, "**"), recursive=True)):
             if not (path.endswith(".json") or path.endswith(".jsonl")):
                 continue
-            if any(f in os.path.basename(path) for f in cls.filters):
+            if any(f.lower() in os.path.basename(path).lower() for f in cls.filters):
                 continue
             data = try_load(path)
             if data is not None:
-                json_files[os.path.basename(path)] = data
+                # key by path relative to the annotation dir: same-named
+                # files in per-split subdirectories must not overwrite
+                json_files[os.path.relpath(path, search)] = data
         if not json_files:
             raise FileNotFoundError(
                 f"no annotation json files for {cls.name()} under {search}"

@@ -84,7 +84,9 @@ class VisnLangDataset(Adapter):
             for path in files:
                 data = try_load(path)
                 if data is not None:
-                    text_data[os.path.basename(path)] = data
+                    # key by path relative to base: same-named files in
+                    # different subdirectories must not overwrite each other
+                    text_data[os.path.relpath(path, base)] = data
             if not text_data:
                 continue
             fwd_kwargs = collect_args_to_func(cls.forward, kwargs)
@@ -107,15 +109,27 @@ class VisnLangDataset(Adapter):
     def _locate_split_files(cls, base: str, split: str) -> List[str]:
         """Find the JSONs belonging to ``split``, excluding ``filters``
         (reference: visnlangadatper.py:71-94, gqa filters at
-        adapters/gqa.py:21)."""
+        adapters/gqa.py:21).
+
+        The split must appear as a token of the path *relative to base*,
+        bounded by non-letters (digits may follow: 'train2014' belongs to
+        'train', but 'testdev' does NOT belong to 'test') — substring
+        matching ingested testdev files into the test split and matched
+        the datadir prefix (a '/mnt/train_data' datadir made every file
+        look like 'train')."""
+        import re
+
+        token = re.compile(
+            r"(?<![a-z])" + re.escape(split.lower()) + r"(?![a-z])"
+        )
         candidates = []
         for path in sorted(glob.glob(os.path.join(base, "**"), recursive=True)):
             if not (path.endswith(".json") or path.endswith(".jsonl")):
                 continue
-            name = os.path.basename(path).lower()
-            if any(f in name for f in cls.filters):
+            rel = os.path.relpath(path, base).lower()
+            if any(f.lower() in os.path.basename(rel) for f in cls.filters):
                 continue
-            if split in name or split in os.path.dirname(path).lower():
+            if token.search(rel):
                 candidates.append(path)
         return candidates
 
@@ -131,20 +145,23 @@ class VisnLangDataset(Adapter):
                 )
         return entries
 
-    @staticmethod
+    @classmethod
     def _drop_all_none_columns(
-        schema: Dict[str, Any], entries: List[Dict]
+        cls, schema: Dict[str, Any], entries: List[Dict]
     ) -> Dict[str, Any]:
-        """Drop schema columns absent/None in the first entry
-        (reference: visnlangadatper.py:226-232)."""
+        """Drop schema columns no entry populates (the reference checked
+        only the first entry — one unannotated question silently discarded
+        the label column for the whole split)."""
         if not entries:
             return schema
-        first = entries[0]
-        return {
-            k: v
-            for k, v in schema.items()
-            if first.get(k) is not None
-        }
+        keep = set(cls._base_features)
+        for entry in entries:
+            for k, v in entry.items():
+                if v is not None:
+                    keep.add(k)
+            if keep >= set(schema):
+                break
+        return {k: v for k, v in schema.items() if k in keep}
 
     @property
     def answer_frequencies(self) -> Dict[str, int]:

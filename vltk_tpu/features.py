@@ -71,7 +71,7 @@ class Features:
     @staticmethod
     def Features2D(d: int):
         """Ragged-rows feature matrix [-1, d] (row count varies)."""
-        return Array2D((-1, d), dtype="float32")
+        return Array2D((None, d), dtype="float32")
 
     @staticmethod
     def FeaturesMatrix(n: int, d: int):
@@ -85,7 +85,7 @@ class Features:
         The reference's ``Features3D`` returned an Array2D by mistake
         (reference: vltk/features.py:88-95); here it is a real Array3D.
         """
-        return Array3D((-1, n, d), dtype="float32")
+        return Array3D((None, n, d), dtype="float32")
 
     @staticmethod
     def Mask(h: int, w: int):

@@ -295,17 +295,24 @@ def map_ocr_predictions(
     predictions: Sequence[int],
     tokenmap: Sequence[int],
     mode: str = "majority",
+    ignore_id: int = -100,
 ) -> List[int]:
     """Aggregate sub-token predictions back to word level using the
     word->n_subtokens map (reference: utils/adapters.py:65-127).
 
-    mode: 'majority' | 'first'.
+    mode: 'majority' | 'first'. Words with zero sub-tokens (truncated, or
+    tokenmap padding value) emit ``ignore_id`` so the output stays aligned
+    with the word list; trailing padding entries (ignore_id in the
+    tokenmap itself) are dropped.
     """
     out: List[int] = []
     idx = 0
     for n_sub in tokenmap:
         n_sub = int(n_sub)
+        if n_sub == ignore_id:
+            break  # tokenmap padding — no more words
         if n_sub <= 0:
+            out.append(ignore_id)  # keep word alignment
             continue
         chunk = list(predictions[idx : idx + n_sub])
         idx += n_sub
