@@ -176,6 +176,83 @@ class TestPropose:
         assert (b[1, v[1], 1::2] <= 48 + 1e-4).all()
 
 
+def np_reference_ignorey(boxes, bands, scale_x):
+    """Independent numpy port of the reference's filtering band loop
+    (reference: frcnn.py:328-366): rows are *removed* on drop (vs our mask
+    algebra), clips mutate the filtered array, band edges divide by the
+    x-scale, clip targets are int-truncated. Returns the surviving boxes
+    in original order plus their original indices."""
+    boxes = boxes.copy()
+    idx = np.arange(len(boxes))
+    for y0, y1 in bands:
+        b0, b1 = y0 / scale_x, y1 / scale_x
+        keep = ~((b1 <= boxes[:, 3]) & (b0 >= boxes[:, 1]))
+        boxes, idx = boxes[keep], idx[keep]
+        below = (boxes[:, 1] > b1) & (boxes[:, 3] > b0)
+        to_clip = ~below
+        d_top = np.abs(b1 - boxes[:, 3])
+        d_bot = np.abs(b0 - boxes[:, 1])
+        boxes[to_clip & (d_top < d_bot), 3] = int(b0)
+        boxes[to_clip & (d_bot < d_top), 1] = int(b1)
+    return boxes, idx
+
+
+class TestIgnoreyBands:
+    """apply_ignorey (mask algebra) vs the independent filtering oracle, on
+    synthetic document-shaped proposals (reference: frcnn.py:275, 328-366)."""
+
+    @pytest.mark.parametrize("bands", [
+        [(200.0, 260.0)],
+        [(100.0, 140.0), (400.0, 460.0)],
+        [(0.0, 50.0)],
+    ])
+    def test_matches_filtering_oracle(self, rng, bands):
+        from vltk_tpu.models.rpn import apply_ignorey
+
+        n = 80  # tall page: boxes spread over y in [0, 800]
+        boxes = np.zeros((n, 4), np.float32)
+        boxes[:, 0] = rng.uniform(0, 500, n)
+        boxes[:, 1] = rng.uniform(0, 700, n)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(5, 100, n)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(5, 300, n)
+        scale_x = 0.8
+
+        got_boxes, got_valid = apply_ignorey(
+            jnp.asarray(boxes),
+            jnp.ones(n, bool),
+            jnp.asarray(bands, jnp.float32),
+            jnp.float32(scale_x),
+        )
+        want_boxes, want_idx = np_reference_ignorey(boxes, bands, scale_x)
+
+        got_valid = np.asarray(got_valid)
+        np.testing.assert_array_equal(np.flatnonzero(got_valid), want_idx)
+        np.testing.assert_allclose(
+            np.asarray(got_boxes)[got_valid], want_boxes, rtol=1e-6
+        )
+
+    def test_propose_accepts_bands(self, rng):
+        """propose() with ignorey: no proposal's y-extent may span a band."""
+        n, hf, wf, a = 1, 6, 4, 3
+        logits = jnp.asarray(rng.normal(size=(n, hf, wf, a)).astype(np.float32))
+        deltas = jnp.asarray(
+            rng.normal(size=(n, hf, wf, a * 4)).astype(np.float32) * 0.1
+        )
+        anchors = grid_anchors(
+            (hf, wf), stride=16, sizes=(32,), aspect_ratios=(0.5, 1.0, 2.0)
+        )
+        sizes = jnp.asarray([[96.0, 64.0]])
+        bands = jnp.asarray([[[30.0, 42.0]]])
+        scales = jnp.asarray([[1.0, 1.0]])
+        boxes, scores, valid = propose(
+            logits, deltas, anchors, sizes, pre_nms_topk=48, post_nms_topk=12,
+            ignorey=bands, scales_yx=scales,
+        )
+        b, v = np.asarray(boxes)[0], np.asarray(valid)[0]
+        spans = (b[v, 1] <= 30.0) & (b[v, 3] >= 42.0)
+        assert not spans.any()
+
+
 class TestFRCNNEndToEnd:
     @pytest.fixture(scope="class")
     def model_and_params(self):

@@ -282,7 +282,7 @@ def _randomize(model, seed):
 # ---------------------------------------------------------------------------
 
 
-def _run_parity(ref, *, canvas, sizes, scales_yx=None, seed=0, **shape):
+def _run_parity(ref, *, canvas, sizes, scales_yx=None, ignorey=None, seed=0, **shape):
     torch.manual_seed(seed)
     tmodel = ref.FRCNN(_ref_cfg(**shape))
     tmodel.eval()
@@ -327,14 +327,25 @@ def _run_parity(ref, *, canvas, sizes, scales_yx=None, seed=0, **shape):
         assert fi[key].shape == np.asarray(fc[key]).shape, key
 
     jscales = None if scales_yx is None else jnp.asarray(scales_yx, jnp.float32)
+    jignorey = None if ignorey is None else jnp.asarray(ignorey, jnp.float32)
     out_j = jmodel.apply(
-        {"params": converted}, jnp.asarray(images), jsizes, scales_yx=jscales
+        {"params": converted},
+        jnp.asarray(images),
+        jsizes,
+        scales_yx=jscales,
+        ignorey=jignorey,
     )
 
     timages = torch.from_numpy(images.transpose(0, 3, 1, 2))
     tscales = None if scales_yx is None else torch.tensor(scales_yx)
+    tignorey = None if ignorey is None else torch.tensor(ignorey)
     with torch.no_grad():
-        out_t = tmodel(timages, [tuple(s) for s in sizes], scales_yx=tscales)
+        out_t = tmodel(
+            timages,
+            [tuple(s) for s in sizes],
+            scales_yx=tscales,
+            ignorey=tignorey,
+        )
 
     for i in range(n):
         k = int(out_t["preds_per_image"][i])
@@ -426,6 +437,100 @@ class TestComposedModelParity:
         CPU runtime stays bounded; 36/36 detections as the reference tests
         pin (reference: tests/frcnn_test.py:16-19)."""
         _run_parity(ref, canvas=(224, 288), sizes=[(224, 288), (180, 240)], **R101)
+
+
+class TestIgnoreyParity:
+    def test_document_band_exclusion(self, ref):
+        """The document-image y-band exclusion/clip (reference frcnn.py:275,
+        328-366) on synthetic document-shaped (tall) inputs — bands drop
+        spanning proposals and clip straddlers in both implementations.
+
+        Single-image batches only: the reference's per-image band loop
+        mutates the shared ``level_ids`` (frcnn.py:340), so it IndexErrors
+        at batch size > 1 — it only ever ran inside the bs=1 extraction
+        loop (extraction.py:142-199). The JAX version is batched."""
+        _run_parity(
+            ref,
+            canvas=(96, 64),
+            sizes=[(96, 64)],
+            scales_yx=[[1.0, 1.0]],
+            ignorey=[[[30.0, 42.0]]],
+            seed=2,
+            **SMALL,
+        )
+        _run_parity(
+            ref,
+            canvas=(96, 64),
+            sizes=[(80, 48)],
+            scales_yx=[[1.0, 0.8]],
+            ignorey=[[[20.0, 26.0]]],
+            seed=5,
+            **SMALL,
+        )
+
+    def test_two_bands(self, ref):
+        _run_parity(
+            ref,
+            canvas=(96, 64),
+            sizes=[(96, 64)],
+            scales_yx=[[1.0, 1.0]],
+            ignorey=[[[18.0, 28.0], [55.0, 70.0]]],
+            seed=4,
+            **SMALL,
+        )
+
+
+class TestMatcherParity:
+    """vltk_tpu.ops.match_quality vs the reference Matcher
+    (reference: frcnn.py:587-695)."""
+
+    @pytest.mark.parametrize("allow", [False, True])
+    def test_matches_reference(self, ref, allow):
+        from vltk_tpu.ops import match_quality
+
+        rng = np.random.default_rng(7)
+        quality = rng.uniform(0, 1, (7, 40)).astype(np.float32)
+        matcher = ref.Matcher([0.3, 0.7], [0, -1, 1], allow_low_quality_matches=allow)
+        tm, tl = matcher(torch.from_numpy(quality))
+        jm, jl = match_quality(
+            jnp.asarray(quality), (0.3, 0.7), (0, -1, 1),
+            allow_low_quality_matches=allow,
+        )
+        np.testing.assert_array_equal(np.asarray(jm), tm.numpy())
+        np.testing.assert_array_equal(np.asarray(jl), tl.numpy())
+
+    def test_padded_gt_rows(self, ref):
+        """Static-shape padding: masked rows behave exactly like absent
+        rows in the reference's dynamic-shape matcher."""
+        from vltk_tpu.ops import match_quality
+
+        rng = np.random.default_rng(8)
+        real = rng.uniform(0, 1, (3, 25)).astype(np.float32)
+        padded = np.concatenate([real, np.zeros((4, 25), np.float32)])
+        gt_valid = np.array([True] * 3 + [False] * 4)
+
+        matcher = ref.Matcher([0.5], [0, 1], allow_low_quality_matches=True)
+        tm, tl = matcher(torch.from_numpy(real))
+        jm, jl = match_quality(
+            jnp.asarray(padded), (0.5,), (0, 1),
+            allow_low_quality_matches=True, gt_valid=jnp.asarray(gt_valid),
+        )
+        np.testing.assert_array_equal(np.asarray(jm), tm.numpy())
+        np.testing.assert_array_equal(np.asarray(jl), tl.numpy())
+
+    def test_no_ground_truth(self, ref):
+        """All-padded rows == the reference's empty-matrix early return
+        (reference: frcnn.py:644-655)."""
+        from vltk_tpu.ops import match_quality
+
+        matcher = ref.Matcher([0.5], [0, 1], allow_low_quality_matches=True)
+        tm, tl = matcher(torch.zeros((0, 10)))
+        jm, jl = match_quality(
+            jnp.zeros((4, 10)), (0.5,), (0, 1),
+            allow_low_quality_matches=True, gt_valid=jnp.zeros(4, bool),
+        )
+        np.testing.assert_array_equal(np.asarray(jm), tm.numpy())
+        np.testing.assert_array_equal(np.asarray(jl), tl.numpy())
 
 
 class TestConverterVariants:

@@ -181,6 +181,38 @@ class ResNetC4(nn.Module):
         return x  # (N, H/16, W/16, res2_out_channels*4)
 
 
+def res5_blocks(
+    x: jnp.ndarray,
+    *,
+    res2_out_channels: int = 256,
+    num_groups: int = 1,
+    width_per_group: int = 64,
+    stride_in_1x1: bool = True,
+    halve: bool = False,
+    dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """The 3 res5 bottleneck blocks, as a helper callable from any compact
+    module body — the param children are named "0"/"1"/"2" under the caller
+    so :class:`Res5Head` and its chunk-scanned twin share one checkpoint
+    layout (reference: Res5ROIHeads._build_res5_block frcnn.py:1365-1385
+    + VG modifications 1345-1356)."""
+    stage_channel_factor = 2 ** 3
+    out_channels = res2_out_channels * stage_channel_factor
+    bottleneck = num_groups * width_per_group * stage_channel_factor
+    for i in range(3):
+        x = BottleneckBlock(
+            out_channels=out_channels,
+            bottleneck_channels=bottleneck,
+            stride=(2 if halve else 1) if i == 0 else 1,
+            num_groups=num_groups,
+            stride_in_1x1=stride_in_1x1,
+            dilation=1 if halve else 2,
+            dtype=dtype,
+            name=str(i),
+        )(x)
+    return x
+
+
 class Res5Head(nn.Module):
     """The res5 stage run on pooled RoI features (reference: Res5ROIHeads.
     _build_res5_block frcnn.py:1365-1385 + VG modifications 1345-1356).
@@ -198,18 +230,40 @@ class Res5Head(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        stage_channel_factor = 2 ** 3
-        out_channels = self.res2_out_channels * stage_channel_factor
-        bottleneck = self.num_groups * self.width_per_group * stage_channel_factor
-        for i in range(3):
-            x = BottleneckBlock(
-                out_channels=out_channels,
-                bottleneck_channels=bottleneck,
-                stride=(2 if self.halve else 1) if i == 0 else 1,
-                num_groups=self.num_groups,
-                stride_in_1x1=self.stride_in_1x1,
-                dilation=1 if self.halve else 2,
-                dtype=self.dtype,
-                name=str(i),
-            )(x)
-        return x
+        return res5_blocks(
+            x,
+            res2_out_channels=self.res2_out_channels,
+            num_groups=self.num_groups,
+            width_per_group=self.width_per_group,
+            stride_in_1x1=self.stride_in_1x1,
+            halve=self.halve,
+            dtype=self.dtype,
+        )
+
+
+class Res5HeadPooledScan(nn.Module):
+    """Scan-compatible res5: consumes one RoI chunk, returns the *pooled*
+    (chunk, 2048) features so the full 14x14 res5 activation volume never
+    materializes for more than one chunk at a time — the memory cap that
+    lets batch-32 extraction fit HBM (B=32 OOMed on res5 activations,
+    BASELINE.md). Param layout identical to :class:`Res5Head`."""
+
+    res2_out_channels: int = 256
+    num_groups: int = 1
+    width_per_group: int = 64
+    stride_in_1x1: bool = True
+    halve: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, carry, x: jnp.ndarray):
+        y = res5_blocks(
+            x,
+            res2_out_channels=self.res2_out_channels,
+            num_groups=self.num_groups,
+            width_per_group=self.width_per_group,
+            stride_in_1x1=self.stride_in_1x1,
+            halve=self.halve,
+            dtype=self.dtype,
+        )
+        return carry, jnp.mean(y, axis=(1, 2))  # frcnn.py:1401 mean pool

@@ -80,6 +80,9 @@ class FRCNNConfig:
     max_detections: int = 36
     # compute dtype for convs/matmuls (None -> float32); params stay f32
     dtype: Optional[str] = None
+    # res5 RoI chunking: cap RoIs materialized through res5 at once (scan),
+    # bounding the HBM high-water mark so large batches fit. None = 1 pass.
+    roi_chunk: Optional[int] = None
 
     @classmethod
     def fast_extraction(cls, **overrides) -> "FRCNNConfig":
@@ -142,6 +145,7 @@ class FRCNN(nn.Module):
         images: jnp.ndarray,
         image_sizes: jnp.ndarray,
         scales_yx: Optional[jnp.ndarray] = None,
+        ignorey: Optional[jnp.ndarray] = None,
     ):
         """Args:
           images: (N, H, W, 3) BGR caffe-normalized, padded to the static
@@ -149,6 +153,8 @@ class FRCNN(nn.Module):
           image_sizes: (N, 2) float (h, w) of real content inside the pad.
           scales_yx: optional (N, 2) — boxes are divided back to raw-image
             coordinates via multiply (reference: ROIOutputs 1280-1283).
+          ignorey: optional (N, J, 2) document y-band exclusion ranges for
+            the RPN (reference: frcnn.py:275, 328-366); needs scales_yx.
 
         Returns a dict of fixed-shape tensors:
           boxes (N, D, 4), obj_ids (N, D), obj_probs (N, D),
@@ -191,6 +197,8 @@ class FRCNN(nn.Module):
             post_nms_topk=cfg.post_nms_topk,
             min_box_side_len=cfg.min_box_side_len,
             bbox_reg_weights=cfg.rpn_bbox_reg_weights,
+            ignorey=ignorey,
+            scales_yx=scales_yx,
         )
 
         obj_logits, attr_logits, box_deltas, pooled = Res5RoIHeads(
@@ -206,6 +214,7 @@ class FRCNN(nn.Module):
             use_attr=cfg.use_attr,
             cls_agnostic_bbox_reg=cfg.cls_agnostic_bbox_reg,
             dtype=dtype,
+            roi_chunk=cfg.roi_chunk,
             name="roi_heads",
         )(feats, prop_boxes)
         obj_logits = obj_logits.astype(jnp.float32)

@@ -15,7 +15,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vltk_tpu.models.backbone import Res5Head
+import flax.linen as linen
+
+from vltk_tpu.models.backbone import Res5Head, Res5HeadPooledScan
 
 
 class FastRCNNOutputLayers(nn.Module):
@@ -75,6 +77,11 @@ class Res5RoIHeads(nn.Module):
     use_attr: bool = True
     cls_agnostic_bbox_reg: bool = False
     dtype: Any = None
+    # cap on RoIs materialized through res5 at once: the res5 activation
+    # volume is the HBM high-water mark of extraction (B=32 OOMed at 16.2G,
+    # BASELINE.md) — chunking scans res5 over RoI blocks and keeps only the
+    # pooled (chunk, 2048) outputs live. None = single pass.
+    roi_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -96,16 +103,35 @@ class Res5RoIHeads(nn.Module):
         )  # (N, P, 14, 14, C) — pallas kernel on TPU, XLA tables elsewhere
         res = self.pooler_resolution
         pooled = pooled.reshape(n * p, res, res, features.shape[-1])
-        x = Res5Head(
+        res5_kwargs = dict(
             res2_out_channels=self.res2_out_channels,
             num_groups=self.num_groups,
             width_per_group=self.width_per_group,
             stride_in_1x1=self.stride_in_1x1,
             halve=self.res5_halve,
             dtype=self.dtype,
-            name="res5",
-        )(pooled)
-        feat = jnp.mean(x, axis=(1, 2))  # (N*P, 2048) — frcnn.py:1401
+        )
+        if self.roi_chunk is not None and n * p > self.roi_chunk:
+            chunk = int(self.roi_chunk)
+            k = -(-(n * p) // chunk)
+            pad = k * chunk - n * p
+            if pad:
+                pooled = jnp.concatenate(
+                    [pooled, jnp.zeros((pad, *pooled.shape[1:]), pooled.dtype)]
+                )
+            xs = pooled.reshape(k, chunk, res, res, features.shape[-1])
+            scanned = linen.scan(
+                Res5HeadPooledScan,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )(**res5_kwargs, name="res5")
+            _, feat = scanned(None, xs)  # (K, chunk, 2048)
+            feat = feat.reshape(k * chunk, -1)[: n * p]
+        else:
+            x = Res5Head(**res5_kwargs, name="res5")(pooled)
+            feat = jnp.mean(x, axis=(1, 2))  # (N*P, 2048) — frcnn.py:1401
         obj_logits, attr_logits, deltas = FastRCNNOutputLayers(
             num_classes=self.num_classes,
             num_attrs=self.num_attrs,

@@ -21,7 +21,7 @@ here: greedy NMS already emits in descending score order.
 
 from __future__ import annotations
 
-from typing import Any,  Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -29,6 +29,49 @@ import jax.numpy as jnp
 
 from vltk_tpu.ops.boxes import apply_deltas, clip_boxes, nonempty_mask
 from vltk_tpu.ops.nms import NEG_INF, nms_fixed
+
+
+def apply_ignorey(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    ignorey: jnp.ndarray,
+    scale_x: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The document-image y-band exclusion/clip of the reference RPN
+    (reference: frcnn.py:275, 328-366) as mask algebra, single image.
+
+    Per band ``(y0, y1)`` (raw-image coords, divided by the x-scale as the
+    reference does at frcnn.py:331):
+      * proposals whose y-extent contains the whole band are dropped
+        (``valid`` cleared — the reference removes the rows, 335-340);
+      * every other proposal is clipped to whichever band edge is nearer:
+        bottom edge pulled up to ``int(y0)`` or top edge pushed down to
+        ``int(y1)`` (frcnn.py:342-366; ties clip neither). The reference's
+        ``box_ignore_below`` branch (347-350) is ``ymax <= y0 AND
+        ymax > y0`` — always false — so only boxes entirely below the band
+        escape clipping; reproduced faithfully, quirks included.
+
+    Args:
+      boxes: (P, 4) xyxy.
+      valid: (P,) bool.
+      ignorey: (J, 2) bands, static J.
+      scale_x: scalar — ``scales_yx[1]`` for this image.
+
+    Returns updated (boxes, valid).
+    """
+    ymin, ymax = boxes[:, 1], boxes[:, 3]
+    for j in range(ignorey.shape[0]):
+        y0 = ignorey[j, 0] / scale_x
+        y1 = ignorey[j, 1] / scale_x
+        drop = (y1 <= ymax) & (y0 >= ymin)
+        valid = valid & ~drop
+        below_band = (ymin > y1) & (ymax > y0)  # box entirely past the band
+        to_clip = ~below_band
+        d_top = jnp.abs(y1 - ymax)
+        d_bot = jnp.abs(y0 - ymin)
+        ymax = jnp.where(to_clip & (d_top < d_bot), jnp.trunc(y0), ymax)
+        ymin = jnp.where(to_clip & (d_bot < d_top), jnp.trunc(y1), ymin)
+    return jnp.stack([boxes[:, 0], ymin, boxes[:, 2], ymax], axis=1), valid
 
 
 class RPNHead(nn.Module):
@@ -71,6 +114,8 @@ def propose(
     post_nms_topk: int = 1000,
     min_box_side_len: float = 0.0,
     bbox_reg_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+    ignorey: Optional[jnp.ndarray] = None,
+    scales_yx: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode + select top proposals for a batch (single level, C4).
 
@@ -81,6 +126,11 @@ def propose(
         the NHWC flatten).
       image_sizes: (N, 2) float (h, w) of each image's real content within
         the padded canvas.
+      ignorey: optional (N, J, 2) document y-bands to exclude/clip
+        proposals against (reference: frcnn.py:328-366); requires
+        ``scales_yx`` (the reference guards on both being present).
+      scales_yx: (N, 2) raw/padded scale factors, only consumed by the
+        ignorey band math here (box rescale happens in postprocess).
 
     Returns:
       boxes: (N, post_nms_topk, 4) xyxy, descending objectness.
@@ -102,17 +152,28 @@ def propose(
         weights=tuple(bbox_reg_weights),
     )
 
-    def per_image(boxes_i, scores_i, size_i):
+    use_bands = ignorey is not None and scales_yx is not None
+
+    def per_image(boxes_i, scores_i, size_i, bands_i, scale_x_i):
+        valid_i = jnp.ones(boxes_i.shape[0], bool)
+        if use_bands:
+            boxes_i, valid_i = apply_ignorey(boxes_i, valid_i, bands_i, scale_x_i)
         boxes_i = clip_boxes(boxes_i, size_i)
-        valid_i = nonempty_mask(boxes_i, threshold=min_box_side_len)
+        valid_i = valid_i & nonempty_mask(boxes_i, threshold=min_box_side_len)
         keep, keep_valid = nms_fixed(
             boxes_i, scores_i, nms_thresh, post_nms_topk, valid=valid_i
         )
         safe = jnp.maximum(keep, 0)
         return boxes_i[safe], scores_i[safe], keep_valid
 
+    if use_bands:
+        bands = ignorey.astype(jnp.float32)
+        scale_x = scales_yx[:, 1].astype(jnp.float32)
+    else:  # unused placeholders so vmap has uniform inputs
+        bands = jnp.zeros((n, 0, 2), jnp.float32)
+        scale_x = jnp.ones((n,), jnp.float32)
     out_boxes, out_scores, out_valid = jax.vmap(per_image)(
-        boxes, top_scores.astype(jnp.float32), image_sizes
+        boxes, top_scores.astype(jnp.float32), image_sizes, bands, scale_x
     )
     out_scores = jnp.where(out_valid, out_scores, NEG_INF)
     return out_boxes, out_scores, out_valid
