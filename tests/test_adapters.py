@@ -185,13 +185,18 @@ class TestGQAExtract:
         assert row["layout"] == ["select", "query"]
 
 
-class TestGoldenFixture:
+class TestGoldenFixtureSchemaCompatibility:
     @pytest.mark.skipif(
         not os.path.exists(REFERENCE_FIXTURE), reason="fixture not mounted"
     )
-    def test_read_reference_arrow(self):
-        """Our arrow reader loads the reference's extracted-FRCNN fixture
-        unchanged: same columns, row map, shapes."""
+    def test_schema_compatible_with_reference_arrow(self):
+        """SCHEMA compatibility only: our arrow reader loads the
+        reference's extracted-FRCNN fixture unchanged — same columns, row
+        map, shapes. Numeric parity against the fixture's values would
+        need the real ``unc-nlp`` checkpoint (no network egress here); the
+        achievable numeric substitute is the hermetic full-model parity
+        suite (tests/test_reference_parity.py), which runs the actual
+        reference torch FRCNN against ours at random init."""
         adapter = Adapter._load_one_arrow(REFERENCE_FIXTURE)
         assert adapter.num_rows == 10
         assert set(adapter.column_names) == {

@@ -305,6 +305,12 @@ class DataConfig(BaseConfig):
     metadata_filedict: Optional[Dict[str, str]] = None
     # host->device feed
     prefetch_depth: int = 2
+    # multi-host input sharding (SURVEY §5.8 per-host feeding): every host
+    # reads a disjoint, equal-length slice of the seed-synchronized global
+    # order. shard_count=None/1 disables; shard_rank=None auto-detects via
+    # jax.process_index()
+    shard_count: Optional[int] = None
+    shard_rank: Optional[int] = None
     lang: LangConfig = field(default_factory=LangConfig)
     vision: VisionConfig = field(default_factory=VisionConfig)
 

@@ -21,8 +21,9 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, FrozenSet, Iterator, List, Optional
 
 import numpy as np
 
@@ -44,27 +45,51 @@ def collate(entries: List[Dict[str, Any]]) -> Dict[str, Any]:
             if all(a.shape == arrs[0].shape and a.dtype == arrs[0].dtype for a in arrs):
                 batch[k] = np.stack(arrs)
             else:
+                # in a fixed-shape pipeline a ragged key is a bug upstream
+                # (pad at write/entry time, never at collate time) — keep
+                # the list so debugging can proceed, but say so loudly
+                shapes = sorted({(a.shape, str(a.dtype)) for a in arrs})
+                warnings.warn(
+                    f"collate: key '{k}' is not fixed-shape across the batch "
+                    f"({shapes[:4]}); yielding a list. Pad this key at entry "
+                    f"time (vltk_tpu convention) — list-valued batch keys "
+                    f"cannot be fed to the device.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 batch[k] = vals
         else:
             batch[k] = vals
     return batch
 
 
-#: image-side keys that must never be flattened as per-sentence even when
-#: their second dim coincidentally equals T
+#: fallback name table of image-side keys that must never be flattened as
+#: per-sentence even when their second dim coincidentally equals T — used
+#: only for raw dict batches; loaders pass the dataset's schema-derived set
 _IMAGE_SIDE_KEYS = frozenset({
     "features", "boxes", "boxes_mask", "image", "gt_boxes", "gt_boxes_mask",
     "tokenbox", "visual_attention_mask",
 })
 
 
-def transpose_vl(batch: Dict[str, Any], max_size: int = 512) -> Dict[str, Any]:
+def transpose_vl(
+    batch: Dict[str, Any],
+    max_size: int = 512,
+    image_side_keys: Optional[FrozenSet[str]] = None,
+) -> Dict[str, Any]:
     """img_first batch (B, T, ...) -> sentence-major batch with a STATIC
     leading dim ``min(B*T, max_size)`` plus a ``sentence_mask`` marking the
     real rows (padded slots repeat row 0) — a per-batch valid count would
     recompile XLA every batch. Static counterpart of the reference's
     transpose (reference: visnlangdataset.py:287-353, max_size cap at 287).
+
+    ``image_side_keys`` (schema-driven, from
+    ``VisionLanguageDataset.image_side_keys``) names the keys that are
+    per-image and must be repeated rather than flattened; when None the
+    module fallback table is used.
     """
+    if image_side_keys is None:
+        image_side_keys = _IMAGE_SIDE_KEYS
     text_mask = np.asarray(batch["text_mask"])  # (B, T)
     b, t = text_mask.shape
     out_size = min(b * t, max_size)
@@ -83,7 +108,7 @@ def transpose_vl(batch: Dict[str, Any], max_size: int = 512) -> Dict[str, Any]:
             if (
                 v.ndim >= 2
                 and v.shape[:2] == (b, t)
-                and k not in _IMAGE_SIDE_KEYS
+                and k not in image_side_keys
             ):
                 out[k] = v.reshape(b * t, *v.shape[2:])[idx]
             elif v.shape[:1] == (b,):
@@ -223,10 +248,31 @@ class _BaseLoader:
             pool.shutdown(wait=True)  # producer is joined; workers are idle
 
 
+def _config_shard(config, shard: Optional[tuple]) -> Optional[tuple]:
+    """Resolve the loader's (rank, world) slice: an explicit ``shard=``
+    wins, else DataConfig.shard_count/shard_rank (rank auto-detected from
+    ``jax.process_index()`` when unset) — so config-built loaders shard
+    without any manual plumbing (SURVEY §5.8 per-host feeding)."""
+    if shard is not None:
+        return shard
+    count = getattr(config, "shard_count", None)
+    if not count or int(count) <= 1:
+        return None
+    rank = getattr(config, "shard_rank", None)
+    if rank is None:
+        import jax
+
+        rank = jax.process_index()
+    rank, count = int(rank), int(count)
+    if not 0 <= rank < count:
+        raise ValueError(f"shard_rank {rank} outside [0, {count})")
+    return (rank, count)
+
+
 class VisionLanguageLoader(_BaseLoader):
     """(reference: loader.py:250-296)"""
 
-    def __init__(self, config, dataset, train: bool = True):
+    def __init__(self, config, dataset, train: bool = True, shard: Optional[tuple] = None):
         super().__init__(
             dataset,
             batch_size=config.train_batch_size if train else config.eval_batch_size,
@@ -234,20 +280,25 @@ class VisionLanguageLoader(_BaseLoader):
             num_workers=config.num_workers if train else 0,
             drop_last=config.drop_last if train else False,
             prefetch_depth=config.prefetch_depth,
+            shard=_config_shard(config, shard),
         )
         self.config = config
         self.train = train
 
     def transposed(self, max_size: int = 512) -> Iterator[Dict[str, Any]]:
-        """Iterate sentence-major batches from an img_first dataset."""
+        """Iterate sentence-major batches from an img_first dataset. The
+        dataset's schema decides which keys are image-side (never
+        flattened); datasets without the property fall back to the name
+        table."""
+        keys = getattr(self.dataset, "image_side_keys", None)
         for batch in self:
-            yield transpose_vl(batch, max_size=max_size)
+            yield transpose_vl(batch, max_size=max_size, image_side_keys=keys)
 
 
 class VisionLoader(_BaseLoader):
     """(reference: loader.py:302-345)"""
 
-    def __init__(self, config, dataset, train: bool = True):
+    def __init__(self, config, dataset, train: bool = True, shard: Optional[tuple] = None):
         super().__init__(
             dataset,
             batch_size=config.train_batch_size if train else config.eval_batch_size,
@@ -255,6 +306,7 @@ class VisionLoader(_BaseLoader):
             num_workers=config.num_workers if train else 0,
             drop_last=config.drop_last if train else False,
             prefetch_depth=config.prefetch_depth,
+            shard=_config_shard(config, shard),
         )
         self.config = config
         self.train = train

@@ -109,6 +109,22 @@ class VisionLanguageDataset:
         return by_img
 
     # ------------------------------------------------------------------
+    @property
+    def image_side_keys(self) -> frozenset:
+        """Schema-derived set of per-image keys for ``transpose_vl`` —
+        everything the vision handler contributes (plus the ids/masks this
+        class adds per image), so text-side (B, T, ...) keys flatten and
+        image-side keys repeat regardless of naming."""
+        if getattr(self, "_image_side_keys", None) is None:
+            probe = (
+                self._uniq_imgs[0]
+                if self.config.img_first
+                else str(self.texts[self._rows[0]][V.imgid])
+            )
+            vision = self.visn.get_entry(probe)
+            self._image_side_keys = frozenset(vision) | {V.imgid}
+        return self._image_side_keys
+
     def __len__(self) -> int:
         return self._n
 
