@@ -164,3 +164,75 @@ def test_infer_shardings_missing_axis_replicates():
     )["params"]
     sh = infer_shardings(params, LXMERT_RULES, mesh)
     assert sh["layer_0"]["att"]["query"]["kernel"].spec == P()
+
+
+def test_ulysses_seq2048_matches_replicated():
+    """Real sequence parallelism (SURVEY §5.7): Ulysses head-sharded
+    attention over the seq axis at seq length 2048 — far past the
+    reference's 512 truncation ceiling (reference: configs.py:113-114) —
+    must match the replicated forward, AND the lang activations must be
+    physically sequence-sharded (per-device memory actually drops)."""
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 2), ("seq", 2), ("model", 2))))
+    base = LxmertConfig(
+        vocab_size=64,
+        hidden_size=16,
+        num_heads=4,  # divisible by model*seq = 4
+        intermediate_size=32,
+        l_layers=1,
+        x_layers=1,
+        r_layers=1,
+        visual_feat_dim=8,
+        max_position_embeddings=2048,  # long-OCR cap raised via config
+        num_answers=6,
+        num_objects=5,
+        num_attrs=3,
+    )
+    ul_cfg = LxmertConfig(
+        **{**base.__dict__, "activation_sharding": True,
+           "seq_attention_sharding": True}
+    )
+    rng = np.random.default_rng(3)
+    n, s, v = 4, 2048, 4
+    ids = rng.integers(0, base.vocab_size, (n, s)).astype(np.int32)
+    mask = np.ones((n, s), np.float32)
+    feats = rng.normal(size=(n, v, base.visual_feat_dim)).astype(np.float32)
+    pos = rng.uniform(0, 1, (n, v, 4)).astype(np.float32)
+
+    ref_model = Lxmert(base)
+    params = ref_model.init(
+        jax.random.PRNGKey(0), ids[:1, :8], feats[:1], pos[:1]
+    )["params"]
+    ref_lang, _, ref_pool = ref_model.apply(
+        {"params": params}, ids, feats, pos, mask
+    )
+
+    ul_model = Lxmert(ul_cfg)
+    sharded_params = shard_params(params, LXMERT_RULES, mesh)
+    batch = shard_batch({"ids": ids, "mask": mask, "feats": feats, "pos": pos}, mesh)
+    lang_sharding = NamedSharding(mesh, P("data", "seq", None))
+
+    @jax.jit
+    def fwd(p, b):
+        lang, visn, pool = ul_model.apply(
+            {"params": p}, b["ids"], b["feats"], b["pos"], b["mask"]
+        )
+        return jax.lax.with_sharding_constraint(lang, lang_sharding), pool
+
+    with mesh:
+        lowered = fwd.lower(sharded_params, batch)
+        hlo = lowered.compile().as_text()
+        lang, pool = fwd(sharded_params, batch)
+        jax.block_until_ready(lang)
+
+    # numerics match the replicated forward
+    np.testing.assert_allclose(np.asarray(lang), np.asarray(ref_lang), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pool), np.asarray(ref_pool), atol=2e-5)
+
+    # activations are PHYSICALLY seq-sharded: each device holds s/2 rows of
+    # n/2 examples, i.e. 1/4 of the lang activation memory
+    shard_shape = lang.addressable_shards[0].data.shape
+    assert shard_shape == (n // 2, s // 2, base.hidden_size), shard_shape
+
+    # the Ulysses layout switch lowered to real all-to-all collectives
+    assert "all-to-all" in hlo or "AllToAll" in hlo, "no all-to-all in HLO"

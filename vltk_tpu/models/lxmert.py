@@ -65,6 +65,10 @@ class LxmertConfig:
     # compute
     dtype: Optional[str] = None  # "bfloat16" for MXU; params stay f32
     activation_sharding: bool = False  # seq-parallel constraints (needs mesh)
+    # Ulysses head-sharded attention for the lang stream (needs
+    # activation_sharding and num_heads divisible by model*seq axes) —
+    # the real long-context path (SURVEY §5.7)
+    seq_attention_sharding: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -99,12 +103,27 @@ class MultiHeadAttention(nn.Module):
     cross-attention (ctx=other modality); LXMERT shares one cross-attention
     weight set for both directions, which the caller gets by applying this
     module twice with swapped inputs.
+
+    ``seq_shard=True`` (with cfg.activation_sharding) turns on
+    Ulysses-style sequence parallelism (DeepSpeed-Ulysses, 2309.14509) for
+    this call: the residual stream stays *sequence*-sharded over the
+    ``seq`` mesh axis, and the q/k/v tensors are re-constrained to
+    *head*-sharded — XLA lowers the layout switch to all-to-alls over ICI —
+    so every device computes full-sequence attention for nh/seq_parallel
+    heads and no device ever holds the full (S, S) score matrix row block
+    for all heads. The attention output is constrained back to
+    sequence-sharded before the output projection. This is what makes
+    OCR-document token streams beyond 512 trainable (SURVEY §5.7); the
+    reference could only truncate (reference: vltk/configs.py:113-114).
     """
 
     cfg: LxmertConfig
 
     @nn.compact
-    def __call__(self, x, ctx, ctx_mask, deterministic: bool = True):
+    def __call__(
+        self, x, ctx, ctx_mask, deterministic: bool = True,
+        seq_shard: bool = False,
+    ):
         cfg = self.cfg
         dt = cfg.compute_dtype
         n, s, h = x.shape
@@ -116,6 +135,15 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(n, s, nh, dh)
         k = k.reshape(n, ctx.shape[1], nh, dh)
         v = v.reshape(n, ctx.shape[1], nh, dh)
+        if seq_shard:
+            # Ulysses all-to-all in: seq-sharded -> head-sharded. Heads are
+            # already model-sharded by the TP param rules (q/k/v kernels
+            # P(None, "model"), model-major blocks), so "seq" takes the
+            # minor head slice — the layout switch is an all-to-all over
+            # the seq axis only.
+            q = _constrain(q, cfg, ("data", None, ("model", "seq"), None))
+            k = _constrain(k, cfg, ("data", None, ("model", "seq"), None))
+            v = _constrain(v, cfg, ("data", None, ("model", "seq"), None))
 
         scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(
             jnp.asarray(dh, dt)
@@ -127,7 +155,12 @@ class MultiHeadAttention(nn.Module):
         probs = nn.Dropout(cfg.attention_dropout, name="att_drop")(
             probs, deterministic=deterministic
         )
-        out = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, s, h)
+        out4 = jnp.einsum("nhqk,nkhd->nqhd", probs, v)
+        if seq_shard:
+            # Ulysses all-to-all out: head-sharded -> seq-sharded, so the
+            # output projection and residual run on the seq-sharded stream
+            out4 = _constrain(out4, cfg, ("data", "seq", ("model",), None))
+        out = out4.reshape(n, s, h)
         out = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="att_out")(
             out
         )
@@ -166,13 +199,16 @@ class FeedForward(nn.Module):
 
 
 class TransformerLayer(nn.Module):
-    """Single-modality layer: self-attention + FFN."""
+    """Single-modality layer: self-attention + FFN. ``seq_shard`` enables
+    the Ulysses head-sharded attention path (lang stream only)."""
 
     cfg: LxmertConfig
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool = True):
-        x = MultiHeadAttention(self.cfg, name="att")(x, x, mask, deterministic)
+    def __call__(self, x, mask, deterministic: bool = True, seq_shard: bool = False):
+        x = MultiHeadAttention(self.cfg, name="att")(
+            x, x, mask, deterministic, seq_shard=seq_shard
+        )
         return FeedForward(self.cfg, name="ffn")(x, deterministic)
 
 
@@ -183,14 +219,18 @@ class CrossModalityLayer(nn.Module):
     cfg: LxmertConfig
 
     @nn.compact
-    def __call__(self, lang, lang_mask, visn, visn_mask, deterministic=True):
+    def __call__(self, lang, lang_mask, visn, visn_mask, deterministic=True,
+                 seq_shard: bool = False):
         cfg = self.cfg
         cross = MultiHeadAttention(cfg, name="cross_att")
-        lang2 = cross(lang, visn, visn_mask, deterministic)
+        # lang-query cross-attention rides the Ulysses path too (long lang
+        # stream, short visual context); the visn-query direction stays
+        # replicated over seq (36 tokens)
+        lang2 = cross(lang, visn, visn_mask, deterministic, seq_shard=seq_shard)
         visn2 = cross(visn, lang, lang_mask, deterministic)
 
         lang2 = MultiHeadAttention(cfg, name="lang_self_att")(
-            lang2, lang2, lang_mask, deterministic
+            lang2, lang2, lang_mask, deterministic, seq_shard=seq_shard
         )
         visn2 = MultiHeadAttention(cfg, name="visn_self_att")(
             visn2, visn2, visn_mask, deterministic
@@ -305,9 +345,10 @@ class Lxmert(nn.Module):
         )
         lang = _constrain(lang, cfg, ("data", "seq", None))
 
+        seq_shard = cfg.activation_sharding and cfg.seq_attention_sharding
         for i in range(cfg.l_layers):
             lang = TransformerLayer(cfg, name=f"layer_{i}")(
-                lang, attention_mask, deterministic
+                lang, attention_mask, deterministic, seq_shard=seq_shard
             )
             lang = _constrain(lang, cfg, ("data", "seq", None))
         for i in range(cfg.r_layers):
@@ -316,7 +357,8 @@ class Lxmert(nn.Module):
             )
         for i in range(cfg.x_layers):
             lang, visn = CrossModalityLayer(cfg, name=f"x_layer_{i}")(
-                lang, attention_mask, visn, visual_mask, deterministic
+                lang, attention_mask, visn, visual_mask, deterministic,
+                seq_shard=seq_shard,
             )
             lang = _constrain(lang, cfg, ("data", "seq", None))
 
