@@ -9,16 +9,26 @@ Baseline north star (BASELINE.json): >= 2000 images/sec/chip on v5e-8 for
 time on GPU/CPU (reference: vltk/abc/extraction.py:142) and published no
 numbers.
 
-Default config: full ResNet-101-C4 VG model (1600 classes + 400 attrs),
-bf16 compute, fused device preprocess (resize 800/1333 + caffe-BGR
-normalize + pad), post_nms_topk=300 proposals, 36 detections out —
-landscape COCO-shaped inputs on a (832, 1344) canvas.
+Modes (dtype is part of the metric name — bf16 is NOT exact parity with the
+f32 torch reference; measured drift is documented in BASELINE.md):
 
-  --smoke   tiny model on CPU (CI / driver sanity)
-  --fast    non-parity throughput preset (100 proposals; see
-            FRCNNConfig.fast_extraction)
-  --batch   device batch size (default 16)
-  --steps   timed steps (default 5)
+  (default)     parity geometry (R101-C4, 300 proposals, 36 detections),
+                bf16 compute, double-buffered uint8 host feed
+                -> frcnn_extraction_throughput_bf16
+  --f32         same geometry, f32 compute (exact-parity numerics)
+                -> frcnn_extraction_throughput_f32_parity
+  --fast        non-parity throughput preset (100 proposals, bf16)
+                -> frcnn_extraction_throughput_fast
+  --e2e         end-to-end: jpegs on disk -> host decode -> device feed ->
+                FRCNN -> arrow dataset, via adapters/extraction.py
+                -> frcnn_extraction_e2e
+  --drift       not a benchmark: runs f32 and bf16 on identical inputs and
+                reports box/feature deltas (the bf16 honesty number)
+  --smoke       tiny model on CPU (CI / driver sanity)
+
+  --batch N     device batch size (default 16)
+  --steps N     timed steps (default 5)
+  --roi-chunk N scan res5 over N-RoI chunks (HBM cap; lets batch 32 fit)
 """
 
 import argparse
@@ -28,16 +38,12 @@ import sys
 import time
 
 
-def build_step(smoke: bool, batch: int, fast: bool = False):
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
+    from vltk_tpu.models import FRCNNConfig
 
-    from vltk_tpu.models import FRCNN, FRCNNConfig
-    from vltk_tpu.ops.image_ops import preprocess_batch
-
+    roi_chunk = args.roi_chunk
     if smoke:
-        cfg = FRCNNConfig(
+        return FRCNNConfig(
             depth=50,
             stem_out_channels=8,
             res2_out_channels=16,
@@ -52,25 +58,36 @@ def build_step(smoke: bool, batch: int, fast: bool = False):
             min_detections=4,
             max_detections=4,
         )
-        raw_canvas, canvas = (64, 64), (64, 64)
-        short, maximum = 48.0, 64.0
-        raw_hw = (48, 64)
-    elif fast:
-        cfg = FRCNNConfig.fast_extraction()
-        raw_canvas, canvas = (512, 672), (832, 1344)
-        short, maximum = 800.0, 1333.0
-        raw_hw = (480, 640)
-    else:
-        cfg = FRCNNConfig(post_nms_topk=300, dtype="bfloat16")
-        raw_canvas, canvas = (512, 672), (832, 1344)
-        short, maximum = 800.0, 1333.0
-        raw_hw = (480, 640)
+    if fast:
+        return FRCNNConfig.fast_extraction(roi_chunk=roi_chunk)
+    return FRCNNConfig(post_nms_topk=300, dtype=dtype, roi_chunk=roi_chunk)
+
+
+GEOM = {
+    # (raw_canvas, canvas, short, maximum, raw_hw)
+    "smoke": ((64, 64), (64, 64), 48.0, 64.0, (48, 64)),
+    "full": ((512, 672), (832, 1344), 800.0, 1333.0, (480, 640)),
+}
+
+
+def build_step(cfg, batch, smoke):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vltk_tpu.models import FRCNN
+    from vltk_tpu.ops.image_ops import preprocess_batch
+
+    raw_canvas, canvas, short, maximum, raw_hw = GEOM["smoke" if smoke else "full"]
 
     model = FRCNN(cfg=cfg)
     rng = np.random.default_rng(0)
-    raw = jnp.asarray(
-        rng.uniform(0, 255, size=(batch, *raw_canvas, 3)).astype(np.float32)
-    )
+    # two distinct host batches for the double-buffered feed (uint8: the
+    # device preprocess casts; transfers are 4x smaller than f32)
+    raws = [
+        rng.integers(0, 256, size=(batch, *raw_canvas, 3)).astype(np.uint8)
+        for _ in range(2)
+    ]
     raw_sizes = jnp.asarray([raw_hw] * batch, jnp.int32)
 
     params = model.init(
@@ -89,15 +106,158 @@ def build_step(smoke: bool, batch: int, fast: bool = False):
         )
         return out["roi_features"], out["boxes"], out["preds_per_image"]
 
-    return step, params, raw, raw_sizes
+    return step, params, raws, raw_sizes
+
+
+def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
+    import jax
+    import jax.numpy as jnp
+
+    batch = 2 if smoke else args.batch
+    cfg = make_config(args, fast=fast, smoke=smoke, dtype=dtype)
+    step, params, raws, raw_sizes = build_step(cfg, batch, smoke)
+
+    def fetch(out):
+        # force completion with a host transfer — block_until_ready alone
+        # under-reports on the tunneled TPU platform
+        return float(jnp.sum(out[0]))
+
+    bufs = [jax.device_put(r) for r in raws]
+    fetch(step(params, bufs[0], raw_sizes))  # warmup / compile
+
+    # dispatch all steps, fetch once at the end: device execution is
+    # in-order, so the final transfer bounds all steps while paying the
+    # host<->device roundtrip only once. Each step's input buffer is
+    # re-fed from host numpy right after dispatch — the transfer overlaps
+    # device compute (double buffering), so the feed is ON the clock.
+    t0 = time.perf_counter()
+    out = None
+    for i in range(args.steps):
+        j = i % 2
+        out = step(params, bufs[j], raw_sizes)
+        bufs[j] = jax.device_put(raws[j])
+    fetch(out)
+    dt = time.perf_counter() - t0
+
+    n_chips = max(jax.local_device_count(), 1)
+    imgs_per_sec = batch * args.steps / dt / n_chips
+    emit(metric, imgs_per_sec)
+
+
+def run_e2e_bench(args):
+    """jpegs -> decode -> feed -> FRCNN -> arrow, the real extraction path
+    (reference: abc/extraction.py:142-248 ran this loop at batch size 1)."""
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from vltk_tpu.adapters import Adapters
+
+    n_images = args.batch * args.steps
+    datadir = tempfile.mkdtemp(prefix="vltk_e2e_bench_")
+    img_dir = os.path.join(datadir, "coco2014", "train")
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    h, w = GEOM["full"][4]
+    for i in range(n_images):
+        Image.fromarray(
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        ).save(os.path.join(img_dir, f"COCO_train2014_{i:012d}.jpg"))
+
+    FR = Adapters.get("frcnn")
+    FR.model_batch_size = args.batch
+    common = dict(
+        dataset_name="coco2014",
+        dtype="bfloat16",
+        post_nms_topk=300,
+        pre_nms_topk=2000,
+    )
+    if args.roi_chunk:
+        common["roi_chunk"] = args.roi_chunk
+
+    # warmup run on a copy dir with one batch to absorb the XLA compile
+    warm_dir = tempfile.mkdtemp(prefix="vltk_e2e_warm_")
+    warm_imgs = os.path.join(warm_dir, "coco2014", "train")
+    os.makedirs(warm_imgs)
+    for i in range(args.batch):
+        os.link(
+            os.path.join(img_dir, f"COCO_train2014_{i:012d}.jpg"),
+            os.path.join(warm_imgs, f"COCO_train2014_{i:012d}.jpg"),
+        )
+    FR.extract(warm_dir, **common)
+
+    t0 = time.perf_counter()
+    FR.extract(datadir, **common)
+    dt = time.perf_counter() - t0
+
+    import jax
+
+    n_chips = max(jax.local_device_count(), 1)
+    emit("frcnn_extraction_e2e", n_images / dt / n_chips)
+
+
+def run_drift_report(args):
+    """bf16-vs-f32 numeric drift on identical inputs (parity honesty for
+    BASELINE.md; not a throughput metric)."""
+    import jax
+    import numpy as np
+
+    batch = min(args.batch, 4)
+    outs = {}
+    for dtype in (None, "bfloat16"):
+        cfg = make_config(args, dtype=dtype)
+        step, params, raws, raw_sizes = build_step(cfg, batch, smoke=False)
+        feats, boxes, preds = step(params, jax.device_put(raws[0]), raw_sizes)
+        outs[dtype or "f32"] = (
+            np.asarray(feats, np.float32),
+            np.asarray(boxes, np.float32),
+            np.asarray(preds),
+        )
+    f32, bf16 = outs["f32"], outs["bfloat16"]
+    box_drift = float(np.max(np.abs(f32[1] - bf16[1])))
+    denom = np.maximum(np.abs(f32[0]), 1e-3)
+    feat_rel = float(np.max(np.abs(f32[0] - bf16[0]) / denom))
+    feat_abs = float(np.max(np.abs(f32[0] - bf16[0])))
+    same_counts = bool((f32[2] == bf16[2]).all())
+    print(
+        json.dumps(
+            {
+                "metric": "frcnn_bf16_vs_f32_drift",
+                "box_max_abs_px": round(box_drift, 4),
+                "feat_max_abs": round(feat_abs, 5),
+                "feat_max_rel": round(feat_rel, 5),
+                "same_detection_counts": same_counts,
+                "unit": "drift",
+                "vs_baseline": 0,
+            }
+        )
+    )
+
+
+def emit(metric, imgs_per_sec):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+            }
+        )
+    )
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--e2e", action="store_true")
+    ap.add_argument("--drift", action="store_true")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--roi-chunk", type=int, default=None)
     args = ap.parse_args()
 
     if args.smoke:
@@ -117,42 +277,22 @@ def main():
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-    import jax.numpy as jnp
-
-    batch = 2 if args.smoke else args.batch
-    step, params, raw, raw_sizes = build_step(args.smoke, batch, args.fast)
-
-    def fetch(out):
-        # force completion with a host transfer — block_until_ready alone
-        # under-reports on the tunneled TPU platform
-        return float(jnp.sum(out[0]))
-
-    fetch(step(params, raw, raw_sizes))  # warmup / compile
-
-    # dispatch all steps, fetch once at the end: device execution is
-    # in-order, so the final transfer bounds all steps while paying the
-    # host<->device roundtrip only once
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(args.steps):
-        out = step(params, raw, raw_sizes)
-    fetch(out)
-    dt = time.perf_counter() - t0
-
-    n_chips = max(jax.local_device_count(), 1)
-    imgs_per_sec = batch * args.steps / dt / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "frcnn_extraction_throughput"
-                + ("_smoke" if args.smoke else "")
-                + ("_fast" if args.fast else ""),
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / 2000.0, 4),
-            }
+    if args.smoke:
+        run_device_bench(args, "frcnn_extraction_throughput_smoke", smoke=True)
+    elif args.e2e:
+        run_e2e_bench(args)
+    elif args.drift:
+        run_drift_report(args)
+    elif args.fast:
+        run_device_bench(args, "frcnn_extraction_throughput_fast", fast=True)
+    elif args.f32:
+        run_device_bench(
+            args, "frcnn_extraction_throughput_f32_parity", dtype=None
         )
-    )
+    else:
+        run_device_bench(
+            args, "frcnn_extraction_throughput_bf16", dtype="bfloat16"
+        )
 
 
 if __name__ == "__main__":

@@ -72,6 +72,15 @@ class VisnExtraction(Adapter):
         dicts (keys must match schema())."""
         raise NotImplementedError
 
+    # Optional two-phase forward: if a subclass defines BOTH
+    # ``forward_dispatch(model, batch, **kw) -> state`` (enqueue device
+    # work, return async outputs) and ``forward_collect(model, state) ->
+    # entries`` (fetch to host), the extraction driver overlaps batch k+1's
+    # device compute with batch k's host fetch + arrow write — the device
+    # never idles on the host<->device roundtrip (N8 feed, SURVEY §2.10).
+    forward_dispatch = None
+    forward_collect = None
+
     # ------------------------------------------------------------------
     # extraction driver
     # ------------------------------------------------------------------
@@ -191,6 +200,8 @@ class VisnExtraction(Adapter):
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        pipelined = cls.forward_dispatch is not None and cls.forward_collect is not None
+        pending = None  # (device_state, n_real) — one batch in flight
         while True:
             batch = q.get()
             if batch is None:
@@ -199,9 +210,19 @@ class VisnExtraction(Adapter):
                 t.join()
                 raise batch
             n_real = batch.pop("n_real")
-            results = cls.forward(model, batch, **fwd_kwargs)
-            results = results[:n_real]
-            for entry in results:
+            if not pipelined:
+                for entry in cls.forward(model, batch, **fwd_kwargs)[:n_real]:
+                    yield entry
+                continue
+            state = cls.forward_dispatch(model, batch, **fwd_kwargs)
+            if pending is not None:
+                prev_state, prev_n = pending
+                for entry in cls.forward_collect(model, prev_state)[:prev_n]:
+                    yield entry
+            pending = (state, n_real)
+        if pending is not None:
+            prev_state, prev_n = pending
+            for entry in cls.forward_collect(model, prev_state)[:prev_n]:
                 yield entry
         t.join()
 

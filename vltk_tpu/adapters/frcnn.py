@@ -128,10 +128,13 @@ class FRCNN(VisnExtraction):
 
     @classmethod
     def collate(cls, entries: List[Dict[str, Any]]) -> Dict[str, Any]:
-        """Pad decoded raw images to the static raw canvas and stack."""
+        """Pad decoded raw images to the static raw canvas and stack —
+        as uint8: decoded pixels are integral, the device preprocess casts
+        to f32 anyway, and the host->device transfer (the feed's bandwidth
+        bill, ~22 MB/image at the f32 raw canvas) shrinks 4x."""
         ch, cw = cls.raw_canvas
         n = len(entries)
-        images = np.zeros((n, ch, cw, 3), np.float32)
+        images = np.zeros((n, ch, cw, 3), np.uint8)
         raw_sizes = np.zeros((n, 2), np.int32)
         imgids = []
         for i, e in enumerate(entries):
@@ -147,17 +150,24 @@ class FRCNN(VisnExtraction):
                     np.float32,
                 )
                 h, w = nh, nw
-            images[i, :h, :w] = img
+            images[i, :h, :w] = img.astype(np.uint8)
             raw_sizes[i] = (h, w)
             imgids.append(e[V.imgid])
         return {V.img: images, V.rawsize: raw_sizes, V.imgid: imgids}
 
     @classmethod
-    def forward(cls, model, batch: Mapping[str, Any], **kwargs):
+    def forward_dispatch(cls, model, batch: Mapping[str, Any], **kwargs):
+        """Enqueue the device step; no host sync — the driver overlaps the
+        fetch of the previous batch with this one's compute."""
         out = model["step"](model["params"], batch[V.img], batch[V.rawsize])
+        return (out, list(batch[V.imgid]))
+
+    @classmethod
+    def forward_collect(cls, model, state) -> List[Dict[str, Any]]:
+        out, imgids = state
         out = {k: np.asarray(v) for k, v in out.items()}
         entries = []
-        for i, imgid in enumerate(batch[V.imgid]):
+        for i, imgid in enumerate(imgids):
             entries.append(
                 {
                     V.imgid: imgid,
@@ -170,3 +180,9 @@ class FRCNN(VisnExtraction):
                 }
             )
         return entries
+
+    @classmethod
+    def forward(cls, model, batch: Mapping[str, Any], **kwargs):
+        return cls.forward_collect(
+            model, cls.forward_dispatch(model, batch, **kwargs)
+        )
