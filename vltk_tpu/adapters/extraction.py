@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict,  Iterator, List, Mapping, Optional, Sequence
 
 import numpy as np
@@ -43,6 +44,7 @@ class VisnExtraction(Adapter):
     dataset: Optional[str] = None  # name of the VisnDataset whose images we read
     model_batch_size: int = 8
     prefetch_depth: int = 2
+    decode_workers: int = 8  # parallel host jpeg decode (PIL drops the GIL)
 
     @classmethod
     def full_schema(cls, **kwargs) -> Dict[str, Any]:
@@ -168,6 +170,13 @@ class VisnExtraction(Adapter):
         """Host decode pipeline -> device batches -> per-image entries."""
         items = sorted(id2path.items())
         bs = cls.model_batch_size
+        decode_pool = ThreadPoolExecutor(max_workers=max(cls.decode_workers, 1))
+
+        def decode_one(item):
+            imgid, path = item
+            entry = processor(path)
+            entry[V.imgid] = imgid
+            return entry
 
         def load_batch(chunk):
             # pad the final partial chunk by repeating the last item so the
@@ -176,11 +185,7 @@ class VisnExtraction(Adapter):
             # the padded copies are dropped after forward via n_real
             n_real = len(chunk)
             padded = list(chunk) + [chunk[-1]] * (bs - n_real)
-            batch_entries = []
-            for imgid, path in padded:
-                entry = processor(path)
-                entry[V.imgid] = imgid
-                batch_entries.append(entry)
+            batch_entries = list(decode_pool.map(decode_one, padded))
             batch = cls.collate(batch_entries)
             batch["n_real"] = n_real
             return batch
@@ -225,6 +230,7 @@ class VisnExtraction(Adapter):
             for entry in cls.forward_collect(model, prev_state)[:prev_n]:
                 yield entry
         t.join()
+        decode_pool.shutdown(wait=True)
 
 
 def _stack_entries(entries: List[Dict[str, Any]]) -> Dict[str, Any]:
