@@ -236,3 +236,52 @@ def test_ulysses_seq2048_matches_replicated():
 
     # the Ulysses layout switch lowered to real all-to-all collectives
     assert "all-to-all" in hlo or "AllToAll" in hlo, "no all-to-all in HLO"
+
+
+def test_layoutlm_ulysses_long_ocr():
+    """LayoutLM (single-stream OCR encoder) rides the same Ulysses path:
+    seq-1024 forward matches replicated — FUNSD/DocVQA streams beyond the
+    512 ceiling are shardable, not just truncatable."""
+    _need_devices(8)
+    from vltk_tpu.models.layoutlm import LayoutLM, LayoutLMConfig
+
+    mesh = make_mesh(MeshConfig(axes=(("data", 2), ("seq", 2), ("model", 2))))
+    base = LayoutLMConfig(
+        vocab_size=64,
+        hidden_size=16,
+        num_heads=4,
+        intermediate_size=32,
+        l_layers=2,
+        max_position_embeddings=1024,
+        num_labels=3,
+    )
+    ul = LayoutLMConfig(
+        **{**base.__dict__, "activation_sharding": True,
+           "seq_attention_sharding": True}
+    )
+    rng = np.random.default_rng(4)
+    n, s = 4, 1024
+    ids = rng.integers(0, base.vocab_size, (n, s)).astype(np.int32)
+    boxes = rng.integers(0, 1000, (n, s, 4)).astype(np.int32)
+    mask = np.ones((n, s), np.float32)
+
+    ref_model = LayoutLM(base)
+    params = ref_model.init(
+        jax.random.PRNGKey(0), ids[:1, :8], boxes[:1, :8]
+    )["params"]
+    ref = ref_model.apply({"params": params}, ids, boxes, mask)
+
+    ul_model = LayoutLM(ul)
+    sharded_params = shard_params(params, LXMERT_RULES, mesh)
+    batch = shard_batch({"ids": ids, "boxes": boxes, "mask": mask}, mesh)
+
+    @jax.jit
+    def fwd(p, b):
+        return ul_model.apply({"params": p}, b["ids"], b["boxes"], b["mask"])
+
+    with mesh:
+        got = fwd(sharded_params, batch)
+        jax.block_until_ready(got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    shard_shape = got.addressable_shards[0].data.shape
+    assert shard_shape == (n // 2, s // 2, base.hidden_size), shard_shape

@@ -349,6 +349,7 @@ def _run_parity(ref, *, canvas, sizes, scales_yx=None, ignorey=None, seed=0, **s
 
     for i in range(n):
         k = int(out_t["preds_per_image"][i])
+        assert k > 0, "no detections — the parity comparison would be vacuous"
         assert int(np.asarray(out_j["preds_per_image"])[i]) == k
         assert bool(np.asarray(out_j["mask"])[i, :k].all())
         np.testing.assert_allclose(

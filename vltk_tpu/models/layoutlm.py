@@ -24,6 +24,7 @@ from vltk_tpu.models.lxmert import (
     Embeddings,
     LxmertConfig,
     TransformerLayer,
+    _constrain,
     _dense_init,
     masked_cross_entropy,
 )
@@ -69,10 +70,18 @@ class LayoutLM(nn.Module):
             )(boxes[..., i])
         if attention_mask is None:
             attention_mask = jnp.ones(input_ids.shape, jnp.float32)
+        # single-stream = the whole model is the "lang" stream: the Ulysses
+        # head-sharded attention (models/lxmert.py) applies to every layer,
+        # which is exactly the long-OCR-document case (FUNSD/DocVQA token
+        # streams beyond 512, SURVEY §5.7)
+        seq_shard = cfg.activation_sharding and cfg.seq_attention_sharding
+        x = _constrain(x, cfg, ("data", "seq", None))
         for i in range(cfg.l_layers):
             x = TransformerLayer(cfg, name=f"layer_{i}")(
-                x, attention_mask.astype(jnp.float32), deterministic
+                x, attention_mask.astype(jnp.float32), deterministic,
+                seq_shard=seq_shard,
             )
+            x = _constrain(x, cfg, ("data", "seq", None))
         return x
 
 
