@@ -1,0 +1,160 @@
+"""Detection fine-tuning path: losses + a short training loop.
+
+The reference carries Matcher/subsample_labels but every training branch
+raises NotImplementedError (reference: vltk/modeling/frcnn.py:1296-1302,
+1930-1931); these tests cover the completed trainable path
+(vltk_tpu/models/detection_loss.py)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from vltk_tpu.models import FRCNN, FRCNNConfig, fast_rcnn_losses, rpn_losses
+from vltk_tpu.models.detection_loss import subsample_mask
+
+TINY = FRCNNConfig(
+    depth=50,
+    stem_out_channels=8,
+    res2_out_channels=16,
+    width_per_group=4,
+    rpn_hidden_channels=16,
+    anchor_sizes=(16, 32),
+    pre_nms_topk=64,
+    post_nms_topk=32,
+    num_classes=7,
+    num_attrs=5,
+    pooler_resolution=7,
+    min_detections=4,
+    max_detections=4,
+)
+
+
+class TestSubsampleMask:
+    def test_counts_and_pools(self):
+        labels = jnp.asarray(
+            np.array([1] * 10 + [0] * 50 + [-1] * 20, np.int8)
+        )
+        mask = np.asarray(
+            subsample_mask(labels, jax.random.PRNGKey(0), 32, 0.5)
+        )
+        lab = np.asarray(labels)
+        assert mask.sum() == 32
+        # positives capped at num_samples * fraction but limited by supply
+        assert mask[lab == 1].sum() == 10  # all 10 positives (< 16 target)
+        assert mask[lab == 0].sum() == 22  # remainder from negatives
+        assert mask[lab == -1].sum() == 0  # ignores never sampled
+
+    def test_respects_positive_fraction(self):
+        labels = jnp.asarray(np.array([1] * 100 + [0] * 100, np.int8))
+        mask = np.asarray(
+            subsample_mask(labels, jax.random.PRNGKey(1), 64, 0.25)
+        )
+        lab = np.asarray(labels)
+        assert mask.sum() == 64
+        assert mask[lab == 1].sum() == 16
+        assert mask[lab == 0].sum() == 48
+
+    def test_randomness_differs_by_key(self):
+        labels = jnp.asarray(np.array([0] * 200, np.int8))
+        m1 = np.asarray(subsample_mask(labels, jax.random.PRNGKey(0), 50, 0.5))
+        m2 = np.asarray(subsample_mask(labels, jax.random.PRNGKey(1), 50, 0.5))
+        assert m1.sum() == m2.sum() == 50
+        assert (m1 != m2).any()
+
+
+def _gt_batch():
+    """Two images, fixed (G=3, 4) gt with validity masks."""
+    gt_boxes = np.array(
+        [
+            [[4, 4, 28, 30], [34, 30, 60, 58], [0, 0, 0, 0]],
+            [[10, 8, 40, 44], [0, 0, 0, 0], [0, 0, 0, 0]],
+        ],
+        np.float32,
+    )
+    gt_valid = np.array([[1, 1, 0], [1, 0, 0]], bool)
+    gt_classes = np.array([[2, 5, 0], [1, 0, 0]], np.int32)
+    return (
+        jnp.asarray(gt_boxes),
+        jnp.asarray(gt_valid),
+        jnp.asarray(gt_classes),
+    )
+
+
+class TestDetectionLosses:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = FRCNN(cfg=TINY)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.uniform(-40, 40, (2, 64, 64, 3)).astype(np.float32)
+        )
+        sizes = jnp.asarray([[64.0, 64.0], [64.0, 64.0]])
+        params = model.init(jax.random.PRNGKey(0), images, sizes)["params"]
+        return model, params, images, sizes
+
+    def test_losses_finite_and_positive(self, setup):
+        model, params, images, sizes = setup
+        gt_boxes, gt_valid, gt_classes = _gt_batch()
+        out = model.apply({"params": params}, images, sizes, return_raw=True)
+        raw = out["raw"]
+        obj, loc = rpn_losses(
+            raw["anchors"], raw["rpn_logits"], raw["rpn_deltas"],
+            gt_boxes, gt_valid, jax.random.PRNGKey(2),
+            batch_size_per_image=64,
+        )
+        cls, box = fast_rcnn_losses(
+            raw["proposals"], raw["prop_valid"], raw["obj_logits"],
+            raw["box_deltas"], gt_boxes, gt_classes, gt_valid,
+            jax.random.PRNGKey(3), batch_size_per_image=32,
+        )
+        for v in (obj, loc, cls, box):
+            v = float(v)
+            assert np.isfinite(v) and v >= 0
+
+    def test_finetune_step_reduces_loss(self, setup):
+        """The actual fine-tune loop: jitted value_and_grad over the full
+        model with both loss groups; loss must drop and grads stay finite —
+        the capability the reference's NotImplementedError walls off."""
+        import optax
+
+        model, params, images, sizes = setup
+        gt_boxes, gt_valid, gt_classes = _gt_batch()
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, step_rng):
+            out = model.apply({"params": p}, images, sizes, return_raw=True)
+            raw = out["raw"]
+            r1, r2 = jax.random.split(step_rng)
+            obj, loc = rpn_losses(
+                raw["anchors"], raw["rpn_logits"], raw["rpn_deltas"],
+                gt_boxes, gt_valid, r1, batch_size_per_image=64,
+            )
+            cls, box = fast_rcnn_losses(
+                raw["proposals"], jax.lax.stop_gradient(raw["prop_valid"]),
+                raw["obj_logits"], raw["box_deltas"],
+                gt_boxes, gt_classes, gt_valid, r2,
+                batch_size_per_image=32,
+            )
+            return obj + loc + cls + box
+
+        @jax.jit
+        def train_step(p, o, step_rng):
+            loss, grads = jax.value_and_grad(loss_fn)(p, step_rng)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss, grads
+
+        losses = []
+        p = params
+        for i in range(6):
+            p, opt_state, loss, grads = train_step(
+                p, opt_state, jax.random.PRNGKey(100)  # fixed sampling rng
+            )
+            loss = float(loss)
+            assert np.isfinite(loss)
+            flat, _ = jax.flatten_util.ravel_pytree(grads)
+            assert bool(jnp.isfinite(flat).all()), f"non-finite grads at {i}"
+            losses.append(loss)
+        assert losses[-1] < losses[0], losses

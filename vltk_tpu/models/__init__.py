@@ -1,4 +1,9 @@
 from vltk_tpu.models.frcnn import FRCNN, FRCNNConfig
+from vltk_tpu.models.detection_loss import (
+    fast_rcnn_losses,
+    rpn_losses,
+    subsample_mask,
+)
 from vltk_tpu.models.convert import (
     jax_lxmert_to_torch,
     jax_vit_to_torch,

@@ -146,6 +146,7 @@ class FRCNN(nn.Module):
         image_sizes: jnp.ndarray,
         scales_yx: Optional[jnp.ndarray] = None,
         ignorey: Optional[jnp.ndarray] = None,
+        return_raw: bool = False,
     ):
         """Args:
           images: (N, H, W, 3) BGR caffe-normalized, padded to the static
@@ -155,6 +156,12 @@ class FRCNN(nn.Module):
             coordinates via multiply (reference: ROIOutputs 1280-1283).
           ignorey: optional (N, J, 2) document y-band exclusion ranges for
             the RPN (reference: frcnn.py:275, 328-366); needs scales_yx.
+          return_raw: also return the pre-postprocess tensors a detection
+            trainer consumes (models/detection_loss.py) under "raw":
+            rpn_logits (N, A), rpn_deltas (N, A, 4), anchors (A, 4),
+            proposals/prop_scores/prop_valid, obj_logits, attr_logits,
+            box_deltas. The reference's training branches all raise
+            NotImplementedError (frcnn.py:1296-1302, 1930-1931).
 
         Returns a dict of fixed-shape tensors:
           boxes (N, D, 4), obj_ids (N, D), obj_probs (N, D),
@@ -223,7 +230,7 @@ class FRCNN(nn.Module):
         if attr_logits is not None:
             attr_logits = attr_logits.astype(jnp.float32)
 
-        return _postprocess(
+        out = _postprocess(
             cfg,
             prop_boxes,
             prop_valid,
@@ -234,6 +241,23 @@ class FRCNN(nn.Module):
             image_sizes,
             scales_yx,
         )
+        if return_raw:
+            out["raw"] = {
+                "rpn_logits": logits.astype(jnp.float32).reshape(
+                    logits.shape[0], -1
+                ),
+                "rpn_deltas": deltas.astype(jnp.float32).reshape(
+                    deltas.shape[0], -1, 4
+                ),
+                "anchors": anchors,
+                "proposals": prop_boxes,
+                "prop_scores": prop_scores,
+                "prop_valid": prop_valid,
+                "obj_logits": obj_logits,
+                "attr_logits": attr_logits,
+                "box_deltas": box_deltas,
+            }
+        return out
 
 
 def _postprocess(
