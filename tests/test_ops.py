@@ -263,6 +263,24 @@ class TestRoIPoolPallas:
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_channel_block_override_matches(self, rng):
+        """Explicit channel blocking (perf knob) is numerically identical
+        to the auto heuristic."""
+        from vltk_tpu.ops.pallas_kernels import roi_pool_pallas
+
+        feat = rng.standard_normal((2, 12, 16, 8)).astype(np.float32)
+        boxes = np.array(
+            [[[0, 0, 100, 100], [16, 16, 200, 150]]] * 2, np.float32
+        )
+        auto = roi_pool_pallas(
+            jnp.asarray(feat), jnp.asarray(boxes), 7, 1 / 16, interpret=True
+        )
+        blocked = roi_pool_pallas(
+            jnp.asarray(feat), jnp.asarray(boxes), 7, 1 / 16, interpret=True,
+            channel_block=4,
+        )
+        np.testing.assert_array_equal(np.asarray(auto), np.asarray(blocked))
+
     def test_auto_dispatch_off_tpu(self, rng):
         from vltk_tpu.ops.pallas_kernels import roi_pool_auto
 

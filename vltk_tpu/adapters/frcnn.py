@@ -88,12 +88,26 @@ class FRCNN(VisnExtraction):
             pre = preprocess_batch(
                 raw_images, raw_sizes, canvas_hw=canvas, short=short, maximum=maximum
             )
-            return model.apply(
+            out = model.apply(
                 {"params": params},
                 pre["img"],
                 pre["sizes"],
                 scales_yx=pre["scales_yx"],
             )
+            # pack everything the writer needs into ONE f32 buffer: each
+            # separate device->host fetch pays the transport's fixed cost
+            # (~0.5 s on the dev tunnel, nontrivial on any link), so one
+            # (B, D, 2048+4+1+1) transfer replaces four
+            packed = jnp.concatenate(
+                [
+                    out["roi_features"].astype(jnp.float32),
+                    out["boxes"].astype(jnp.float32),
+                    out["obj_ids"].astype(jnp.float32)[..., None],
+                    out["attr_ids"].astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
+            return packed
 
         bundle = {"step": step, "params": params, "cfg": cfg}
         model_config = {
@@ -159,24 +173,29 @@ class FRCNN(VisnExtraction):
     def forward_dispatch(cls, model, batch: Mapping[str, Any], **kwargs):
         """Enqueue the device step; no host sync — the driver overlaps the
         fetch of the previous batch with this one's compute."""
-        out = model["step"](model["params"], batch[V.img], batch[V.rawsize])
-        return (out, list(batch[V.imgid]))
+        packed = model["step"](model["params"], batch[V.img], batch[V.rawsize])
+        return (packed, list(batch[V.imgid]))
 
     @classmethod
     def forward_collect(cls, model, state) -> List[Dict[str, Any]]:
-        out, imgids = state
-        out = {k: np.asarray(v) for k, v in out.items()}
+        packed, imgids = state
+        packed = np.asarray(packed)  # the ONE device->host fetch
+        dim = packed.shape[-1] - 6
+        feats = packed[..., :dim]
+        boxes = packed[..., dim : dim + 4]
+        obj_ids = packed[..., dim + 4].astype(np.int64)
+        attr_ids = packed[..., dim + 5].astype(np.int64)
         entries = []
         for i, imgid in enumerate(imgids):
             entries.append(
                 {
                     V.imgid: imgid,
-                    "object_ids": out["obj_ids"][i].tolist(),
-                    "attr_ids": out["attr_ids"][i].tolist(),
-                    V.features: out["roi_features"][i],
+                    "object_ids": obj_ids[i].tolist(),
+                    "attr_ids": attr_ids[i].tolist(),
+                    V.features: feats[i],
                     # boxes already rescaled to raw coords by scales_yx;
                     # round like the reference (adapters/frcnn.py:58)
-                    V.boxes: np.round(out["boxes"][i]).tolist(),
+                    V.boxes: np.round(boxes[i]).tolist(),
                 }
             )
         return entries

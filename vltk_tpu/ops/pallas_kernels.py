@@ -22,6 +22,15 @@ from 5 masked rows to 2 table rows per bin; (b) grouping 10 RoIs per grid
 step to amortize step overhead. Both were reverted for simplicity (git
 history: "in-kernel tables" experiments).
 
+Round-2 channel-block sweep (same shape, micro-bench): cb=256 (auto
+heuristic) 39.6 ms, cb=512 43.6 ms, cb=1024 refuses to compile (scoped
+vmem 21.4M > 16M). Halving the grid-step count made it *slower*, so the
+kernel is not step-count bound either; at 9600 (image, cb, roi) steps the
+measured ~4.1 us/step matches the VMEM read traffic of the 28 serial
+masked-slice ops per step — cutting it further needs fewer/larger inner
+ops (the bins' unequal heights block a single reshape-reduce), not
+different blocking. Re-measure before re-attempting any of the above.
+
 All VMEM traffic, no gathers; bin arithmetic (integer edges identical to
 torchvision, see ops/roi_pool.py:_roi_bin_edges) is precomputed in XLA and
 fed through SMEM. Grid = (B, P) with the image block reused across the P
@@ -88,7 +97,8 @@ def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, rowmax_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("output_size", "spatial_scale", "interpret")
+    jax.jit,
+    static_argnames=("output_size", "spatial_scale", "interpret", "channel_block"),
 )
 def roi_pool_pallas(
     features: jnp.ndarray,
@@ -96,6 +106,7 @@ def roi_pool_pallas(
     output_size: int = 14,
     spatial_scale: float = 1.0 / 16,
     interpret: bool = False,
+    channel_block: int = 0,
 ) -> jnp.ndarray:
     """Batched exact RoIPool.
 
@@ -130,10 +141,14 @@ def roi_pool_pallas(
     # block the channel dim so the (1, H, W, Cb) image block stays well
     # under VMEM even double-buffered (Mosaic pipelines input blocks);
     # channel blocks sit between batch and RoIs in the grid so the image
-    # block is reused across all P inner steps
-    cb = c
-    while cb > 128 and (h * w * cb * features.dtype.itemsize) > 4 * 2**20:
-        cb //= 2
+    # block is reused across all P inner steps. channel_block=0 picks the
+    # 4 MB-per-block heuristic; nonzero overrides (perf experiments)
+    if channel_block:
+        cb = min(channel_block, c)
+    else:
+        cb = c
+        while cb > 128 and (h * w * cb * features.dtype.itemsize) > 4 * 2**20:
+            cb //= 2
     n_cb = -(-c // cb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
