@@ -158,3 +158,66 @@ class TestDetectionLosses:
             assert bool(jnp.isfinite(flat).all()), f"non-finite grads at {i}"
             losses.append(loss)
         assert losses[-1] < losses[0], losses
+
+
+class TestDetectionExperiment:
+    def test_e2e_coco_finetune(self, tmp_path, rng):
+        """Full path: synthetic COCO dir -> builder -> vision loader
+        (gt_boxes/vlabels) -> FRCNNDetectExperiment -> jitted train epoch.
+        The XYWH->XYXY + resize-rescale + BGR-normalize plumbing all lives
+        in prepare_batch, so a finite decreasing loss here covers it."""
+        import json
+
+        from PIL import Image
+
+        import vltk_tpu as vltk
+        from vltk_tpu.experiments import Experiments
+
+        img_dir = tmp_path / "coco2014" / "train"
+        ann_dir = tmp_path / "coco2014" / "annotations"
+        img_dir.mkdir(parents=True)
+        ann_dir.mkdir(parents=True)
+        images, annos = [], []
+        for i in range(4):
+            imgid = 9100 + i
+            Image.fromarray(
+                (rng.random((40, 56, 3)) * 255).astype("uint8")
+            ).save(img_dir / f"COCO_train2014_{imgid:012d}.jpg")
+            images.append(
+                {"id": imgid, "file_name": f"COCO_train2014_{imgid:012d}.jpg",
+                 "height": 40, "width": 56}
+            )
+            annos.append(
+                {"image_id": imgid, "bbox": [4 + i, 6, 20, 14],
+                 "category_id": 1 + i % 2,
+                 "segmentation": [[4, 6, 24, 6, 24, 20, 4, 20]],
+                 "area": 280, "iscrowd": 0}
+            )
+        (ann_dir / "instances_train2014.json").write_text(
+            json.dumps({"images": images, "annotations": annos,
+                        "categories": [{"id": 1, "name": "thing"},
+                                       {"id": 2, "name": "stuff"}]})
+        )
+
+        cfg = vltk.Config()
+        cfg.logdir = str(tmp_path / "logs")
+        cfg.data.update(dict(
+            datadir=str(tmp_path),
+            train_datasets=(("coco2014", "train"),),
+            train_batch_size=2, num_workers=0, shuffle=False,
+            drop_last=True, max_detections=6, ignore_segmentation=True,
+        ))
+        cfg.data.vision.update({"size": (48, 64)})
+        cfg.train.update(dict(epochs=2, learning_rate=1e-3))
+
+        class Tiny(Experiments.get("frcnn_detect")):
+            model_config = TINY
+            rpn_batch_per_image = 32
+            roi_batch_per_image = 16
+
+        exp = Tiny(cfg)
+        result = exp()
+        loss = float(result["train"]["loss"])
+        assert np.isfinite(loss) and loss > 0
+        for k in ("rpn_obj", "rpn_loc", "roi_cls", "roi_box"):
+            assert np.isfinite(float(result["train"][k]))

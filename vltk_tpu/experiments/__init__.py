@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Dict, List, Type
 
 from vltk_tpu.experiments.data import DataExperiment
+from vltk_tpu.experiments.frcnn_detect import FRCNNDetectExperiment
 from vltk_tpu.experiments.lxmert_pretrain import LxmertPretrainExperiment
 from vltk_tpu.experiments.lxmert_vqa import LxmertVQAExperiment
 from vltk_tpu.experiments.docvqa_span import DocVQASpanExperiment
@@ -39,6 +40,7 @@ Experiments = _ExperimentRegistry()
 Experiments.add(
     DataExperiment,
     DocVQASpanExperiment,
+    FRCNNDetectExperiment,
     LxmertVQAExperiment,
     LxmertPretrainExperiment,
     OCRTokenExperiment,
