@@ -140,6 +140,8 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
     # buffer is additionally re-fed from host numpy right after dispatch
     # (double buffering) so the host feed is ON the clock — see the module
     # docstring for why that measures the dev tunnel, not the design.
+    import numpy as _np
+
     t0 = time.perf_counter()
     out = None
     for i in range(args.steps):
@@ -148,6 +150,12 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
         if fed:
             bufs[j] = jax.device_put(raws[j])
     fetch(out)
+    if fed:
+        # fence the trailing re-fed buffers: the last two puts would
+        # otherwise still be in flight when the clock stops, undercounting
+        # the feed by ~2/steps (1-element fetches force real completion)
+        for b in bufs:
+            _np.asarray(b[:1, :1, :1, :1])
     dt = time.perf_counter() - t0
 
     n_chips = max(jax.local_device_count(), 1)

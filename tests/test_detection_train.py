@@ -132,8 +132,10 @@ class TestDetectionLosses:
                 raw["anchors"], raw["rpn_logits"], raw["rpn_deltas"],
                 gt_boxes, gt_valid, r1, batch_size_per_image=64,
             )
+            # detached proposals: detectron's no_grad proposal semantics —
+            # the regression targets must not backprop into the RPN
             cls, box = fast_rcnn_losses(
-                raw["proposals"], jax.lax.stop_gradient(raw["prop_valid"]),
+                jax.lax.stop_gradient(raw["proposals"]), raw["prop_valid"],
                 raw["obj_logits"], raw["box_deltas"],
                 gt_boxes, gt_classes, gt_valid, r2,
                 batch_size_per_image=32,

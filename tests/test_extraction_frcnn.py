@@ -170,3 +170,38 @@ class TestHostPipelineGate:
 
         assert entry[V.img].shape[:2] == canvas_for((32, 48))
         assert tuple(entry[V.rawsize]) == (30, 40)
+
+
+class TestProducerReaping:
+    def test_early_close_reaps_producer_and_pool(self, coco_images):
+        """Abandoning (or erroring out of) _run_split must not leak the
+        decode pool or a producer blocked on the bounded queue."""
+        import threading
+
+        from vltk_tpu.adapters.extraction import VisnExtraction
+        from vltk_tpu.config import VisionConfig
+
+        datadir, ids = coco_images
+
+        class Passthrough(VisnExtraction):
+            _name = "passthrough_probe"
+            model_batch_size = 2
+            prefetch_depth = 1
+            decode_workers = 2
+
+            @classmethod
+            def forward(cls, model, batch, **kwargs):
+                return [{"imgid": i} for i in batch["imgid"]]
+
+        import os
+
+        img_dir = os.path.join(datadir, "coco2014", "train")
+        id2path = {i: os.path.join(img_dir, i + ".jpg") for i in ids}
+        processor = VisionConfig(transforms=("fromfile",)).build()
+
+        before = threading.active_count()
+        for _ in range(4):
+            gen = Passthrough._run_split(id2path, processor, None, {})
+            next(gen)
+            gen.close()  # GeneratorExit -> finally reaps producer + pool
+        assert threading.active_count() <= before + 2

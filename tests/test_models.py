@@ -253,6 +253,38 @@ class TestIgnoreyBands:
         assert not spans.any()
 
 
+class TestRes5Chunking:
+    def test_chunked_matches_unchunked_same_params(self, rng):
+        """roi_chunk (nn.scan over RoI blocks, the HBM cap for large
+        batches) must produce the SAME param tree and the SAME outputs as
+        the single-pass res5 — including a chunk count that needs padding
+        (2 imgs x 16 proposals = 32 RoIs over chunk 5 -> 7 chunks + pad)."""
+        import dataclasses
+
+        cfg = TINY
+        m_plain = FRCNN(cfg=cfg)
+        m_chunk = FRCNN(cfg=dataclasses.replace(cfg, roi_chunk=5))
+        images = jnp.asarray(
+            rng.uniform(-50, 50, (2, 64, 64, 3)).astype(np.float32)
+        )
+        sizes = jnp.asarray([[64.0, 64.0], [48.0, 56.0]])
+        p_plain = m_plain.init(jax.random.PRNGKey(0), images, sizes)["params"]
+        p_chunk = m_chunk.init(jax.random.PRNGKey(0), images, sizes)["params"]
+        assert jax.tree_util.tree_structure(p_plain) == jax.tree_util.tree_structure(
+            p_chunk
+        )
+        out_plain = m_plain.apply({"params": p_plain}, images, sizes)
+        out_chunk = m_chunk.apply({"params": p_plain}, images, sizes)  # same params
+        for key in out_plain:
+            np.testing.assert_allclose(
+                np.asarray(out_plain[key]),
+                np.asarray(out_chunk[key]),
+                rtol=1e-5,
+                atol=1e-5,
+                err_msg=key,
+            )
+
+
 class TestFRCNNEndToEnd:
     @pytest.fixture(scope="class")
     def model_and_params(self):

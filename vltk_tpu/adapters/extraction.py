@@ -192,45 +192,68 @@ class VisnExtraction(Adapter):
 
         # producer thread decodes images ahead of the device; exceptions
         # travel through the queue (a dead producer would otherwise hang
-        # the consumer on q.get forever and swallow the traceback)
+        # the consumer on q.get forever and swallow the traceback). The
+        # stop event + put timeout let a failed forward / abandoned
+        # generator reap the producer instead of leaking it blocked on a
+        # full queue (same pattern as data/loader.py _BaseLoader.__iter__)
         q: "queue.Queue" = queue.Queue(maxsize=cls.prefetch_depth)
+        stop = threading.Event()
+
+        def offer(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for i in range(0, len(items), bs):
-                    q.put(load_batch(items[i : i + bs]))
-                q.put(None)
+                    if stop.is_set():
+                        return
+                    if not offer(load_batch(items[i : i + bs])):
+                        return
+                offer(None)
             except BaseException as exc:
-                q.put(exc)
+                offer(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         pipelined = cls.forward_dispatch is not None and cls.forward_collect is not None
         pending = None  # (device_state, n_real) — one batch in flight
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
-            if isinstance(batch, BaseException):
-                t.join()
-                raise batch
-            n_real = batch.pop("n_real")
-            if not pipelined:
-                for entry in cls.forward(model, batch, **fwd_kwargs)[:n_real]:
-                    yield entry
-                continue
-            state = cls.forward_dispatch(model, batch, **fwd_kwargs)
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                n_real = batch.pop("n_real")
+                if not pipelined:
+                    for entry in cls.forward(model, batch, **fwd_kwargs)[:n_real]:
+                        yield entry
+                    continue
+                state = cls.forward_dispatch(model, batch, **fwd_kwargs)
+                if pending is not None:
+                    prev_state, prev_n = pending
+                    for entry in cls.forward_collect(model, prev_state)[:prev_n]:
+                        yield entry
+                pending = (state, n_real)
             if pending is not None:
                 prev_state, prev_n = pending
                 for entry in cls.forward_collect(model, prev_state)[:prev_n]:
                     yield entry
-            pending = (state, n_real)
-        if pending is not None:
-            prev_state, prev_n = pending
-            for entry in cls.forward_collect(model, prev_state)[:prev_n]:
-                yield entry
-        t.join()
-        decode_pool.shutdown(wait=True)
+        finally:
+            stop.set()
+            while True:  # drain so a blocked put wakes immediately
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
+            decode_pool.shutdown(wait=True)
 
 
 def _stack_entries(entries: List[Dict[str, Any]]) -> Dict[str, Any]:

@@ -164,7 +164,10 @@ class FRCNN(VisnExtraction):
                     np.float32,
                 )
                 h, w = nh, nw
-            images[i, :h, :w] = img.astype(np.uint8)
+            # round+clip before the uint8 cast: decode-only pipelines give
+            # integral pixels (no-op), but a host-side Resize emits
+            # interpolated floats that a bare cast would truncate/wrap
+            images[i, :h, :w] = np.clip(np.rint(img), 0, 255).astype(np.uint8)
             raw_sizes[i] = (h, w)
             imgids.append(e[V.imgid])
         return {V.img: images, V.rawsize: raw_sizes, V.imgid: imgids}

@@ -48,12 +48,15 @@ class FRCNNDetectExperiment(SimpleExperiment):
             cfg = dataclasses.replace(cfg, num_classes=len(labels))
             self.model_config = cfg
         self.model = FRCNN(cfg=cfg)
-        probe = next(iter(self.train_loader))
-        img = np.asarray(probe[V.img])
+        # static canvas straight from the vision config (same derivation
+        # the host pipeline uses) — no need to decode a probe batch
+        from vltk_tpu.processing.image import canvas_for
+
+        canvas = canvas_for(self.config.data.vision.size)
         params = self.model.init(
             jax.random.PRNGKey(0),
-            np.zeros((1, *img.shape[1:]), np.float32),
-            np.asarray([[float(img.shape[1]), float(img.shape[2])]], np.float32),
+            np.zeros((1, *canvas, 3), np.float32),
+            np.asarray([[float(canvas[0]), float(canvas[1])]], np.float32),
         )["params"]
 
         def apply_fn(variables, images, sizes, **kw):
@@ -119,8 +122,12 @@ class FRCNNDetectExperiment(SimpleExperiment):
             batch["gt_boxes"], batch["gt_valid"], r1,
             batch_size_per_image=self.rpn_batch_per_image,
         )
+        # proposals are DETACHED for the RoI-head objective (detectron
+        # semantics: proposals computed under no_grad) — otherwise the
+        # regression *targets* encode_deltas(proposals, gt) would push
+        # corrupted localization gradients back into the RPN
         cls, box = fast_rcnn_losses(
-            raw["proposals"], jax.lax.stop_gradient(raw["prop_valid"]),
+            jax.lax.stop_gradient(raw["proposals"]), raw["prop_valid"],
             raw["obj_logits"], raw["box_deltas"],
             batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"], r2,
             batch_size_per_image=self.roi_batch_per_image,

@@ -189,6 +189,10 @@ def fast_rcnn_losses(
     """
     n, p = obj_logits.shape[:2]
     num_classes = obj_logits.shape[-1] - 1
+    # proposals are match/regression TARGET material, never trainable:
+    # detectron computes them under no_grad; without this the
+    # encode_deltas(proposals, gt) targets would backprop into the RPN
+    proposals = jax.lax.stop_gradient(proposals)
     rngs = jax.random.split(rng, n)
 
     def per_image(props_i, pv_i, logits_i, deltas_i, gt_i, gtc_i, gtv_i, rng_i):
