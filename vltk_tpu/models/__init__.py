@@ -8,6 +8,7 @@ from vltk_tpu.models.convert import (
     jax_lxmert_to_torch,
     jax_vit_to_torch,
     torch_frcnn_to_jax,
+    torch_layoutlm_to_jax,
     torch_lxmert_to_jax,
     torch_vit_to_jax,
 )

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from vltk_tpu.models.lxmert import (
-    Embeddings,
     LxmertConfig,
     TransformerLayer,
     _constrain,
@@ -37,7 +36,55 @@ class LayoutLMConfig(LxmertConfig):
 
     l_layers: int = 12
     num_labels: int = 4
-    coord_vocab: int = 1001  # 0-1000 normalized coordinates inclusive
+    coord_vocab: int = 1024  # 2D coordinate table size (HF max_2d_position)
+
+
+class LayoutLMEmbeddings(nn.Module):
+    """HF-LayoutLM embedding scheme (microsoft/layoutlm-base): word +
+    sequence-position + token-type + shared-x (left/right) + shared-y
+    (top/bottom) + height + width coordinate embeddings, all summed BEFORE
+    the LayerNorm — weight-compatible with ``transformers.LayoutLMModel``
+    via models/convert.py:torch_layoutlm_to_jax."""
+
+    cfg: LayoutLMConfig
+
+    @nn.compact
+    def __call__(self, input_ids, boxes, token_type_ids=None, deterministic=True):
+        cfg = self.cfg
+        n, s = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        emb_init = nn.initializers.normal(stddev=cfg.initializer_range)
+
+        def table(name, vocab):
+            return nn.Embed(
+                vocab, cfg.hidden_size, embedding_init=emb_init, name=name
+            )
+
+        b = jnp.clip(boxes.astype(jnp.int32), 0, cfg.coord_vocab - 1)
+        x_tab = table("x_position_embeddings", cfg.coord_vocab)
+        y_tab = table("y_position_embeddings", cfg.coord_vocab)
+        h = jnp.clip(b[..., 3] - b[..., 1], 0, cfg.coord_vocab - 1)
+        w = jnp.clip(b[..., 2] - b[..., 0], 0, cfg.coord_vocab - 1)
+        emb = (
+            table("word_embeddings", cfg.vocab_size)(input_ids)
+            + table("position_embeddings", cfg.max_position_embeddings)(
+                jnp.arange(s)[None, :].repeat(n, axis=0)
+            )
+            + table("token_type_embeddings", cfg.type_vocab_size)(token_type_ids)
+            + x_tab(b[..., 0])
+            + y_tab(b[..., 1])
+            + x_tab(b[..., 2])
+            + y_tab(b[..., 3])
+            + table("h_position_embeddings", cfg.coord_vocab)(h)
+            + table("w_position_embeddings", cfg.coord_vocab)(w)
+        )
+        emb = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln"
+        )(emb)
+        return nn.Dropout(cfg.hidden_dropout, name="drop")(
+            emb, deterministic=deterministic
+        )
 
 
 class LayoutLM(nn.Module):
@@ -56,18 +103,9 @@ class LayoutLM(nn.Module):
         deterministic: bool = True,
     ):
         cfg = self.cfg
-        x = Embeddings(cfg, name="embeddings")(
-            input_ids, token_type_ids, deterministic
+        x = LayoutLMEmbeddings(cfg, name="embeddings")(
+            input_ids, token_boxes, token_type_ids, deterministic
         )
-        emb_init = nn.initializers.normal(stddev=cfg.initializer_range)
-        boxes = jnp.clip(token_boxes.astype(jnp.int32), 0, cfg.coord_vocab - 1)
-        for i, name in enumerate(("x0", "y0", "x1", "y1")):
-            x = x + nn.Embed(
-                cfg.coord_vocab,
-                cfg.hidden_size,
-                embedding_init=emb_init,
-                name=f"{name}_embeddings",
-            )(boxes[..., i])
         if attention_mask is None:
             attention_mask = jnp.ones(input_ids.shape, jnp.float32)
         # single-stream = the whole model is the "lang" stream: the Ulysses
