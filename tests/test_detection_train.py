@@ -223,3 +223,69 @@ class TestDetectionExperiment:
         assert np.isfinite(loss) and loss > 0
         for k in ("rpn_obj", "rpn_loc", "roi_cls", "roi_box"):
             assert np.isfinite(float(result["train"][k]))
+
+
+class TestDetectionMAP:
+    def _perfect(self):
+        gt_boxes = np.array([[[10, 10, 30, 30], [50, 50, 80, 90]]], np.float32)
+        gt_valid = np.array([[True, True]])
+        gt_classes = np.array([[1, 2]])
+        return gt_boxes, gt_valid, gt_classes
+
+    def test_perfect_predictions_give_1(self):
+        from vltk_tpu.train import detection_map
+
+        gt_boxes, gt_valid, gt_classes = self._perfect()
+        m = detection_map(
+            gt_boxes, np.array([[0.9, 0.8]]), gt_classes,
+            np.array([[True, True]]),
+            gt_boxes, gt_classes, gt_valid,
+        )
+        assert m == pytest.approx(1.0)
+
+    def test_all_misses_give_0(self):
+        from vltk_tpu.train import detection_map
+
+        gt_boxes, gt_valid, gt_classes = self._perfect()
+        off = gt_boxes + 1000.0
+        m = detection_map(
+            off, np.array([[0.9, 0.8]]), gt_classes,
+            np.array([[True, True]]),
+            gt_boxes, gt_classes, gt_valid,
+        )
+        assert m == pytest.approx(0.0)
+
+    def test_half_hits_known_value(self):
+        """Class 1: one TP at rank 1 of 1 -> AP 1.0. Class 2: one FP above
+        one TP -> precision at recall 1 is 1/2 -> AP 0.5. mAP = 0.75."""
+        from vltk_tpu.train import detection_map
+
+        gt_boxes, gt_valid, gt_classes = self._perfect()
+        preds = np.array(
+            [[[10, 10, 30, 30], [400, 400, 420, 420], [50, 50, 80, 90]]],
+            np.float32,
+        )
+        scores = np.array([[0.9, 0.95, 0.5]])
+        classes = np.array([[1, 2, 2]])
+        valid = np.array([[True, True, True]])
+        m = detection_map(
+            preds, scores, classes, valid, gt_boxes, gt_classes, gt_valid
+        )
+        assert m == pytest.approx(0.75)
+
+    def test_duplicate_detections_penalized(self):
+        """Second detection on an already-matched gt is a FP (VOC rule)."""
+        from vltk_tpu.train import detection_map
+
+        gt_boxes, gt_valid, gt_classes = self._perfect()
+        preds = np.array(
+            [[[10, 10, 30, 30], [11, 11, 30, 30]]], np.float32
+        )
+        scores = np.array([[0.9, 0.8]])
+        classes = np.array([[1, 1]])
+        valid = np.array([[True, True]])
+        m = detection_map(
+            preds, scores, classes, valid,
+            gt_boxes[:, :1], gt_classes[:, :1], gt_valid[:, :1],
+        )
+        assert m == pytest.approx(1.0)  # AP for class 1: TP then FP after full recall

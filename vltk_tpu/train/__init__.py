@@ -15,7 +15,7 @@ stack (reference: vltk/abc/simple.py — syntactically broken, see SURVEY
 """
 
 from vltk_tpu.train.optim import make_optimizer, linear_warmup_linear_decay
-from vltk_tpu.train.metrics import accuracy, vqa_score
+from vltk_tpu.train.metrics import accuracy, detection_map, vqa_score
 from vltk_tpu.train.checkpoint import (
     latest_epoch,
     load_checkpoint,
@@ -29,6 +29,7 @@ __all__ = [
     "make_optimizer",
     "linear_warmup_linear_decay",
     "accuracy",
+    "detection_map",
     "vqa_score",
     "save_checkpoint",
     "load_checkpoint",
