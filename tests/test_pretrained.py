@@ -86,3 +86,45 @@ def test_from_pretrained_lxmert_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(pooled), out.pooled_output.numpy(), atol=2e-5
     )
+
+
+def test_from_pretrained_layoutlm_end_to_end(tmp_path):
+    """HF LayoutLM checkpoint on disk -> resolve -> convert -> forward
+    parity (microsoft/layoutlm-base weight scheme)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from vltk_tpu.models.layoutlm import LayoutLM, LayoutLMConfig
+
+    hf_cfg = transformers.LayoutLMConfig(
+        vocab_size=60, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, max_2d_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.LayoutLMModel(hf_cfg).eval()
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    torch.save(hf.state_dict(), ckpt_dir / "pytorch_model.bin")
+
+    params = from_pretrained("layoutlm", str(ckpt_dir))
+
+    cfg = LayoutLMConfig(
+        vocab_size=60, hidden_size=16, num_heads=2, intermediate_size=32,
+        l_layers=1, max_position_embeddings=32, coord_vocab=64,
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 60, (2, 6)).astype(np.int64)
+    boxes = rng.integers(0, 30, (2, 6, 4)).astype(np.int64)
+    boxes[..., 2:] += boxes[..., :2] % 30
+    boxes = np.clip(boxes, 0, 63)
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.from_numpy(ids), bbox=torch.from_numpy(boxes)
+        ).last_hidden_state.numpy()
+    got = LayoutLM(cfg).apply(
+        {"params": params}, ids.astype(np.int32), boxes.astype(np.int32)
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)

@@ -107,17 +107,22 @@ def from_pretrained(
 ) -> Dict:
     """Resolve + load + convert a checkpoint to flax params.
 
-    ``arch``: "frcnn" or "lxmert" (reference ships ``unc-nlp/
-    frcnn-vg-finetuned`` and the LXMERT family consumes its features).
+    ``arch``: "frcnn" (the reference's ``unc-nlp/frcnn-vg-finetuned``),
+    "lxmert" (HF LXMERT family), "layoutlm" (``microsoft/layoutlm-base``),
+    or "vit" (HF ViTModel).
     """
     path = resolve_checkpoint(name_or_path, cache_dir)
     state_dict = load_state_dict(path)
-    if arch == "frcnn":
-        from vltk_tpu.models.convert import torch_frcnn_to_jax
+    converters = {
+        "frcnn": "torch_frcnn_to_jax",
+        "lxmert": "torch_lxmert_to_jax",
+        "layoutlm": "torch_layoutlm_to_jax",
+        "vit": "torch_vit_to_jax",
+    }
+    if arch not in converters:
+        raise ValueError(
+            f"unknown arch {arch!r}; expected one of {sorted(converters)}"
+        )
+    import vltk_tpu.models.convert as convert
 
-        return torch_frcnn_to_jax(state_dict)
-    if arch == "lxmert":
-        from vltk_tpu.models.convert import torch_lxmert_to_jax
-
-        return torch_lxmert_to_jax(state_dict)
-    raise ValueError(f"unknown arch {arch!r}; expected 'frcnn' or 'lxmert'")
+    return getattr(convert, converters[arch])(state_dict)
