@@ -10,6 +10,7 @@ from vltk_tpu.models.convert import (
     torch_frcnn_to_jax,
     torch_layoutlm_to_jax,
     torch_lxmert_to_jax,
+    torch_visualbert_to_jax,
     torch_vit_to_jax,
 )
 from vltk_tpu.models.vit import ViT, ViTConfig

@@ -337,6 +337,90 @@ def torch_layoutlm_to_jax(state_dict: Mapping[str, Any]) -> Dict:
     return params
 
 
+def torch_visualbert_to_jax(state_dict: Mapping[str, Any]) -> Dict:
+    """HF ``transformers`` VisualBert state_dict (VisualBertModel or a
+    headed variant with the ``visual_bert.`` prefix) -> flax params for
+    :class:`vltk_tpu.models.visualbert.VisualBert`. Embeddings map 1:1
+    (text tables + visual_projection + visual token-type/position tables +
+    the shared post-concat LayerNorm); encoder layers are BERT-shaped;
+    the pooler maps; task heads are skipped."""
+    import re
+
+    params: Dict = {}
+
+    def put(path: str, value: np.ndarray) -> None:
+        _set(params, tuple(path.split("/")), value)
+
+    root = (
+        "visual_bert."
+        if any(k.startswith("visual_bert.") for k in state_dict)
+        else ""
+    )
+    for name in (
+        "word_embeddings",
+        "position_embeddings",
+        "token_type_embeddings",
+        "visual_token_type_embeddings",
+        "visual_position_embeddings",
+    ):
+        w = state_dict.get(f"{root}embeddings.{name}.weight")
+        if w is not None:
+            put(f"embeddings/{name}/embedding", _to_numpy(w))
+    put(
+        "embeddings/visual_projection/kernel",
+        _to_numpy(state_dict[f"{root}embeddings.visual_projection.weight"]).T,
+    )
+    put(
+        "embeddings/visual_projection/bias",
+        _to_numpy(state_dict[f"{root}embeddings.visual_projection.bias"]),
+    )
+    put(
+        "embeddings/ln/scale",
+        _to_numpy(state_dict[f"{root}embeddings.LayerNorm.weight"]),
+    )
+    put(
+        "embeddings/ln/bias",
+        _to_numpy(state_dict[f"{root}embeddings.LayerNorm.bias"]),
+    )
+
+    n_layers = 1 + max(
+        (
+            int(m.group(1))
+            for k in state_dict
+            if (m := re.search(r"encoder\.layer\.(\d+)\.", k))
+        ),
+        default=-1,
+    )
+    pairs = [("linear", "pooler/dense", f"{root}pooler.dense")]
+    for i in range(n_layers):
+        base, flax = f"{root}encoder.layer.{i}", f"layer_{i}"
+        for leaf in ("query", "key", "value"):
+            pairs.append(
+                ("linear", f"{flax}/att/{leaf}", f"{base}.attention.self.{leaf}")
+            )
+        pairs += [
+            ("linear", f"{flax}/att/att_out", f"{base}.attention.output.dense"),
+            ("ln", f"{flax}/att/ln", f"{base}.attention.output.LayerNorm"),
+            ("linear", f"{flax}/ffn/intermediate", f"{base}.intermediate.dense"),
+            ("linear", f"{flax}/ffn/mlp_out", f"{base}.output.dense"),
+            ("ln", f"{flax}/ffn/ln", f"{base}.output.LayerNorm"),
+        ]
+    for kind, flax_path, torch_prefix in pairs:
+        w = state_dict.get(torch_prefix + ".weight")
+        if w is None:
+            continue
+        w = _to_numpy(w)
+        if kind == "ln":
+            put(flax_path + "/scale", w)
+            put(flax_path + "/bias", _to_numpy(state_dict[torch_prefix + ".bias"]))
+        else:
+            put(flax_path + "/kernel", w.T)
+            b = state_dict.get(torch_prefix + ".bias")
+            if b is not None:
+                put(flax_path + "/bias", _to_numpy(b))
+    return params
+
+
 def _vit_pairs(n_layers: int):
     """(kind, flax_path, torch_prefix) for HF ViTModel <-> models/vit.py."""
     pairs = [

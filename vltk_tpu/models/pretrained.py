@@ -109,7 +109,7 @@ def from_pretrained(
 
     ``arch``: "frcnn" (the reference's ``unc-nlp/frcnn-vg-finetuned``),
     "lxmert" (HF LXMERT family), "layoutlm" (``microsoft/layoutlm-base``),
-    or "vit" (HF ViTModel).
+    "visualbert" (``uclanlp/visualbert-*``), or "vit" (HF ViTModel).
     """
     path = resolve_checkpoint(name_or_path, cache_dir)
     state_dict = load_state_dict(path)
@@ -117,6 +117,7 @@ def from_pretrained(
         "frcnn": "torch_frcnn_to_jax",
         "lxmert": "torch_lxmert_to_jax",
         "layoutlm": "torch_layoutlm_to_jax",
+        "visualbert": "torch_visualbert_to_jax",
         "vit": "torch_vit_to_jax",
     }
     if arch not in converters:

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from vltk_tpu.models.lxmert import (
-    Embeddings,
     LxmertConfig,
     Pooler,
     TransformerLayer,
@@ -40,8 +39,66 @@ class VisualBertConfig(LxmertConfig):
     num_labels: int = 2  # classification head (hateful-memes = 2)
 
 
+class VisualBertEmbeddings(nn.Module):
+    """HF-VisualBERT embedding scheme (uclanlp/visualbert-*): text word +
+    sequence-position + token-type embeddings; visual tokens are
+    projected features + a visual token-type embedding + the visual
+    position embedding at id 0; the streams are CONCATENATED and pass one
+    shared LayerNorm + dropout — weight-compatible with
+    ``transformers.VisualBertModel`` via torch_visualbert_to_jax. (HF
+    VisualBERT has no box pathway; region geometry reaches the model only
+    if baked into the features.)"""
+
+    cfg: VisualBertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, visual_feats, token_type_ids=None,
+                 deterministic=True):
+        cfg = self.cfg
+        n, s = input_ids.shape
+        v = visual_feats.shape[1]
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        emb_init = nn.initializers.normal(stddev=cfg.initializer_range)
+
+        def table(name, vocab):
+            return nn.Embed(
+                vocab, cfg.hidden_size, embedding_init=emb_init, name=name
+            )
+
+        pos_tab = table("position_embeddings", cfg.max_position_embeddings)
+        text = (
+            table("word_embeddings", cfg.vocab_size)(input_ids)
+            + table("token_type_embeddings", cfg.type_vocab_size)(token_type_ids)
+            + pos_tab(jnp.arange(s)[None, :].repeat(n, axis=0))
+        )
+
+        vis = nn.Dense(
+            cfg.hidden_size,
+            kernel_init=_dense_init(cfg),
+            dtype=cfg.compute_dtype,
+            name="visual_projection",
+        )(visual_feats.astype(cfg.compute_dtype)).astype(text.dtype)
+        vis = vis + table("visual_token_type_embeddings", cfg.type_vocab_size)(
+            jnp.ones((n, v), jnp.int32)
+        )
+        vis = vis + table(
+            "visual_position_embeddings", cfg.max_position_embeddings
+        )(jnp.zeros((n, v), jnp.int32))
+
+        x = jnp.concatenate([text, vis], axis=1)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln"
+        )(x)
+        return nn.Dropout(cfg.hidden_dropout, name="drop")(
+            x, deterministic=deterministic
+        )
+
+
 class VisualBert(nn.Module):
-    """Single-stream encoder: returns (sequence (N, S+V, H), pooled)."""
+    """Single-stream encoder: returns (sequence (N, S+V, H), pooled).
+    ``visual_pos`` is accepted for loader-API symmetry with the LXMERT
+    family but unused — the HF VisualBERT architecture carries no boxes."""
 
     cfg: VisualBertConfig = VisualBertConfig()
 
@@ -50,7 +107,7 @@ class VisualBert(nn.Module):
         self,
         input_ids: jnp.ndarray,                 # (N, S) int32
         visual_feats: jnp.ndarray,              # (N, V, visual_feat_dim)
-        visual_pos: Optional[jnp.ndarray] = None,   # (N, V, 4) or None
+        visual_pos: Optional[jnp.ndarray] = None,   # unused (HF scheme)
         attention_mask: Optional[jnp.ndarray] = None,  # (N, S)
         visual_mask: Optional[jnp.ndarray] = None,     # (N, V)
         token_type_ids: Optional[jnp.ndarray] = None,
@@ -59,40 +116,11 @@ class VisualBert(nn.Module):
         cfg = self.cfg
         n, s = input_ids.shape
         v = visual_feats.shape[1]
+        del visual_pos  # no box pathway in VisualBERT (see class docstring)
 
-        text = Embeddings(cfg, name="embeddings")(
-            input_ids, token_type_ids, deterministic
+        x = VisualBertEmbeddings(cfg, name="embeddings")(
+            input_ids, visual_feats, token_type_ids, deterministic
         )
-
-        # visual tokens: projected features (+ optional box projection),
-        # visual segment embedding, shared LayerNorm convention
-        feats = nn.Dense(
-            cfg.hidden_size,
-            kernel_init=_dense_init(cfg),
-            dtype=cfg.compute_dtype,
-            name="visual_projection",
-        )(visual_feats.astype(cfg.compute_dtype))
-        if visual_pos is not None:
-            feats = feats + nn.Dense(
-                cfg.hidden_size,
-                kernel_init=_dense_init(cfg),
-                dtype=cfg.compute_dtype,
-                name="box_projection",
-            )(visual_pos.astype(cfg.compute_dtype))
-        seg = nn.Embed(
-            cfg.type_vocab_size,
-            cfg.hidden_size,
-            embedding_init=nn.initializers.normal(stddev=cfg.initializer_range),
-            name="visual_token_type",
-        )(jnp.ones((n, v), jnp.int32))
-        vis = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="visual_ln"
-        )(feats + seg)
-        vis = nn.Dropout(cfg.hidden_dropout, name="visual_drop")(
-            vis, deterministic=deterministic
-        )
-
-        x = jnp.concatenate([text, vis.astype(text.dtype)], axis=1)
         if attention_mask is None:
             attention_mask = jnp.ones((n, s), jnp.float32)
         if visual_mask is None:
