@@ -118,3 +118,24 @@ class TestLayoutLMHFParity:
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+class TestLayoutLMRoundtrip:
+    def test_jax_to_torch_roundtrip(self):
+        """jax -> torch names -> jax is the identity (the reverse
+        converter completes the bidirectional story the other families
+        have)."""
+        from flax.traverse_util import flatten_dict
+
+        from vltk_tpu.models.convert import (
+            jax_layoutlm_to_torch,
+            torch_layoutlm_to_jax,
+        )
+
+        tmodel, jmodel = _small_pair(seed=3)
+        params = torch_layoutlm_to_jax(tmodel.state_dict())
+        back = torch_layoutlm_to_jax(jax_layoutlm_to_torch(params))
+        a, b = flatten_dict(params), flatten_dict(back)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

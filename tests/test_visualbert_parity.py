@@ -122,3 +122,40 @@ class TestVisualBertHFParity:
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+class TestVisualBertRoundtrip:
+    def test_jax_to_torch_roundtrip(self):
+        from flax.traverse_util import flatten_dict
+
+        from vltk_tpu.models.convert import (
+            jax_visualbert_to_torch,
+            torch_visualbert_to_jax,
+        )
+
+        tmodel, _ = _small_pair(seed=3)
+        params = torch_visualbert_to_jax(tmodel.state_dict())
+        back = torch_visualbert_to_jax(jax_visualbert_to_torch(params))
+        a, b = flatten_dict(params), flatten_dict(back)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def test_torch_reload_matches(self):
+        """Exported state_dict loads back into a fresh HF model with no
+        missing/unexpected keys (pooler + encoder + embeddings complete)."""
+        tmodel, _ = _small_pair(seed=4)
+        from vltk_tpu.models.convert import (
+            jax_visualbert_to_torch,
+            torch_visualbert_to_jax,
+        )
+
+        params = torch_visualbert_to_jax(tmodel.state_dict())
+        exported = {
+            k: torch.tensor(v) for k, v in jax_visualbert_to_torch(params).items()
+        }
+        fresh, _ = _small_pair(seed=5)
+        missing, unexpected = fresh.load_state_dict(exported, strict=False)
+        assert not unexpected, unexpected
+        # position_ids buffers are non-persistent; everything real loads
+        assert all("position_ids" in k for k in missing), missing

@@ -337,6 +337,110 @@ def torch_layoutlm_to_jax(state_dict: Mapping[str, Any]) -> Dict:
     return params
 
 
+def _bert_layer_pairs(n_layers: int, root: str):
+    """(kind, flax_path, torch_prefix) for BERT-shaped encoder layers —
+    shared by the LayoutLM and VisualBert converters (both directions)."""
+    pairs = []
+    for i in range(n_layers):
+        base, flax = f"{root}encoder.layer.{i}", f"layer_{i}"
+        for leaf in ("query", "key", "value"):
+            pairs.append(
+                ("linear", f"{flax}/att/{leaf}", f"{base}.attention.self.{leaf}")
+            )
+        pairs += [
+            ("linear", f"{flax}/att/att_out", f"{base}.attention.output.dense"),
+            ("ln", f"{flax}/att/ln", f"{base}.attention.output.LayerNorm"),
+            ("linear", f"{flax}/ffn/intermediate", f"{base}.intermediate.dense"),
+            ("linear", f"{flax}/ffn/mlp_out", f"{base}.output.dense"),
+            ("ln", f"{flax}/ffn/ln", f"{base}.output.LayerNorm"),
+        ]
+    return pairs
+
+
+_LAYOUTLM_EMB_TABLES = (
+    "word_embeddings",
+    "position_embeddings",
+    "token_type_embeddings",
+    "x_position_embeddings",
+    "y_position_embeddings",
+    "h_position_embeddings",
+    "w_position_embeddings",
+)
+
+_VISUALBERT_EMB_TABLES = (
+    "word_embeddings",
+    "position_embeddings",
+    "token_type_embeddings",
+    "visual_token_type_embeddings",
+    "visual_position_embeddings",
+)
+
+
+def jax_layoutlm_to_torch(params: Mapping[str, Any]) -> Dict:
+    """flax LayoutLM params -> HF-named numpy state_dict (the reverse of
+    torch_layoutlm_to_jax; load with torch.tensor per value)."""
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params, sep="/")
+    out: Dict[str, np.ndarray] = {}
+    for name in _LAYOUTLM_EMB_TABLES:
+        w = flat.get(f"embeddings/{name}/embedding")
+        if w is not None:
+            out[f"embeddings.{name}.weight"] = np.asarray(w)
+    out["embeddings.LayerNorm.weight"] = np.asarray(flat["embeddings/ln/scale"])
+    out["embeddings.LayerNorm.bias"] = np.asarray(flat["embeddings/ln/bias"])
+    n_layers = 1 + max(
+        (int(k.split("_")[1].split("/")[0]) for k in flat if k.startswith("layer_")),
+        default=-1,
+    )
+    for kind, flax_path, torch_prefix in _bert_layer_pairs(n_layers, ""):
+        if kind == "ln":
+            out[torch_prefix + ".weight"] = np.asarray(flat[flax_path + "/scale"])
+            out[torch_prefix + ".bias"] = np.asarray(flat[flax_path + "/bias"])
+        else:
+            out[torch_prefix + ".weight"] = np.asarray(flat[flax_path + "/kernel"]).T
+            out[torch_prefix + ".bias"] = np.asarray(flat[flax_path + "/bias"])
+    return out
+
+
+def jax_visualbert_to_torch(params: Mapping[str, Any]) -> Dict:
+    """flax VisualBert params -> HF-named numpy state_dict (reverse of
+    torch_visualbert_to_jax)."""
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params, sep="/")
+    out: Dict[str, np.ndarray] = {}
+    for name in _VISUALBERT_EMB_TABLES:
+        w = flat.get(f"embeddings/{name}/embedding")
+        if w is not None:
+            out[f"embeddings.{name}.weight"] = np.asarray(w)
+    out["embeddings.visual_projection.weight"] = np.asarray(
+        flat["embeddings/visual_projection/kernel"]
+    ).T
+    out["embeddings.visual_projection.bias"] = np.asarray(
+        flat["embeddings/visual_projection/bias"]
+    )
+    out["embeddings.LayerNorm.weight"] = np.asarray(flat["embeddings/ln/scale"])
+    out["embeddings.LayerNorm.bias"] = np.asarray(flat["embeddings/ln/bias"])
+    n_layers = 1 + max(
+        (int(k.split("_")[1].split("/")[0]) for k in flat if k.startswith("layer_")),
+        default=-1,
+    )
+    pairs = _bert_layer_pairs(n_layers, "") + [
+        ("linear", "pooler/dense", "pooler.dense")
+    ]
+    for kind, flax_path, torch_prefix in pairs:
+        if flax_path + ("/scale" if kind == "ln" else "/kernel") not in flat:
+            continue
+        if kind == "ln":
+            out[torch_prefix + ".weight"] = np.asarray(flat[flax_path + "/scale"])
+            out[torch_prefix + ".bias"] = np.asarray(flat[flax_path + "/bias"])
+        else:
+            out[torch_prefix + ".weight"] = np.asarray(flat[flax_path + "/kernel"]).T
+            out[torch_prefix + ".bias"] = np.asarray(flat[flax_path + "/bias"])
+    return out
+
+
 def torch_visualbert_to_jax(state_dict: Mapping[str, Any]) -> Dict:
     """HF ``transformers`` VisualBert state_dict (VisualBertModel or a
     headed variant with the ``visual_bert.`` prefix) -> flax params for
