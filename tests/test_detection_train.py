@@ -132,10 +132,10 @@ class TestDetectionLosses:
                 raw["anchors"], raw["rpn_logits"], raw["rpn_deltas"],
                 gt_boxes, gt_valid, r1, batch_size_per_image=64,
             )
-            # detached proposals: detectron's no_grad proposal semantics —
-            # the regression targets must not backprop into the RPN
+            # (fast_rcnn_losses detaches proposals internally — the
+            # regression targets must not backprop into the RPN)
             cls, box = fast_rcnn_losses(
-                jax.lax.stop_gradient(raw["proposals"]), raw["prop_valid"],
+                raw["proposals"], raw["prop_valid"],
                 raw["obj_logits"], raw["box_deltas"],
                 gt_boxes, gt_classes, gt_valid, r2,
                 batch_size_per_image=32,
@@ -224,6 +224,16 @@ class TestDetectionExperiment:
         for k in ("rpn_obj", "rpn_loc", "roi_cls", "roi_box"):
             assert np.isfinite(float(result["train"][k]))
 
+        # eval loop with mAP@0.5 over fetched detections (host-side VOC);
+        # fresh logdir so exp2 does not resume exp's epoch checkpoints
+        cfg.logdir = str(tmp_path / "logs2")
+        cfg.train.update({"epochs": 1})
+        exp2 = Tiny(cfg, loaders=(exp.train_loader, exp.train_loader))
+        result2 = exp2()
+        m = float(result2["eval"]["map50"])
+        assert 0.0 <= m <= 1.0
+        assert np.isfinite(float(result2["eval"]["rpn_obj"]))
+
 
 class TestDetectionMAP:
     def _perfect(self):
@@ -289,3 +299,23 @@ class TestDetectionMAP:
             gt_boxes[:, :1], gt_classes[:, :1], gt_valid[:, :1],
         )
         assert m == pytest.approx(1.0)  # AP for class 1: TP then FP after full recall
+
+
+    def test_voc_no_fallback_to_unmatched_gt(self):
+        """VOC rule: a detection is judged against its MAX-IoU gt; when
+        that gt is already matched by a higher-scored detection, the
+        detection is a FP — no silent re-assignment to a lower-IoU
+        unmatched gt (which would inflate mAP on crowded boxes)."""
+        from vltk_tpu.train import detection_map
+
+        gt = np.array([[[0, 0, 20, 20], [8, 0, 28, 20]]], np.float32)
+        gtv = np.array([[True, True]])
+        gtc = np.array([[1, 1]])
+        preds = np.array([[[0, 0, 20, 20], [2, 0, 22, 20]]], np.float32)
+        m = detection_map(
+            preds, np.array([[0.9, 0.8]]), np.array([[1, 1]]),
+            np.array([[True, True]]), gt, gtc, gtv,
+        )
+        # det1 claims gt1; det2's max-IoU gt is ALSO gt1 (0.82 > 0.54 for
+        # gt2) -> FP; recall caps at 0.5 with precision 1 -> AP 0.5
+        assert m == pytest.approx(0.5)

@@ -122,12 +122,10 @@ class FRCNNDetectExperiment(SimpleExperiment):
             batch["gt_boxes"], batch["gt_valid"], r1,
             batch_size_per_image=self.rpn_batch_per_image,
         )
-        # proposals are DETACHED for the RoI-head objective (detectron
-        # semantics: proposals computed under no_grad) — otherwise the
-        # regression *targets* encode_deltas(proposals, gt) would push
-        # corrupted localization gradients back into the RPN
+        # (fast_rcnn_losses detaches the proposals internally — detectron's
+        # no_grad proposal semantics)
         cls, box = fast_rcnn_losses(
-            jax.lax.stop_gradient(raw["proposals"]), raw["prop_valid"],
+            raw["proposals"], raw["prop_valid"],
             raw["obj_logits"], raw["box_deltas"],
             batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"], r2,
             batch_size_per_image=self.roi_batch_per_image,
@@ -148,3 +146,30 @@ class FRCNNDetectExperiment(SimpleExperiment):
             batch_size_per_image=self.rpn_batch_per_image,
         )
         return {"rpn_obj": obj, "rpn_loc": loc}
+
+    def eval_loop(self):
+        """Adds mAP@0.5 on top of the jitted loss metrics: detection_map
+        is host-side numpy (greedy VOC matching over fetched outputs), so
+        it runs outside the compiled eval step on the model's
+        postprocessed detections (boxes in the same resized coordinate
+        space as the prepared gt)."""
+        from vltk_tpu.train import detection_map
+
+        totals = super().eval_loop()
+        if self.eval_loader is None:
+            return totals
+        map_sum, count = 0.0, 0
+        for batch in self._device_batches(self.eval_loader):
+            out = self.apply_fn(
+                {"params": self.state.params}, batch["images"], batch["sizes"]
+            )
+            out = jax.device_get(out)
+            map_sum += detection_map(
+                out["boxes"], out["obj_probs"], out["obj_ids"], out["mask"],
+                batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
+            )
+            count += 1
+            if self.config.test_run:
+                break
+        totals["map50"] = map_sum / max(count, 1)
+        return totals

@@ -5,7 +5,9 @@ from vltk_tpu.models.detection_loss import (
     subsample_mask,
 )
 from vltk_tpu.models.convert import (
+    jax_layoutlm_to_torch,
     jax_lxmert_to_torch,
+    jax_visualbert_to_torch,
     jax_vit_to_torch,
     torch_frcnn_to_jax,
     torch_layoutlm_to_jax,

@@ -278,15 +278,7 @@ def torch_layoutlm_to_jax(state_dict: Mapping[str, Any]) -> Dict:
     root = (
         "layoutlm." if any(k.startswith("layoutlm.") for k in state_dict) else ""
     )
-    for name in (
-        "word_embeddings",
-        "position_embeddings",
-        "token_type_embeddings",
-        "x_position_embeddings",
-        "y_position_embeddings",
-        "h_position_embeddings",
-        "w_position_embeddings",
-    ):
+    for name in _LAYOUTLM_EMB_TABLES:
         w = state_dict.get(f"{root}embeddings.{name}.weight")
         if w is not None:
             put(f"embeddings/{name}/embedding", _to_numpy(w))
@@ -307,20 +299,7 @@ def torch_layoutlm_to_jax(state_dict: Mapping[str, Any]) -> Dict:
         ),
         default=-1,
     )
-    pairs = []
-    for i in range(n_layers):
-        base, flax = f"{root}encoder.layer.{i}", f"layer_{i}"
-        for leaf in ("query", "key", "value"):
-            pairs.append(
-                ("linear", f"{flax}/att/{leaf}", f"{base}.attention.self.{leaf}")
-            )
-        pairs += [
-            ("linear", f"{flax}/att/att_out", f"{base}.attention.output.dense"),
-            ("ln", f"{flax}/att/ln", f"{base}.attention.output.LayerNorm"),
-            ("linear", f"{flax}/ffn/intermediate", f"{base}.intermediate.dense"),
-            ("linear", f"{flax}/ffn/mlp_out", f"{base}.output.dense"),
-            ("ln", f"{flax}/ffn/ln", f"{base}.output.LayerNorm"),
-        ]
+    pairs = _bert_layer_pairs(n_layers, root)
     for kind, flax_path, torch_prefix in pairs:
         w = state_dict.get(torch_prefix + ".weight")
         if w is None:
@@ -460,13 +439,7 @@ def torch_visualbert_to_jax(state_dict: Mapping[str, Any]) -> Dict:
         if any(k.startswith("visual_bert.") for k in state_dict)
         else ""
     )
-    for name in (
-        "word_embeddings",
-        "position_embeddings",
-        "token_type_embeddings",
-        "visual_token_type_embeddings",
-        "visual_position_embeddings",
-    ):
+    for name in _VISUALBERT_EMB_TABLES:
         w = state_dict.get(f"{root}embeddings.{name}.weight")
         if w is not None:
             put(f"embeddings/{name}/embedding", _to_numpy(w))
@@ -496,19 +469,7 @@ def torch_visualbert_to_jax(state_dict: Mapping[str, Any]) -> Dict:
         default=-1,
     )
     pairs = [("linear", "pooler/dense", f"{root}pooler.dense")]
-    for i in range(n_layers):
-        base, flax = f"{root}encoder.layer.{i}", f"layer_{i}"
-        for leaf in ("query", "key", "value"):
-            pairs.append(
-                ("linear", f"{flax}/att/{leaf}", f"{base}.attention.self.{leaf}")
-            )
-        pairs += [
-            ("linear", f"{flax}/att/att_out", f"{base}.attention.output.dense"),
-            ("ln", f"{flax}/att/ln", f"{base}.attention.output.LayerNorm"),
-            ("linear", f"{flax}/ffn/intermediate", f"{base}.intermediate.dense"),
-            ("linear", f"{flax}/ffn/mlp_out", f"{base}.output.dense"),
-            ("ln", f"{flax}/ffn/ln", f"{base}.output.LayerNorm"),
-        ]
+    pairs += _bert_layer_pairs(n_layers, root)
     for kind, flax_path, torch_prefix in pairs:
         w = state_dict.get(torch_prefix + ".weight")
         if w is None:

@@ -70,6 +70,8 @@ def detection_map(
         return 0.0
     aps = []
     for c in classes:
+        # every class iterated has >= 1 valid gt by construction of `classes`
+        n_gt = int((gt_valid & (gt_classes == c)).sum())
         # all predictions of class c across the batch, score-descending
         entries = []  # (score, image, box)
         for n in range(pred_boxes.shape[0]):
@@ -77,20 +79,18 @@ def detection_map(
             for d in np.flatnonzero(sel):
                 entries.append((pred_scores[n, d], n, pred_boxes[n, d]))
         entries.sort(key=lambda e: -e[0])
-        n_gt = int((gt_valid & (gt_classes == c)).sum())
-        if n_gt == 0:
-            continue
         matched = [set() for _ in range(gt_boxes.shape[0])]
         tp = np.zeros(len(entries))
         for i, (_, n, box) in enumerate(entries):
+            # VOC rule: a detection is judged against its MAX-IoU gt; if
+            # that gt is already claimed by a higher-scored detection the
+            # detection is a FP (no fallback to a lower-IoU unmatched gt)
             best, best_g = 0.0, -1
             for g in np.flatnonzero(gt_valid[n] & (gt_classes[n] == c)):
-                if g in matched[n]:
-                    continue
                 v = iou(box, gt_boxes[n, g])
                 if v > best:
                     best, best_g = v, g
-            if best >= iou_thresh and best_g >= 0:
+            if best >= iou_thresh and best_g >= 0 and best_g not in matched[n]:
                 tp[i] = 1.0
                 matched[n].add(best_g)
         cum_tp = np.cumsum(tp)
