@@ -285,3 +285,49 @@ def test_layoutlm_ulysses_long_ocr():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
     shard_shape = got.addressable_shards[0].data.shape
     assert shard_shape == (n // 2, s // 2, base.hidden_size), shard_shape
+
+
+def test_visualbert_ulysses_matches_replicated():
+    """VisualBERT's single (S+V) stream rides the same Ulysses path."""
+    _need_devices(8)
+    from vltk_tpu.models.visualbert import VisualBert, VisualBertConfig
+
+    mesh = make_mesh(MeshConfig(axes=(("data", 2), ("seq", 2), ("model", 2))))
+    base = VisualBertConfig(
+        vocab_size=64,
+        hidden_size=16,
+        num_heads=4,
+        intermediate_size=32,
+        l_layers=2,
+        visual_feat_dim=8,
+        max_position_embeddings=512,
+    )
+    ul = VisualBertConfig(
+        **{**base.__dict__, "activation_sharding": True,
+           "seq_attention_sharding": True}
+    )
+    rng = np.random.default_rng(5)
+    n, s, v = 4, 252, 4  # S+V = 256, divisible over the seq axis
+    ids = rng.integers(0, base.vocab_size, (n, s)).astype(np.int32)
+    feats = rng.normal(size=(n, v, base.visual_feat_dim)).astype(np.float32)
+    mask = np.ones((n, s), np.float32)
+
+    ref_model = VisualBert(base)
+    params = ref_model.init(
+        jax.random.PRNGKey(0), ids[:1, :8], feats[:1]
+    )["params"]
+    ref_seq, ref_pool = ref_model.apply({"params": params}, ids, feats, None, mask)
+
+    ul_model = VisualBert(ul)
+    sharded_params = shard_params(params, LXMERT_RULES, mesh)
+    batch = shard_batch({"ids": ids, "feats": feats, "mask": mask}, mesh)
+
+    @jax.jit
+    def fwd(p, b):
+        return ul_model.apply({"params": p}, b["ids"], b["feats"], None, b["mask"])
+
+    with mesh:
+        seq, pool = fwd(sharded_params, batch)
+        jax.block_until_ready(pool)
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(ref_seq), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pool), np.asarray(ref_pool), atol=2e-5)

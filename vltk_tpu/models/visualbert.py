@@ -26,6 +26,7 @@ from vltk_tpu.models.lxmert import (
     LxmertConfig,
     Pooler,
     TransformerLayer,
+    _constrain,
     _dense_init,
 )
 
@@ -130,8 +131,16 @@ class VisualBert(nn.Module):
             axis=1,
         )
 
+        # single-stream: the whole (S+V) token stream rides the Ulysses
+        # head-sharded attention when enabled (models/lxmert.py) — same
+        # mechanism as LayoutLM's long-OCR path
+        seq_shard = cfg.activation_sharding and cfg.seq_attention_sharding
+        x = _constrain(x, cfg, ("data", "seq", None))
         for i in range(cfg.l_layers):
-            x = TransformerLayer(cfg, name=f"layer_{i}")(x, mask, deterministic)
+            x = TransformerLayer(cfg, name=f"layer_{i}")(
+                x, mask, deterministic, seq_shard=seq_shard
+            )
+            x = _constrain(x, cfg, ("data", "seq", None))
 
         pooled = Pooler(cfg, name="pooler")(x.astype(jnp.float32))
         return x.astype(jnp.float32), pooled
