@@ -281,6 +281,60 @@ class TestRoIPoolPallas:
         )
         np.testing.assert_array_equal(np.asarray(auto), np.asarray(blocked))
 
+    def test_custom_vjp_matches_xla_grad(self, rng):
+        """The pallas kernel's custom VJP (backward via the XLA path) must
+        produce the same feature gradient as differentiating the XLA
+        formulation directly — this is what lets detection training run
+        through the fast kernel on TPU."""
+        import jax
+
+        from vltk_tpu.ops.pallas_kernels import _roi_pool_xla, roi_pool_pallas_ad
+
+        feat = jnp.asarray(rng.standard_normal((2, 16, 20, 8)), jnp.float32)
+        boxes = jnp.asarray(
+            [[[0, 0, 120, 100], [16, 16, 200, 150], [3, 3, 3.5, 3.5]]] * 2,
+            jnp.float32,
+        )
+        loss_p = lambda f: jnp.sum(
+            jnp.sin(roi_pool_pallas_ad(f, boxes, 7, 1 / 16, True))
+        )
+        loss_x = lambda f: jnp.sum(jnp.sin(_roi_pool_xla(f, boxes, 7, 1 / 16)))
+        gp, gx = jax.grad(loss_p)(feat), jax.grad(loss_x)(feat)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-6)
+        # boxes get zero cotangent (piecewise-constant, torchvision parity)
+        gb = jax.grad(
+            lambda b: jnp.sum(roi_pool_pallas_ad(feat, b, 7, 1 / 16, True))
+        )(boxes)
+        np.testing.assert_array_equal(np.asarray(gb), 0.0)
+
+    def test_v2_matches_xla(self, rng):
+        """Row-range-table kernel (interpret mode) vs the XLA path."""
+        import jax
+
+        from vltk_tpu.ops.pallas_kernels import roi_pool_pallas_v2
+
+        b, h, w, c, p, out_size = 2, 20, 24, 8, 6, 7
+        feat = rng.standard_normal((b, h, w, c)).astype(np.float32)
+        boxes = np.zeros((b, p, 4), np.float32)
+        boxes[..., 0] = rng.uniform(0, w * 16 - 2, (b, p))
+        boxes[..., 1] = rng.uniform(0, h * 16 - 2, (b, p))
+        boxes[..., 2] = np.minimum(
+            boxes[..., 0] + rng.uniform(1, w * 16, (b, p)), w * 16 - 1
+        )
+        boxes[..., 3] = np.minimum(
+            boxes[..., 1] + rng.uniform(1, h * 16, (b, p)), h * 16 - 1
+        )
+        boxes[0, 0] = [3, 3, 3.5, 3.5]
+        boxes[0, 1] = [0, 0, w * 16 - 1, h * 16 - 1]  # full-image box
+        got = roi_pool_pallas_v2(
+            jnp.asarray(feat), jnp.asarray(boxes), out_size, 1 / 16,
+            interpret=True,
+        )
+        want = jax.vmap(lambda f, bx: roi_pool(f, bx, out_size, 1 / 16))(
+            jnp.asarray(feat), jnp.asarray(boxes)
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_auto_dispatch_off_tpu(self, rng):
         from vltk_tpu.ops.pallas_kernels import roi_pool_auto
 

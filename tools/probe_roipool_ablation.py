@@ -1,0 +1,395 @@
+#!/usr/bin/env python
+"""Ablation probe for the RoIPool v2 kernel: which phase dominates?
+
+Builds hacked kernel variants (NOT numerically correct — timing only):
+  full   : v2 as shipped
+  noP1   : pass 1 replaced by a fixed unmasked table read per bin
+  noP2   : pass 2 replaced by a single rowmax slice copy per bin
+  noBoth : both replaced (pure per-step + build overhead floor)
+Timing protocol: in-jit fori, see tools/bench_roipool.py.
+"""
+
+import functools
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/vltk_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+_NEG = -1e30
+
+
+def make_group_kernel(group, out_size, max_bh, max_bw, h, w):
+    """G RoIs per grid step: amortizes the ~1.7us/step fixed cost the
+    ablation exposed (noBoth = 32/37 ms)."""
+
+    def kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
+               rowmax_ref):
+        dtype = feat_ref.dtype
+        neg = jnp.asarray(_NEG, dtype)
+        bi = pl.program_id(0)
+        pi = pl.program_id(2)
+        n_groups = pl.num_programs(2)
+
+        @pl.when(pi == 0)
+        def _build():
+            table_ref[0] = feat_ref[0]
+            for li in range(1, max_bh):
+                n_valid = h - li
+                table_ref[li, :n_valid] = jnp.maximum(
+                    table_ref[li - 1, :n_valid], table_ref[0, li:]
+                )
+                table_ref[li, n_valid:] = table_ref[li - 1, n_valid:]
+
+        for g in range(group):
+            ri = (bi * n_groups + pi) * group + g
+            y1 = y1_ref[ri]
+            x1 = x1_ref[ri]
+            rh = rh_ref[ri]
+            rw = rw_ref[ri]
+            for i in range(out_size):
+                hs = jnp.clip((i * rh) // out_size + y1, 0, h)
+                he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
+                ln = he - hs
+                li = jnp.clip(ln - 1, 0, max_bh - 1)
+                ys = jnp.clip(hs, 0, h - 1)
+                val = table_ref[li, ys]
+                rowmax_ref[:, i, :] = jnp.where(ln > 0, val, neg)
+            for j in range(out_size):
+                ws = jnp.clip((j * rw) // out_size + x1, 0, w)
+                we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
+                x0 = jnp.clip(ws, 0, w - max_bw)
+                cols = rowmax_ref[pl.ds(x0, max_bw), :, :]
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (max_bw, 1, 1), 0) + x0
+                keep = (cidx >= ws) & (cidx < we)
+                cols = jnp.where(keep, cols, neg)
+                m = jnp.max(cols, axis=0).astype(jnp.float32)
+                out_ref[0, g, :, j, :] = jnp.where(
+                    m <= _NEG / 2, 0.0, m
+                ).astype(dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "cb"))
+def pool_grouped(features, boxes, group=8, cb=128):
+    b, h, w, c = features.shape
+    p = boxes.shape[1]
+    os_ = 14
+    max_bh = min(math.ceil((h + 1) / os_) + 1, h)
+    max_bw = min(math.ceil((w + 1) / os_) + 1, w)
+    scaled = boxes / 16.0
+    roi = jnp.where(
+        scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
+    ).astype(jnp.int32)
+    y1 = roi[..., 1].reshape(-1)
+    x1 = roi[..., 0].reshape(-1)
+    rh = jnp.maximum(roi[..., 3] - roi[..., 1] + 1, 1).reshape(-1)
+    rw = jnp.maximum(roi[..., 2] - roi[..., 0] + 1, 1).reshape(-1)
+    kernel = make_group_kernel(group, os_, max_bh, max_bw, h, w)
+    n_cb = -(-c // cb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, n_cb, p // group),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cb), lambda bi, ci, pi, *_: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, group, os_, os_, cb), lambda bi, ci, pi, *_: (bi, pi, 0, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max_bh, h, w, cb), features.dtype),
+            pltpu.VMEM((w, os_, cb), features.dtype),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, os_, os_, c), features.dtype),
+    )(y1, x1, rh, rw, features)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "cb"))
+def pool_contig(features, boxes, mode="full", cb=128):
+    """Same kernel body, but the output lives in a channel-blocked layout
+    (b, n_cb, p, os, os, cb) so each grid step's write is one CONTIGUOUS
+    50KB DMA instead of 196 strided 256B bursts into (b,p,os,os,c)."""
+    b, h, w, c = features.shape
+    p = boxes.shape[1]
+    os_ = 14
+    max_bh = min(math.ceil((h + 1) / os_) + 1, h)
+    max_bw = min(math.ceil((w + 1) / os_) + 1, w)
+    scaled = boxes / 16.0
+    roi = jnp.where(
+        scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
+    ).astype(jnp.int32)
+    y1 = roi[..., 1].reshape(-1)
+    x1 = roi[..., 0].reshape(-1)
+    rh = jnp.maximum(roi[..., 3] - roi[..., 1] + 1, 1).reshape(-1)
+    rw = jnp.maximum(roi[..., 2] - roi[..., 0] + 1, 1).reshape(-1)
+    kernel = make_kernel_contig(mode, os_, max_bh, max_bw, h, w)
+    n_cb = -(-c // cb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, n_cb, p),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cb), lambda bi, ci, pi, *_: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, os_, os_, cb),
+            lambda bi, ci, pi, *_: (bi, ci, pi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max_bh, h, w, cb), features.dtype),
+            pltpu.VMEM((w, os_, cb), features.dtype),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_cb, p, os_, os_, cb), features.dtype),
+    )(y1, x1, rh, rw, features)
+
+
+def make_kernel_contig(mode, out_size, max_bh, max_bw, h, w):
+    def kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
+               rowmax_ref):
+        dtype = feat_ref.dtype
+        neg = jnp.asarray(_NEG, dtype)
+        bi = pl.program_id(0)
+        pi = pl.program_id(2)
+        ri = bi * pl.num_programs(2) + pi
+        y1 = y1_ref[ri]
+        x1 = x1_ref[ri]
+        rh = rh_ref[ri]
+        rw = rw_ref[ri]
+
+        @pl.when(pi == 0)
+        def _build():
+            table_ref[0] = feat_ref[0]
+            for li in range(1, max_bh):
+                n_valid = h - li
+                table_ref[li, :n_valid] = jnp.maximum(
+                    table_ref[li - 1, :n_valid], table_ref[0, li:]
+                )
+                table_ref[li, n_valid:] = table_ref[li - 1, n_valid:]
+
+        if mode == "zeroOut":
+            for j in range(out_size):
+                out_ref[0, 0, 0, :, j, :] = jnp.zeros(
+                    (out_size, rowmax_ref.shape[-1]), dtype
+                )
+            return
+
+        if mode == "p1only":
+            # isolate pass 1 (table read + strided rowmax write)
+            for i in range(out_size):
+                hs = jnp.clip((i * rh) // out_size + y1, 0, h)
+                he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
+                ln = he - hs
+                li = jnp.clip(ln - 1, 0, max_bh - 1)
+                ys = jnp.clip(hs, 0, h - 1)
+                val = table_ref[li, ys]
+                rowmax_ref[:, i, :] = jnp.where(ln > 0, val, neg)
+            for j in range(out_size):
+                out_ref[0, 0, 0, :, j, :] = jnp.zeros(
+                    (out_size, rowmax_ref.shape[-1]), dtype
+                )
+            return
+
+        if mode == "stackwrite":
+            # pass 1 accumulates the 14 row slabs in registers and stores
+            # the rowmax scratch ONCE (contiguous) instead of 14 strided
+            # single-sublane writes
+            slabs = []
+            for i in range(out_size):
+                hs = jnp.clip((i * rh) // out_size + y1, 0, h)
+                he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
+                ln = he - hs
+                li = jnp.clip(ln - 1, 0, max_bh - 1)
+                ys = jnp.clip(hs, 0, h - 1)
+                val = table_ref[li, ys]
+                slabs.append(jnp.where(ln > 0, val, neg))
+            rowmax_ref[...] = jnp.stack(slabs, axis=1)  # (w, os, cb)
+            for j in range(out_size):
+                ws = jnp.clip((j * rw) // out_size + x1, 0, w)
+                we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
+                x0 = jnp.clip(ws, 0, w - max_bw)
+                cols = rowmax_ref[pl.ds(x0, max_bw), :, :]
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (max_bw, 1, 1), 0) + x0
+                keep = (cidx >= ws) & (cidx < we)
+                cols = jnp.where(keep, cols, neg)
+                m = jnp.max(cols, axis=0).astype(jnp.float32)
+                out_ref[0, 0, 0, :, j, :] = jnp.where(
+                    m <= _NEG / 2, 0.0, m
+                ).astype(dtype)
+            return
+
+        for i in range(out_size):
+            hs = jnp.clip((i * rh) // out_size + y1, 0, h)
+            he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
+            ln = he - hs
+            li = jnp.clip(ln - 1, 0, max_bh - 1)
+            ys = jnp.clip(hs, 0, h - 1)
+            val = table_ref[li, ys]
+            rowmax_ref[:, i, :] = jnp.where(ln > 0, val, neg)
+        for j in range(out_size):
+            ws = jnp.clip((j * rw) // out_size + x1, 0, w)
+            we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
+            x0 = jnp.clip(ws, 0, w - max_bw)
+            cols = rowmax_ref[pl.ds(x0, max_bw), :, :]
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (max_bw, 1, 1), 0) + x0
+            keep = (cidx >= ws) & (cidx < we)
+            cols = jnp.where(keep, cols, neg)
+            m = jnp.max(cols, axis=0).astype(jnp.float32)
+            out_ref[0, 0, 0, :, j, :] = jnp.where(
+                m <= _NEG / 2, 0.0, m
+            ).astype(dtype)
+
+    return kernel
+
+
+def make_kernel(mode, out_size, max_bh, max_bw, h, w):
+    def kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
+               rowmax_ref):
+        dtype = feat_ref.dtype
+        neg = jnp.asarray(_NEG, dtype)
+        bi = pl.program_id(0)
+        pi = pl.program_id(2)
+        ri = bi * pl.num_programs(2) + pi
+        y1 = y1_ref[ri]
+        x1 = x1_ref[ri]
+        rh = rh_ref[ri]
+        rw = rw_ref[ri]
+
+        @pl.when(pi == 0)
+        def _build():
+            table_ref[0] = feat_ref[0]
+            for li in range(1, max_bh):
+                n_valid = h - li
+                table_ref[li, :n_valid] = jnp.maximum(
+                    table_ref[li - 1, :n_valid], table_ref[0, li:]
+                )
+                table_ref[li, n_valid:] = table_ref[li - 1, n_valid:]
+
+        if mode in ("full", "noP2"):
+            for i in range(out_size):
+                hs = jnp.clip((i * rh) // out_size + y1, 0, h)
+                he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
+                ln = he - hs
+                li = jnp.clip(ln - 1, 0, max_bh - 1)
+                ys = jnp.clip(hs, 0, h - 1)
+                val = table_ref[li, ys]
+                rowmax_ref[:, i, :] = jnp.where(ln > 0, val, neg)
+        else:
+            for i in range(out_size):
+                rowmax_ref[:, i, :] = table_ref[0, i]
+
+        if mode in ("full", "noP1"):
+            for j in range(out_size):
+                ws = jnp.clip((j * rw) // out_size + x1, 0, w)
+                we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
+                x0 = jnp.clip(ws, 0, w - max_bw)
+                cols = rowmax_ref[pl.ds(x0, max_bw), :, :]
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (max_bw, 1, 1), 0) + x0
+                keep = (cidx >= ws) & (cidx < we)
+                cols = jnp.where(keep, cols, neg)
+                m = jnp.max(cols, axis=0).astype(jnp.float32)
+                out_ref[0, 0, :, j, :] = jnp.where(
+                    m <= _NEG / 2, 0.0, m
+                ).astype(dtype)
+        else:
+            for j in range(out_size):
+                out_ref[0, 0, :, j, :] = rowmax_ref[j, :, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "cb"))
+def pool(features, boxes, mode="full", cb=128):
+    b, h, w, c = features.shape
+    p = boxes.shape[1]
+    os_ = 14
+    max_bh = min(math.ceil((h + 1) / os_) + 1, h)
+    max_bw = min(math.ceil((w + 1) / os_) + 1, w)
+    scaled = boxes / 16.0
+    roi = jnp.where(
+        scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
+    ).astype(jnp.int32)
+    y1 = roi[..., 1].reshape(-1)
+    x1 = roi[..., 0].reshape(-1)
+    rh = jnp.maximum(roi[..., 3] - roi[..., 1] + 1, 1).reshape(-1)
+    rw = jnp.maximum(roi[..., 2] - roi[..., 0] + 1, 1).reshape(-1)
+    kernel = make_kernel(mode, os_, max_bh, max_bw, h, w)
+    n_cb = -(-c // cb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, n_cb, p),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cb), lambda bi, ci, pi, *_: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, os_, os_, cb), lambda bi, ci, pi, *_: (bi, pi, 0, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max_bh, h, w, cb), features.dtype),
+            pltpu.VMEM((w, os_, cb), features.dtype),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, os_, os_, c), features.dtype),
+    )(y1, x1, rh, rw, features)
+
+
+def timed(fn, feat, boxes, iters=20):
+    @jax.jit
+    def loop(feat, boxes, n):
+        def body(i, acc):
+            out = fn(feat + i * jnp.asarray(1e-9, feat.dtype), boxes)
+            return acc + jnp.sum(out[0, 0, 0, 0, :8].astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    n1, nk = jnp.asarray(1), jnp.asarray(iters)
+    float(loop(feat, boxes, n1))
+    t0 = time.perf_counter(); float(loop(feat, boxes, n1)); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(loop(feat, boxes, nk)); tk = time.perf_counter() - t0
+    return (tk - t1) / (iters - 1)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    b, h, w, c, p = 8, 52, 84, 1024, 300
+    feat = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.bfloat16)
+    boxes = np.zeros((b, p, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, w * 16 - 2, (b, p))
+    boxes[..., 1] = rng.uniform(0, h * 16 - 2, (b, p))
+    boxes[..., 2] = np.minimum(boxes[..., 0] + rng.uniform(1, w * 16, (b, p)), w * 16 - 1)
+    boxes[..., 3] = np.minimum(boxes[..., 1] + rng.uniform(1, h * 16, (b, p)), h * 16 - 1)
+    boxes = jnp.asarray(boxes)
+    for mode in ("p1only", "stackwrite"):
+        try:
+            dt = timed(
+                lambda f, bx, m=mode: pool_contig(f, bx, mode=m), feat, boxes
+            )
+            print(f"contig {mode:10s}: {dt*1e3:.2f} ms")
+        except Exception as e:
+            print(f"contig {mode}: FAILED {type(e).__name__}: {str(e)[:160]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Real-weight closure: verify the TPU pipeline against the reference's
+golden fixture with the actual ``unc-nlp/frcnn-vg-finetuned`` checkpoint.
+
+The reference's de-facto parity artifact is the checked-in extracted-
+feature table (reference: tests/visualgenome/frcnn/train.arrow — 10 VG
+images run through tests/frcnn_test.py:11-31 with nms [0.5, 1.0, 0.1],
+36/36 min/max detections). This environment has no network egress, so the
+checkpoint cannot be fetched here; the moment a local copy of the weights
+(and the VG images named ``{imgid}.jpg``) is available, this script turns
+the hermetic random-init parity suite (tests/test_reference_parity.py)
+into a one-command real-weight proof:
+
+    python tools/verify_checkpoint.py \
+        --checkpoint /path/to/pytorch_model.bin \
+        --images /path/to/VG_100K
+
+It converts the torch state_dict (models/convert.py:torch_frcnn_to_jax),
+runs the fixture's images through the *batched* extraction pipeline
+(adapters/frcnn.py — the same path `FRCNN.extract` users run), and
+numerically compares boxes / 2048-d features / object & attribute ids
+row by row against the fixture. Exit code 0 iff all images agree within
+tolerances.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+DEFAULT_FIXTURE = "/root/reference/tests/visualgenome/frcnn/train.arrow"
+
+
+def load_fixture(path: str):
+    """Read the reference fixture arrow -> {imgid: row dict}."""
+    import pyarrow as pa
+
+    with pa.memory_map(path, "rb") as f:
+        table = pa.ipc.open_stream(f).read_all()
+    rows = {}
+    for i in range(table.num_rows):
+        imgid = table.column("imgid")[i].as_py()
+        rows[imgid] = {
+            "box": np.asarray(table.column("box")[i].as_py(), np.float32),
+            "features": np.asarray(
+                table.column("features")[i].as_py(), np.float32
+            ),
+            "object_ids": np.asarray(
+                table.column("object_ids")[i].as_py(), np.int64
+            ),
+            "attr_ids": np.asarray(
+                table.column("attr_ids")[i].as_py(), np.int64
+            ),
+        }
+    return rows
+
+
+def stage_images(imgids, images_dir: str, workdir: str) -> str:
+    """Build {workdir}/visualgenome/train/{imgid}.jpg from the user's VG
+    image directory (searched recursively); returns the datadir."""
+    img_dir = os.path.join(workdir, "visualgenome", "train")
+    os.makedirs(img_dir, exist_ok=True)
+    index = {}
+    for root, _dirs, files in os.walk(images_dir):
+        for fn in files:
+            stem, ext = os.path.splitext(fn)
+            if ext.lower() in (".jpg", ".jpeg", ".png"):
+                index.setdefault(stem, os.path.join(root, fn))
+    missing = [i for i in imgids if i not in index]
+    if missing:
+        raise FileNotFoundError(
+            f"images not found under {images_dir}: {missing}"
+        )
+    for imgid in imgids:
+        dst = os.path.join(img_dir, f"{imgid}.jpg")
+        try:
+            os.link(index[imgid], dst)
+        except OSError:
+            shutil.copy(index[imgid], dst)
+    return workdir
+
+
+def run(checkpoint: str, images: str, fixture: str, atol_box: float,
+        rtol_feat: float, min_cosine: float) -> int:
+    golden = load_fixture(fixture)
+    imgids = sorted(golden)
+    workdir = tempfile.mkdtemp(prefix="vltk_verify_ckpt_")
+    datadir = stage_images(imgids, images, workdir)
+
+    from vltk_tpu.adapters.frcnn import FRCNN
+
+    # exact parity config: f32, 300 post-NMS proposals, 36/36 detections,
+    # nms list (0.5, 1.0, 0.1) — reference tests/frcnn_test.py:15-19
+    out = FRCNN.extract(
+        datadir,
+        dataset_name="visualgenome",
+        checkpoint=checkpoint,
+        dtype=None,
+        pre_nms_topk=6000,
+        post_nms_topk=300,
+    )
+    adapter = out["train"]
+
+    failures = []
+    report = []
+    for imgid in imgids:
+        want = golden[imgid]
+        got = adapter.get(imgid)
+        boxes = np.asarray(got["boxes"], np.float32)
+        feats = np.asarray(got["features"], np.float32)
+        box_err = float(np.max(np.abs(boxes - want["box"])))
+        denom = np.maximum(np.abs(want["features"]), 1e-2)
+        feat_rel = float(np.max(np.abs(feats - want["features"]) / denom))
+        cos = float(
+            np.min(
+                np.sum(feats * want["features"], axis=-1)
+                / (
+                    np.linalg.norm(feats, axis=-1)
+                    * np.linalg.norm(want["features"], axis=-1)
+                    + 1e-9
+                )
+            )
+        )
+        obj_match = float(
+            np.mean(
+                np.asarray(got["object_ids"], np.int64) == want["object_ids"]
+            )
+        )
+        ok = box_err <= atol_box and cos >= min_cosine and feat_rel <= rtol_feat
+        report.append(
+            {
+                "imgid": imgid,
+                "box_max_abs_px": round(box_err, 3),
+                "feat_max_rel": round(feat_rel, 4),
+                "feat_min_cosine": round(cos, 5),
+                "object_id_agreement": round(obj_match, 3),
+                "ok": ok,
+            }
+        )
+        if not ok:
+            failures.append(imgid)
+
+    print(
+        json.dumps(
+            {
+                "metric": "frcnn_real_checkpoint_parity",
+                "checkpoint": checkpoint,
+                "fixture": fixture,
+                "images_ok": len(imgids) - len(failures),
+                "images_total": len(imgids),
+                "per_image": report,
+            },
+            indent=2,
+        )
+    )
+    return 1 if failures else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True,
+                    help="local pytorch_model.bin / .pkl of unc-nlp/frcnn-vg-finetuned")
+    ap.add_argument("--images", required=True,
+                    help="directory containing the VG images ({imgid}.jpg), searched recursively")
+    ap.add_argument("--fixture", default=DEFAULT_FIXTURE)
+    ap.add_argument("--atol-box", type=float, default=1.0,
+                    help="max abs box error in pixels (fixture boxes are rounded)")
+    ap.add_argument("--rtol-feat", type=float, default=0.05)
+    ap.add_argument("--min-cosine", type=float, default=0.999)
+    args = ap.parse_args()
+    return run(args.checkpoint, args.images, args.fixture, args.atol_box,
+               args.rtol_feat, args.min_cosine)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -241,29 +241,3 @@ class Res5Head(nn.Module):
         )
 
 
-class Res5HeadPooledScan(nn.Module):
-    """Scan-compatible res5: consumes one RoI chunk, returns the *pooled*
-    (chunk, 2048) features so the full 14x14 res5 activation volume never
-    materializes for more than one chunk at a time — the memory cap that
-    lets batch-32 extraction fit HBM (B=32 OOMed on res5 activations,
-    BASELINE.md). Param layout identical to :class:`Res5Head`."""
-
-    res2_out_channels: int = 256
-    num_groups: int = 1
-    width_per_group: int = 64
-    stride_in_1x1: bool = True
-    halve: bool = False
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, carry, x: jnp.ndarray):
-        y = res5_blocks(
-            x,
-            res2_out_channels=self.res2_out_channels,
-            num_groups=self.num_groups,
-            width_per_group=self.width_per_group,
-            stride_in_1x1=self.stride_in_1x1,
-            halve=self.halve,
-            dtype=self.dtype,
-        )
-        return carry, jnp.mean(y, axis=(1, 2))  # frcnn.py:1401 mean pool

@@ -141,6 +141,20 @@ class MultiHeadAttention(nn.Module):
             # P(None, "model"), model-major blocks), so "seq" takes the
             # minor head slice — the layout switch is an all-to-all over
             # the seq axis only.
+            #
+            # The pre-switch constraint pins the SAME-RANK upstream layout
+            # first (seq-sharded tokens, model-sharded heads — exactly what
+            # sharding propagation infers from the stream + TP kernels), so
+            # the layout switch is a clean 4D reshard in the transposed
+            # (backward) program too. Without it, the backward cotangent
+            # reaches the (n,s,h)<->(n,s,nh,dh) reshape still fully
+            # head-sharded and the SPMD partitioner falls back to
+            # "involuntary full rematerialization" — replicating the whole
+            # activation (the MULTICHIP_r02 dryrun-tail warning).
+            ctx_seq = "seq" if ctx is x else None
+            q = _constrain(q, cfg, ("data", "seq", "model", None))
+            k = _constrain(k, cfg, ("data", ctx_seq, "model", None))
+            v = _constrain(v, cfg, ("data", ctx_seq, "model", None))
             q = _constrain(q, cfg, ("data", None, ("model", "seq"), None))
             k = _constrain(k, cfg, ("data", None, ("model", "seq"), None))
             v = _constrain(v, cfg, ("data", None, ("model", "seq"), None))

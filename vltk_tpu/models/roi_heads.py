@@ -17,7 +17,51 @@ import jax.numpy as jnp
 
 import flax.linen as linen
 
-from vltk_tpu.models.backbone import Res5Head, Res5HeadPooledScan
+from vltk_tpu.models.backbone import Res5Head, res5_blocks
+
+
+class PoolRes5Scan(nn.Module):
+    """Scan body fusing RoIPool + res5 for one RoI chunk: pools its own
+    (N, Pc) box slice and immediately reduces it to (N, Pc, 2048) pooled
+    features, so the full (N*P, 14, 14, C) pooled tensor — ~2 GB bf16 at
+    the parity config, the HBM high-water mark that crashed B=32
+    (BASELINE.md) — never materializes. Param layout identical to
+    :class:`Res5Head` (children "0"/"1"/"2"), so both branches share one
+    checkpoint layout."""
+
+    res2_out_channels: int = 256
+    num_groups: int = 1
+    width_per_group: int = 64
+    stride_in_1x1: bool = True
+    halve: bool = False
+    dtype: Any = None
+    pooler_resolution: int = 14
+    feature_stride: int = 16
+
+    @nn.compact
+    def __call__(self, carry, features: jnp.ndarray, boxes: jnp.ndarray):
+        from vltk_tpu.ops.pallas_kernels import roi_pool_auto
+
+        n, pc = boxes.shape[0], boxes.shape[1]
+        res = self.pooler_resolution
+        pooled = roi_pool_auto(
+            features,
+            boxes,
+            output_size=res,
+            spatial_scale=1.0 / self.feature_stride,
+        )  # (N, Pc, res, res, C)
+        x = pooled.reshape(n * pc, res, res, features.shape[-1])
+        y = res5_blocks(
+            x,
+            res2_out_channels=self.res2_out_channels,
+            num_groups=self.num_groups,
+            width_per_group=self.width_per_group,
+            stride_in_1x1=self.stride_in_1x1,
+            halve=self.halve,
+            dtype=self.dtype,
+        )
+        feat = jnp.mean(y, axis=(1, 2))  # frcnn.py:1401 mean pool
+        return carry, feat.reshape(n, pc, -1)
 
 
 class FastRCNNOutputLayers(nn.Module):
@@ -95,14 +139,7 @@ class Res5RoIHeads(nn.Module):
         n, p = boxes.shape[0], boxes.shape[1]
         from vltk_tpu.ops.pallas_kernels import roi_pool_auto
 
-        pooled = roi_pool_auto(
-            features,
-            boxes,
-            output_size=self.pooler_resolution,
-            spatial_scale=1.0 / self.feature_stride,
-        )  # (N, P, 14, 14, C) — pallas kernel on TPU, XLA tables elsewhere
         res = self.pooler_resolution
-        pooled = pooled.reshape(n * p, res, res, features.shape[-1])
         res5_kwargs = dict(
             res2_out_channels=self.res2_out_channels,
             num_groups=self.num_groups,
@@ -112,24 +149,47 @@ class Res5RoIHeads(nn.Module):
             dtype=self.dtype,
         )
         if self.roi_chunk is not None and n * p > self.roi_chunk:
-            chunk = int(self.roi_chunk)
-            k = -(-(n * p) // chunk)
-            pad = k * chunk - n * p
-            if pad:
-                pooled = jnp.concatenate(
-                    [pooled, jnp.zeros((pad, *pooled.shape[1:]), pooled.dtype)]
+            # pool-inside-scan: each scan step pools ITS OWN (N, Pc) box
+            # slice and runs res5 on it, so only one chunk's pooled tensor
+            # is ever live (vs the full ~2 GB (N*P, 14, 14, C) bf16
+            # intermediate that crashed B=32, VERDICT r2 task 1/5)
+            pc = max(int(self.roi_chunk) // n, 1)
+            k = -(-p // pc)
+            pad = k * pc - p
+            boxes_p = (
+                jnp.concatenate(
+                    [boxes, jnp.zeros((n, pad, 4), boxes.dtype)], axis=1
                 )
-            xs = pooled.reshape(k, chunk, res, res, features.shape[-1])
+                if pad
+                else boxes
+            )
+            xs = boxes_p.reshape(n, k, pc, 4).transpose(1, 0, 2, 3)
             scanned = linen.scan(
-                Res5HeadPooledScan,
+                PoolRes5Scan,
                 variable_broadcast="params",
                 split_rngs={"params": False},
-                in_axes=0,
+                in_axes=(linen.broadcast, 0),
                 out_axes=0,
-            )(**res5_kwargs, name="res5")
-            _, feat = scanned(None, xs)  # (K, chunk, 2048)
-            feat = feat.reshape(k * chunk, -1)[: n * p]
+            )(
+                **res5_kwargs,
+                pooler_resolution=res,
+                feature_stride=self.feature_stride,
+                name="res5",
+            )
+            _, feat = scanned(None, features, xs)  # (k, n, pc, 2048)
+            feat = (
+                feat.transpose(1, 0, 2, 3)
+                .reshape(n, k * pc, -1)[:, :p]
+                .reshape(n * p, -1)
+            )
         else:
+            pooled = roi_pool_auto(
+                features,
+                boxes,
+                output_size=res,
+                spatial_scale=1.0 / self.feature_stride,
+            )  # (N, P, 14, 14, C) — pallas kernel on TPU, XLA elsewhere
+            pooled = pooled.reshape(n * p, res, res, features.shape[-1])
             x = Res5Head(**res5_kwargs, name="res5")(pooled)
             feat = jnp.mean(x, axis=(1, 2))  # (N*P, 2048) — frcnn.py:1401
         obj_logits, attr_logits, deltas = FastRCNNOutputLayers(
