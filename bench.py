@@ -68,6 +68,10 @@ def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
         )
     if fast:
         return FRCNNConfig.fast_extraction(roi_chunk=roi_chunk)
+    if roi_chunk is None and getattr(args, "batch", 16) >= 24:
+        # pool-inside-scan chunking (roi_heads.py): caps the pooled+res5
+        # HBM high-water mark so B>=24 fits; B=32 measured fastest (r3)
+        roi_chunk = 2400
     return FRCNNConfig(post_nms_topk=300, dtype=dtype, roi_chunk=roi_chunk)
 
 
@@ -276,6 +280,18 @@ def run_host_bench(args):
     Adapters.add(HostOnlyFRCNN)
     HostOnlyFRCNN.model_batch_size = args.batch
 
+    # warmup on a copy dir: absorbs lazy imports (datasets/pyarrow) and
+    # the thread-pool spin-up, which otherwise land in the timed region
+    warm_dir = tempfile.mkdtemp(prefix="vltk_host_warm_")
+    warm_imgs = os.path.join(warm_dir, "coco2014", "train")
+    os.makedirs(warm_imgs)
+    for i in range(args.batch):
+        os.link(
+            os.path.join(img_dir, f"COCO_train2014_{i:012d}.jpg"),
+            os.path.join(warm_imgs, f"COCO_train2014_{i:012d}.jpg"),
+        )
+    HostOnlyFRCNN.extract(warm_dir, dataset_name="coco2014")
+
     t0 = time.perf_counter()
     HostOnlyFRCNN.extract(datadir, dataset_name="coco2014")
     dt = time.perf_counter() - t0
@@ -443,7 +459,10 @@ def run_train_bench(args):
     # FRCNN detection fine-tune step (R101-C4, parity canvas)
     from vltk_tpu.models import FRCNN, FRCNNConfig, fast_rcnn_losses, rpn_losses
 
-    b = min(args.batch, 4)  # fwd+bwd activations: 4 fits one v5e chip
+    # fwd+bwd at the parity canvas keeps ~1.4 GB of backbone activations
+    # per image live for the backward — B=2 is the safe single-chip default
+    # (pass --batch to push it)
+    b = min(args.batch, 2) if args.batch >= 16 else args.batch
     _, canvas, short, maximum, raw_hw = GEOM["full"]
     cfg = FRCNNConfig(
         post_nms_topk=300, dtype="bfloat16", roi_chunk=args.roi_chunk
@@ -684,7 +703,7 @@ def main():
         "--train", choices=("lxmert", "frcnn"), default=None,
         help="time a TPU training step instead of extraction",
     )
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--roi-chunk", type=int, default=None)
     args = ap.parse_args()

@@ -307,11 +307,12 @@ class TestRoIPoolPallas:
         )(boxes)
         np.testing.assert_array_equal(np.asarray(gb), 0.0)
 
-    def test_v2_matches_xla(self, rng):
-        """Row-range-table kernel (interpret mode) vs the XLA path."""
+    def test_full_image_and_degenerate_boxes(self, rng):
+        """Extra geometry coverage for the v3 kernel (interpret mode):
+        full-image box (widest bins) + degenerate tiny box vs XLA path."""
         import jax
 
-        from vltk_tpu.ops.pallas_kernels import roi_pool_pallas_v2
+        from vltk_tpu.ops.pallas_kernels import roi_pool_pallas as roi_pool_pallas_v2
 
         b, h, w, c, p, out_size = 2, 20, 24, 8, 6, 7
         feat = rng.standard_normal((b, h, w, c)).astype(np.float32)

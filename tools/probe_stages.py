@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Stage split of the parity-geometry FRCNN extraction step on TPU.
+
+Times each stage with the in-jit fori protocol (CLAUDE.md): K iterations
+of the stage inside one jitted loop, inputs perturbed by +i*1e-9, one
+fetch; per-iter = (t_K - t_1)/(K-1). Feeds each stage realistic inputs by
+running the preceding stages once outside the clock.
+
+Usage: python tools/probe_stages.py [--batch 16]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/vltk_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def timed(fn, args_, iters=12):
+    @jax.jit
+    def loop(args_, n):
+        def body(i, acc):
+            eps = i * jnp.asarray(1e-9, jnp.float32)
+            out = fn(*[
+                a + eps.astype(a.dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+                for a in args_
+            ])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return acc + jnp.sum(leaf[(0,) * (leaf.ndim - 1)][:1].astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    float(loop(args_, jnp.asarray(1)))
+    t0 = time.perf_counter(); float(loop(args_, jnp.asarray(1)))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(loop(args_, jnp.asarray(iters)))
+    tk = time.perf_counter() - t0
+    return (tk - t1) / (iters - 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+
+    from vltk_tpu.models import FRCNN, FRCNNConfig
+    from vltk_tpu.models import frcnn as F
+    from vltk_tpu.models.anchors import grid_anchors
+    from vltk_tpu.models.backbone import ResNetC4
+    from vltk_tpu.models.roi_heads import Res5RoIHeads
+    from vltk_tpu.models.rpn import RPNHead, propose
+    from vltk_tpu.ops.image_ops import preprocess_batch
+
+    cfg = FRCNNConfig(post_nms_topk=300, dtype="bfloat16")
+    model = FRCNN(cfg=cfg)
+    b = args.batch
+    canvas, short, maximum, raw_hw = (832, 1344), 800.0, 1333.0, (480, 640)
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(
+        rng.integers(0, 256, (b, 512, 672, 3)).astype(np.uint8)
+    )
+    raw_sizes = jnp.asarray([raw_hw] * b, jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *canvas, 3), jnp.float32),
+        jnp.asarray([[float(canvas[0]), float(canvas[1])]]),
+    )["params"]
+    dtype = cfg.compute_dtype
+
+    # run-once intermediates
+    pre = jax.jit(
+        lambda r, s: preprocess_batch(r, s, canvas_hw=canvas, short=short, maximum=maximum)
+    )(raw, raw_sizes)
+    images, sizes, scales = pre["img"], pre["sizes"], pre["scales_yx"]
+
+    backbone = ResNetC4(
+        depth=cfg.depth, stem_out_channels=cfg.stem_out_channels,
+        res2_out_channels=cfg.res2_out_channels, num_groups=cfg.num_groups,
+        width_per_group=cfg.width_per_group, stride_in_1x1=cfg.stride_in_1x1,
+        caffe_maxpool=cfg.caffe_maxpool, dtype=dtype,
+    )
+    bb_params = {"params": params["backbone"]}
+    feats = jax.jit(lambda p, x: backbone.apply(p, x))(bb_params, images)
+
+    rpn = RPNHead(num_anchors=cfg.num_anchors, hidden_channels=cfg.rpn_hidden_channels)
+    rpn_params = {"params": params["rpn_head"]}
+    logits, deltas = jax.jit(lambda p, f: rpn.apply(p, f))(rpn_params, feats)
+    anchors = grid_anchors(
+        (feats.shape[1], feats.shape[2]), stride=cfg.feature_stride,
+        sizes=cfg.anchor_sizes, aspect_ratios=cfg.aspect_ratios,
+        offset=cfg.anchor_offset,
+    )
+
+    def run_propose(lg, dl):
+        return propose(
+            lg.astype(jnp.float32), dl.astype(jnp.float32), anchors, sizes,
+            nms_thresh=cfg.rpn_nms_thresh, pre_nms_topk=cfg.pre_nms_topk,
+            post_nms_topk=cfg.post_nms_topk,
+            min_box_side_len=cfg.min_box_side_len,
+            bbox_reg_weights=cfg.rpn_bbox_reg_weights,
+            ignorey=None, scales_yx=scales,
+        )
+
+    prop_boxes, prop_scores, prop_valid = jax.jit(run_propose)(logits, deltas)
+
+    heads = Res5RoIHeads(
+        num_classes=cfg.num_classes, num_attrs=cfg.num_attrs,
+        res2_out_channels=cfg.res2_out_channels, num_groups=cfg.num_groups,
+        width_per_group=cfg.width_per_group, stride_in_1x1=cfg.stride_in_1x1,
+        pooler_resolution=cfg.pooler_resolution,
+        feature_stride=cfg.feature_stride, res5_halve=cfg.res5_halve,
+        use_attr=cfg.use_attr, cls_agnostic_bbox_reg=cfg.cls_agnostic_bbox_reg,
+        dtype=dtype, roi_chunk=cfg.roi_chunk,
+    )
+    heads_params = {"params": params["roi_heads"]}
+    obj_logits, attr_logits, box_deltas, pooled = jax.jit(
+        lambda p, f, bx: heads.apply(p, f, bx)
+    )(heads_params, feats, prop_boxes)
+
+    from vltk_tpu.ops.pallas_kernels import roi_pool_pallas
+
+    stages = [
+        ("preprocess", lambda r: preprocess_batch(
+            r, raw_sizes, canvas_hw=canvas, short=short, maximum=maximum
+        )["img"], (raw.astype(jnp.float32),)),
+        ("backbone(stem+res2-4)", lambda x: backbone.apply(bb_params, x), (images,)),
+        ("rpn_head+propose", lambda f: run_propose(*rpn.apply(rpn_params, f)), (feats,)),
+        ("roi_pool(pallas)", lambda f, bx: roi_pool_pallas(f, bx, 14, 1.0 / 16),
+         (feats, prop_boxes)),
+        ("roi_heads(pool+res5+pred)", lambda f, bx: heads.apply(heads_params, f, bx)[0],
+         (feats, prop_boxes)),
+        ("postprocess", lambda ol, al, bd, pl_: F._postprocess(
+            cfg, prop_boxes, prop_valid, ol, al, bd, pl_, sizes, scales
+        )["boxes"], (obj_logits, attr_logits, box_deltas, pooled)),
+    ]
+    total = 0.0
+    for name, fn, a in stages:
+        dt = timed(fn, a)
+        print(f"{name:28s}: {dt*1e3:7.2f} ms  ({dt*1e3/b:.2f} ms/img)")
+        if name != "roi_pool(pallas)":  # pool is inside roi_heads
+            total += dt
+    print(f"{'sum(excl. standalone pool)':28s}: {total*1e3:7.2f} ms "
+          f"-> {b/total:.1f} img/s in-jit")
+
+
+if __name__ == "__main__":
+    main()

@@ -117,14 +117,15 @@ def _select_detections(
     """The retry-NMS of do_nms (reference: frcnn.py:116-143, 1274-1278) as a
     static parallel evaluation: run fixed NMS at every threshold in the
     list, then pick the first whose keep-count reaches ``min_detections``
-    (falling back to the last, as the reference loop does)."""
-    keeps, valids = [], []
-    for t in nms_thresh_list:
-        k, v = nms_fixed(boxes, scores, t, max_detections, valid=valid)
-        keeps.append(k)
-        valids.append(v)
-    keeps = jnp.stack(keeps)  # (T, D)
-    valids = jnp.stack(valids)  # (T, D)
+    (falling back to the last, as the reference loop does).
+
+    The thresholds run VMAPPED over one selection scan (T-wide ops per
+    greedy step) instead of T sequential scans — the scan's sequential
+    step latency dominates at these sizes, so this cuts the
+    detection-selection stage roughly T-fold."""
+    keeps, valids = jax.vmap(
+        lambda t: nms_fixed(boxes, scores, t, max_detections, valid=valid)
+    )(jnp.asarray(nms_thresh_list, boxes.dtype))  # (T, D) each
     counts = jnp.sum(valids, axis=1)
     stop = counts >= min_detections
     # first stopping index; if none stop, argmax of all-False is 0 — the

@@ -4,37 +4,45 @@
 XLA formulations (ops/roi_pool.py) bottom out in HBM row-gathers, which
 profiling on v5e showed run at ~25 GB/s effective (gather-issue bound, not
 bandwidth bound). Here the whole per-image feature map block is pinned in
-VMEM (52x84x1024 bf16 = 8.9 MB < 16 MB) and each grid step (one RoI)
-computes its 14x14 bins with a two-pass separable masked max:
+VMEM and each grid step (one RoI) computes its 14x14 bins in two passes:
 
-  pass 1: for each of 14 row-bins, load the (MAXBH, W, C) row window with
-          one static-size dynamic slice, mask rows outside [hstart, hend),
-          reduce -> (W, C) row-max scratch;
-  pass 2: for each of 14 col-bins, slice (14, MAXBW, C) from the scratch,
-          mask cols outside [wstart, wend), reduce -> (14, C) output col.
+  build (once per (image, channel-block), amortized over all P RoIs):
+          a row-range-max table T[l][y] = max(rows[y : y+l+1]) for every
+          window length l+1 <= MAXBH, built level-by-level with one
+          shifted max per level (~MAXBH passes over the block);
+  pass 1: each of the 14 row-bins is ONE unmasked table read
+          T[len-1][hstart] -> (W, C), written CONTIGUOUSLY into a
+          (14, Wpad, C) row-max scratch;
+  pass 2: for each of the 14 col-bins, one 8-ALIGNED dynamic-start slice
+          (14, WIN, C) of the scratch on the sublane dim, mask cols
+          outside [wstart, wend), reduce -> (14, C) output column.
 
-Measured 41 ms for (8, 300) RoIs over (52, 84, 1024) bf16 on v5e — 2x the
-XLA sparse-table path, 16x the original gather loop. Two further variants
-were built and benchmarked at identical speed (in-jit timing), so the
-kernel is at a structural floor, likely the strided rowmax-scratch
-traffic: (a) in-kernel sliding-window-max tables cutting pass-1 reads
-from 5 masked rows to 2 table rows per bin; (b) grouping 10 RoIs per grid
-step to amortize step overhead. Both were reverted for simplicity (git
-history: "in-kernel tables" experiments).
+History of this design (all measured on v5e, in-jit fori timing, (8, 300)
+RoIs over (52, 84, 1024) bf16 — see tools/probe_roipool_ablation.py):
 
-Round-2 channel-block sweep (same shape, micro-bench): cb=256 (auto
-heuristic) 39.6 ms, cb=512 43.6 ms, cb=1024 refuses to compile (scoped
-vmem 21.4M > 16M). Halving the grid-step count made it *slower*, so the
-kernel is not step-count bound either; at 9600 (image, cb, roi) steps the
-measured ~4.1 us/step matches the VMEM read traffic of the 28 serial
-masked-slice ops per step — cutting it further needs fewer/larger inner
-ops (the bins' unequal heights block a single reshape-reduce), not
-different blocking. Re-measure before re-attempting any of the above.
+* v1 (rounds 1-2, 39.5 ms): masked row reads + a (W, 14, C) scratch.
+  An ablation with BOTH passes stubbed to trivial copies still took
+  32 ms — the kernel was dominated by pass 1's scratch writes
+  ``rowmax[:, i, :]``, which in the (W, 14, C) layout are single-sublane
+  masked stores into W separate tiles: B*P*14*W*(C/128) ~ 22.6M strided
+  stores, invariant under channel-block size and RoI grouping (which is
+  why the r2 cb sweep and RoI-grouping experiments moved nothing).
+* register-stack variant (46.8 ms): building all 14 row slabs in vregs
+  and storing once — the sublane<->leading relayout cost MORE than the
+  strided stores. Transposes of this shape are not the escape.
+* v3 (current, 19.7 ms): the scratch is (14, Wpad, C) so pass-1 writes
+  are contiguous; pass 2 dynamically slices the SUBLANE dim instead —
+  legal in current Mosaic when the start is provably 8-aligned
+  (pl.multiple_of on 8*(ws//8), window widened to 16 and masked).
+  Numerically bit-identical to v1 on TPU.
 
 All VMEM traffic, no gathers; bin arithmetic (integer edges identical to
 torchvision, see ops/roi_pool.py:_roi_bin_edges) is precomputed in XLA and
-fed through SMEM. Grid = (B, P) with the image block reused across the P
-inner steps (grid iterates last axis fastest).
+fed through SMEM. Grid = (B, CB, P) with the image block and range table
+reused across the P inner steps (grid iterates last axis fastest).
+
+``roi_pool_pallas_ad`` wraps the kernel in a custom VJP (backward through
+the XLA formulation) so detection training differentiates through it.
 """
 
 from __future__ import annotations
@@ -50,14 +58,15 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, rowmax_ref,
-            *, out_size: int, max_bh: int, max_bw: int, h: int, w: int):
+def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
+            rowmax_ref, *, out_size: int, max_bh: int, max_bw: int,
+            h: int, w: int):
     dtype = feat_ref.dtype
     neg = jnp.asarray(_NEG, dtype)
     bi = pl.program_id(0)
     pi = pl.program_id(2)  # grid is (batch, channel-blocks, rois)
     # scalar prefetch carries only 4 ints per RoI (corner + size), flat 1D
-    # (SMEM pads the last two dims to (8,128) tiles, and the per-bin edge
+    # (SMEM pads the last two dims to (8,128) tiles, and per-bin edge
     # arrays blew the 1 MB SMEM budget inside the full model) — bin edges
     # are recomputed here with the same integer formulas as
     # ops/roi_pool.py:_roi_bin_edges
@@ -67,29 +76,47 @@ def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, rowmax_ref,
     rh = rh_ref[ri]
     rw = rw_ref[ri]
 
-    # pass 1: row bins -> rowmax scratch, laid out (W, out_size, C) so the
-    # pass-2 dynamic column slice is on dim 0 (Mosaic only allows dynamic
-    # starts outside the last two (sublane, lane) dims)
+    # Build the per-(image, channel-block) row-range-max table ONCE (the
+    # RoI axis iterates fastest, so pi==0 marks a fresh (bi, ci) block) and
+    # amortize it over all P RoI steps. T[l][y] = max(rows[y : y+l+1]);
+    # level l comes from level l-1 plus one shifted level-0 row.
+    @pl.when(pi == 0)
+    def _build():
+        table_ref[0] = feat_ref[0]
+        for li in range(1, max_bh):
+            n_valid = h - li
+            table_ref[li, :n_valid] = jnp.maximum(
+                table_ref[li - 1, :n_valid], table_ref[0, li:]
+            )
+            # tail rows y > h-1-li are never read (reads satisfy
+            # y + len <= h); fill from the previous level for determinism
+            table_ref[li, n_valid:] = table_ref[li - 1, n_valid:]
+
+    # pass 1: each row bin is ONE unmasked table read + one CONTIGUOUS
+    # (w, cb) store into the (out_size, wpad, cb) scratch
     for i in range(out_size):
         hs = jnp.clip((i * rh) // out_size + y1, 0, h)
         he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
-        y0 = jnp.clip(hs, 0, h - max_bh)
-        rows = feat_ref[0, pl.ds(y0, max_bh), :, :]  # (max_bh, W, C)
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (max_bh, 1, 1), 0) + y0
-        keep = (ridx >= hs) & (ridx < he)
-        rows = jnp.where(keep, rows, neg)
-        rowmax_ref[:, i, :] = jnp.max(rows, axis=0)  # (W, C)
+        ln = he - hs
+        li = jnp.clip(ln - 1, 0, max_bh - 1)
+        ys = jnp.clip(hs, 0, h - 1)
+        val = table_ref[li, ys]  # (w, cb): max over rows [hs, hs+ln)
+        rowmax_ref[i, :w, :] = jnp.where(ln > 0, val, neg)
 
-    # pass 2: col bins -> output (out_size, out_size, C)
+    # pass 2: col bins. Dynamic-start slices on the sublane dim must be
+    # provably 8-aligned, so slice the aligned 16-wide window containing
+    # [ws, ws+max_bw) and mask within it. Cols beyond w-1 read scratch
+    # padding — always masked out (we <= w).
+    win = 2 * ((max_bw + 7) // 8) * 8
     for j in range(out_size):
         ws = jnp.clip((j * rw) // out_size + x1, 0, w)
         we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
-        x0 = jnp.clip(ws, 0, w - max_bw)
-        cols = rowmax_ref[pl.ds(x0, max_bw), :, :]  # (max_bw, out_size, C)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (max_bw, 1, 1), 0) + x0
+        x0a = pl.multiple_of((ws // 8) * 8, 8)
+        cols = rowmax_ref[:, pl.ds(x0a, win), :]  # (out_size, win, cb)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + x0a
         keep = (cidx >= ws) & (cidx < we)
         cols = jnp.where(keep, cols, neg)
-        m = jnp.max(cols, axis=0).astype(jnp.float32)  # (out_size, C)
+        m = jnp.max(cols, axis=1).astype(jnp.float32)  # (out_size, cb)
         # empty bins (hend<=hstart or wend<=wstart) -> 0 like torchvision;
         # compare in f32 (bf16 compares are unsupported on some Mosaic
         # targets)
@@ -111,8 +138,8 @@ def roi_pool_pallas(
     """Batched exact RoIPool.
 
     Args:
-      features: (B, H, W, C) feature maps (bf16 recommended; a single
-        image block must fit VMEM: H*W*C*itemsize < ~10 MB).
+      features: (B, H, W, C) feature maps (bf16 recommended; one channel
+        block of the image plus its range table must fit VMEM).
       boxes: (B, P, 4) xyxy input-image coordinates, clipped to the image.
       interpret: run in interpreter mode (CPU tests).
 
@@ -138,142 +165,9 @@ def roi_pool_pallas(
     kernel = functools.partial(
         _kernel, out_size=os_, max_bh=max_bh, max_bw=max_bw, h=h, w=w
     )
-    # block the channel dim so the (1, H, W, Cb) image block stays well
-    # under VMEM even double-buffered (Mosaic pipelines input blocks);
-    # channel blocks sit between batch and RoIs in the grid so the image
-    # block is reused across all P inner steps. channel_block=0 picks the
-    # 4 MB-per-block heuristic; nonzero overrides (perf experiments)
-    if channel_block:
-        cb = min(channel_block, c)
-    else:
-        cb = c
-        while cb > 128 and (h * w * cb * features.dtype.itemsize) > 4 * 2**20:
-            cb //= 2
-    n_cb = -(-c // cb)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b, n_cb, p),
-        in_specs=[
-            pl.BlockSpec(
-                (1, h, w, cb), lambda bi, ci, pi, *_: (bi, 0, 0, ci),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, os_, os_, cb), lambda bi, ci, pi, *_: (bi, pi, 0, 0, ci),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.VMEM((w, os_, cb), features.dtype)],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, p, os_, os_, c), features.dtype),
-        interpret=interpret,
-    )(y1, x1, rh, rw, features)
-
-
-def _kernel_v2(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
-               rowmax_ref, *, out_size: int, max_bh: int, max_bw: int,
-               h: int, w: int):
-    """Row-range-max-table variant: see ``roi_pool_pallas_v2``."""
-    dtype = feat_ref.dtype
-    neg = jnp.asarray(_NEG, dtype)
-    bi = pl.program_id(0)
-    pi = pl.program_id(2)  # grid is (batch, channel-blocks, rois)
-    ri = bi * pl.num_programs(2) + pi
-    y1 = y1_ref[ri]
-    x1 = x1_ref[ri]
-    rh = rh_ref[ri]
-    rw = rw_ref[ri]
-
-    # Build the per-(image, channel-block) row-range-max table ONCE (the
-    # RoI axis iterates fastest, so pi==0 marks a fresh (bi, ci) block) and
-    # amortize it over all P RoI steps. T[l][y] = max(rows[y : y+l+1]);
-    # level l is built from level l-1 plus one shifted level-0 row, so the
-    # whole build is ~max_bh passes over the block.
-    @pl.when(pi == 0)
-    def _build():
-        table_ref[0] = feat_ref[0]
-        for li in range(1, max_bh):
-            n_valid = h - li
-            table_ref[li, :n_valid] = jnp.maximum(
-                table_ref[li - 1, :n_valid], table_ref[0, li:]
-            )
-            # tail rows y > h-1-li are never read (reads satisfy
-            # y + len <= h); fill from the previous level for determinism
-            table_ref[li, n_valid:] = table_ref[li - 1, n_valid:]
-
-    # pass 1: each row bin is ONE unmasked table read (vs max_bh masked
-    # row reads + compare/select in the v1 kernel)
-    for i in range(out_size):
-        hs = jnp.clip((i * rh) // out_size + y1, 0, h)
-        he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
-        ln = he - hs
-        li = jnp.clip(ln - 1, 0, max_bh - 1)
-        ys = jnp.clip(hs, 0, h - 1)
-        val = table_ref[li, ys]  # (w, cb): max over rows [hs, hs+ln)
-        rowmax_ref[:, i, :] = jnp.where(ln > 0, val, neg)
-
-    # pass 2: col bins, identical to v1 (the rowmax scratch is per-RoI, so
-    # a column table cannot be amortized the same way)
-    for j in range(out_size):
-        ws = jnp.clip((j * rw) // out_size + x1, 0, w)
-        we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
-        x0 = jnp.clip(ws, 0, w - max_bw)
-        cols = rowmax_ref[pl.ds(x0, max_bw), :, :]  # (max_bw, out_size, cb)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (max_bw, 1, 1), 0) + x0
-        keep = (cidx >= ws) & (cidx < we)
-        cols = jnp.where(keep, cols, neg)
-        m = jnp.max(cols, axis=0).astype(jnp.float32)
-        out_ref[0, 0, :, j, :] = jnp.where(m <= _NEG / 2, 0.0, m).astype(dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("output_size", "spatial_scale", "interpret", "channel_block"),
-)
-def roi_pool_pallas_v2(
-    features: jnp.ndarray,
-    boxes: jnp.ndarray,
-    output_size: int = 14,
-    spatial_scale: float = 1.0 / 16,
-    interpret: bool = False,
-    channel_block: int = 0,
-) -> jnp.ndarray:
-    """Batched exact RoIPool, v2: persistent row-range-max table.
-
-    Numerically identical to ``roi_pool_pallas``; the difference is pure
-    scheduling. A (max_bh, H, W, cb) VMEM scratch holds, for every row y
-    and window length l+1 <= max_bh, the running max over rows
-    [y, y+l+1) — built once per (image, channel-block) grid entry and
-    reused across all P RoI steps. Pass 1 then reads each row bin's exact
-    range max with a single dynamically indexed row read, replacing v1's
-    max_bh masked row reads + compare/select chain (the measured 4.1
-    us/step VPU floor). The table caps the channel block lower (128 at
-    parity shape) so table+image+scratch stay within VMEM.
-    """
-    b, h, w, c = features.shape
-    p = boxes.shape[1]
-    os_ = output_size
-    max_bh = min(math.ceil((h + 1) / os_) + 1, h)
-    max_bw = min(math.ceil((w + 1) / os_) + 1, w)
-
-    scaled = boxes * spatial_scale
-    roi = jnp.where(
-        scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
-    ).astype(jnp.int32)
-    y1 = roi[..., 1].reshape(-1)
-    x1 = roi[..., 0].reshape(-1)
-    rh = jnp.maximum(roi[..., 3] - roi[..., 1] + 1, 1).reshape(-1)
-    rw = jnp.maximum(roi[..., 2] - roi[..., 0] + 1, 1).reshape(-1)
-
-    kernel = functools.partial(
-        _kernel_v2, out_size=os_, max_bh=max_bh, max_bw=max_bw, h=h, w=w
-    )
-    # channel-block heuristic: the dominant VMEM resident is the table
-    # (max_bh * image block); keep it under ~6 MB so table + double-buffered
-    # image block + rowmax scratch fit comfortably in 16 MB VMEM
+    # channel-block heuristic: the dominant VMEM resident is the range
+    # table (max_bh image blocks); keep it under ~6 MB so table +
+    # double-buffered image block + rowmax scratch fit 16 MB VMEM
     if channel_block:
         cb = min(channel_block, c)
     else:
@@ -283,6 +177,8 @@ def roi_pool_pallas_v2(
         ) > 6 * 2**20:
             cb //= 2
     n_cb = -(-c // cb)
+    win = 2 * ((max_bw + 7) // 8) * 8
+    wpad = 8 * ((w - 1) // 8) + win  # covers the widest aligned slice
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, n_cb, p),
@@ -298,7 +194,7 @@ def roi_pool_pallas_v2(
         ),
         scratch_shapes=[
             pltpu.VMEM((max_bh, h, w, cb), features.dtype),
-            pltpu.VMEM((w, os_, cb), features.dtype),
+            pltpu.VMEM((os_, wpad, cb), features.dtype),
         ],
     )
     return pl.pallas_call(
