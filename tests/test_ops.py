@@ -336,6 +336,25 @@ class TestRoIPoolPallas:
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_dropped_level0_path_matches(self, rng):
+        """The f32 VMEM-budget path (table level 0 dropped, len-1 rows
+        read from the feature block) is numerically identical."""
+        from vltk_tpu.ops.pallas_kernels import _roi_pool_xla, roi_pool_pallas
+
+        feat = rng.standard_normal((2, 20, 24, 8)).astype(np.float32)
+        boxes = np.array(
+            [[[0, 0, 120, 100], [16, 16, 200, 150], [3, 3, 3.5, 3.5],
+              [0, 0, 24 * 16 - 1, 20 * 16 - 1]]] * 2,
+            np.float32,
+        )
+        want = _roi_pool_xla(jnp.asarray(feat), jnp.asarray(boxes), 7, 1 / 16)
+        for lv0 in (0, 1):
+            got = roi_pool_pallas(
+                jnp.asarray(feat), jnp.asarray(boxes), 7, 1 / 16,
+                interpret=True, _lv0=lv0,
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_auto_dispatch_off_tpu(self, rng):
         from vltk_tpu.ops.pallas_kernels import roi_pool_auto
 

@@ -25,6 +25,102 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 _NEG = -1e30
 
 
+def make_group_kernel_v3(group, out_size, max_bh, max_bw, h, w):
+    """v3 body (contiguous rowmax + aligned dynamic sublane pass 2) with
+    G RoIs per grid step to amortize the per-step machinery."""
+
+    win = 2 * ((max_bw + 7) // 8) * 8
+
+    def kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
+               rowmax_ref):
+        dtype = feat_ref.dtype
+        neg = jnp.asarray(_NEG, dtype)
+        bi = pl.program_id(0)
+        pi = pl.program_id(2)
+        n_groups = pl.num_programs(2)
+
+        @pl.when(pi == 0)
+        def _build():
+            table_ref[0] = feat_ref[0]
+            for li in range(1, max_bh):
+                n_valid = h - li
+                table_ref[li, :n_valid] = jnp.maximum(
+                    table_ref[li - 1, :n_valid], table_ref[0, li:]
+                )
+                table_ref[li, n_valid:] = table_ref[li - 1, n_valid:]
+
+        for g in range(group):
+            ri = (bi * n_groups + pi) * group + g
+            y1 = y1_ref[ri]
+            x1 = x1_ref[ri]
+            rh = rh_ref[ri]
+            rw = rw_ref[ri]
+            for i in range(out_size):
+                hs = jnp.clip((i * rh) // out_size + y1, 0, h)
+                he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
+                ln = he - hs
+                li = jnp.clip(ln - 1, 0, max_bh - 1)
+                ys = jnp.clip(hs, 0, h - 1)
+                val = table_ref[li, ys]
+                rowmax_ref[i, :w, :] = jnp.where(ln > 0, val, neg)
+            for j in range(out_size):
+                ws = jnp.clip((j * rw) // out_size + x1, 0, w)
+                we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
+                x0a = pl.multiple_of((ws // 8) * 8, 8)
+                cols = rowmax_ref[:, pl.ds(x0a, win), :]
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + x0a
+                keep = (cidx >= ws) & (cidx < we)
+                cols = jnp.where(keep, cols, neg)
+                m = jnp.max(cols, axis=1).astype(jnp.float32)
+                out_ref[0, g, :, j, :] = jnp.where(
+                    m <= _NEG / 2, 0.0, m
+                ).astype(dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "cb"))
+def pool_grouped_v3(features, boxes, group=4, cb=128):
+    b, h, w, c = features.shape
+    p = boxes.shape[1]
+    os_ = 14
+    max_bh = min(math.ceil((h + 1) / os_) + 1, h)
+    max_bw = min(math.ceil((w + 1) / os_) + 1, w)
+    scaled = boxes / 16.0
+    roi = jnp.where(
+        scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
+    ).astype(jnp.int32)
+    y1 = roi[..., 1].reshape(-1)
+    x1 = roi[..., 0].reshape(-1)
+    rh = jnp.maximum(roi[..., 3] - roi[..., 1] + 1, 1).reshape(-1)
+    rw = jnp.maximum(roi[..., 2] - roi[..., 0] + 1, 1).reshape(-1)
+    kernel = make_group_kernel_v3(group, os_, max_bh, max_bw, h, w)
+    n_cb = -(-c // cb)
+    win = 2 * ((max_bw + 7) // 8) * 8
+    wpad = 8 * ((w - 1) // 8) + win
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, n_cb, p // group),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cb), lambda bi, ci, pi, *_: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, group, os_, os_, cb), lambda bi, ci, pi, *_: (bi, pi, 0, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max_bh, h, w, cb), features.dtype),
+            pltpu.VMEM((os_, wpad, cb), features.dtype),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, os_, os_, c), features.dtype),
+    )(y1, x1, rh, rw, features)
+
+
 def make_group_kernel(group, out_size, max_bh, max_bw, h, w):
     """G RoIs per grid step: amortizes the ~1.7us/step fixed cost the
     ablation exposed (noBoth = 32/37 ms)."""
@@ -417,18 +513,21 @@ def main():
     boxes[..., 2] = np.minimum(boxes[..., 0] + rng.uniform(1, w * 16, (b, p)), w * 16 - 1)
     boxes[..., 3] = np.minimum(boxes[..., 1] + rng.uniform(1, h * 16, (b, p)), h * 16 - 1)
     boxes = jnp.asarray(boxes)
-    for mode in ("v3",):
-        try:
-            dt = timed(lambda f, bx, m=mode: pool(f, bx, mode=m), feat, boxes)
-            print(f"strided-out {mode}: {dt*1e3:.2f} ms")
-        except Exception as e:
-            print(f"{mode}: FAILED {type(e).__name__}: {str(e)[:200]}")
-    # numeric check vs the shipped kernel on-device
     from vltk_tpu.ops.pallas_kernels import roi_pool_pallas
+
+    dt = timed(lambda f, bx: roi_pool_pallas(f, bx, 14, 1.0 / 16), feat, boxes)
+    print(f"shipped v3: {dt*1e3:.2f} ms")
     want = roi_pool_pallas(feat, boxes, 14, 1.0 / 16)
-    got = pool(feat, boxes, mode="v3")
-    same = bool(jnp.all(want == got))
-    print("v3 numerics match v1 on TPU:", same)
+    for g in (4, 12):
+        try:
+            dt = timed(
+                lambda f, bx, g=g: pool_grouped_v3(f, bx, group=g), feat, boxes
+            )
+            got = pool_grouped_v3(feat, boxes, group=g)
+            same = bool(jnp.all(want == got))
+            print(f"v3 grouped G={g}: {dt*1e3:.2f} ms  (numerics match: {same})")
+        except Exception as e:
+            print(f"v3 grouped G={g}: FAILED {type(e).__name__}: {str(e)[:160]}")
 
 
 if __name__ == "__main__":

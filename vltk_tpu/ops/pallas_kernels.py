@@ -60,7 +60,7 @@ _NEG = -1e30
 
 def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
             rowmax_ref, *, out_size: int, max_bh: int, max_bw: int,
-            h: int, w: int):
+            h: int, w: int, lv0: int = 0):
     dtype = feat_ref.dtype
     neg = jnp.asarray(_NEG, dtype)
     bi = pl.program_id(0)
@@ -80,17 +80,29 @@ def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
     # RoI axis iterates fastest, so pi==0 marks a fresh (bi, ci) block) and
     # amortize it over all P RoI steps. T[l][y] = max(rows[y : y+l+1]);
     # level l comes from level l-1 plus one shifted level-0 row.
+    # ``lv0=1`` drops the table's level 0 (len-1 ranges ARE the feature
+    # rows) — used when itemsize doubles the table past the VMEM budget
+    # (f32 path); pass 1 then selects between a feature-row read and a
+    # table read per bin.
+    n_levels = max(max_bh - lv0, 1)
+
     @pl.when(pi == 0)
     def _build():
-        table_ref[0] = feat_ref[0]
-        for li in range(1, max_bh):
-            n_valid = h - li
+        # level li stores window length li + 1 + lv0; recurrence
+        # T_L[y] = max(T_{L-1}[y], rows[y + L - 1])
+        for li in range(n_levels):
+            length = li + 1 + lv0
+            if length == 1:
+                table_ref[0] = feat_ref[0]
+                continue
+            n_valid = h - (length - 1)
+            prev = feat_ref[0] if (lv0 and li == 0) else table_ref[li - 1]
             table_ref[li, :n_valid] = jnp.maximum(
-                table_ref[li - 1, :n_valid], table_ref[0, li:]
+                prev[:n_valid], feat_ref[0, length - 1:]
             )
-            # tail rows y > h-1-li are never read (reads satisfy
-            # y + len <= h); fill from the previous level for determinism
-            table_ref[li, n_valid:] = table_ref[li - 1, n_valid:]
+            # tail rows are never read (reads satisfy y + len <= h); fill
+            # from the previous level for determinism
+            table_ref[li, n_valid:] = prev[n_valid:]
 
     # pass 1: each row bin is ONE unmasked table read + one CONTIGUOUS
     # (w, cb) store into the (out_size, wpad, cb) scratch
@@ -98,9 +110,11 @@ def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
         hs = jnp.clip((i * rh) // out_size + y1, 0, h)
         he = jnp.clip(((i + 1) * rh + out_size - 1) // out_size + y1, 0, h)
         ln = he - hs
-        li = jnp.clip(ln - 1, 0, max_bh - 1)
+        li = jnp.clip(ln - 1 - lv0, 0, n_levels - 1)
         ys = jnp.clip(hs, 0, h - 1)
         val = table_ref[li, ys]  # (w, cb): max over rows [hs, hs+ln)
+        if lv0:
+            val = jnp.where(ln <= 1, feat_ref[0, ys], val)
         rowmax_ref[i, :w, :] = jnp.where(ln > 0, val, neg)
 
     # pass 2: col bins. Dynamic-start slices on the sublane dim must be
@@ -125,7 +139,9 @@ def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("output_size", "spatial_scale", "interpret", "channel_block"),
+    static_argnames=(
+        "output_size", "spatial_scale", "interpret", "channel_block", "_lv0"
+    ),
 )
 def roi_pool_pallas(
     features: jnp.ndarray,
@@ -134,6 +150,7 @@ def roi_pool_pallas(
     spatial_scale: float = 1.0 / 16,
     interpret: bool = False,
     channel_block: int = 0,
+    _lv0: int | None = None,
 ) -> jnp.ndarray:
     """Batched exact RoIPool.
 
@@ -162,9 +179,6 @@ def roi_pool_pallas(
     rh = jnp.maximum(roi[..., 3] - roi[..., 1] + 1, 1).reshape(-1)
     rw = jnp.maximum(roi[..., 2] - roi[..., 0] + 1, 1).reshape(-1)
 
-    kernel = functools.partial(
-        _kernel, out_size=os_, max_bh=max_bh, max_bw=max_bw, h=h, w=w
-    )
     # channel-block heuristic: the dominant VMEM resident is the range
     # table (max_bh image blocks); keep it under ~6 MB so table +
     # double-buffered image block + rowmax scratch fit 16 MB VMEM
@@ -177,6 +191,21 @@ def roi_pool_pallas(
         ) > 6 * 2**20:
             cb //= 2
     n_cb = -(-c // cb)
+    # the lane dim floors cb at 128; if the full table still blows the
+    # budget (f32 at parity shape: 5*52*84*128*4 = 11.2 MB), drop level 0
+    # — len-1 rows are read straight from the feature block instead
+    lv0 = (
+        1
+        if max_bh > 1
+        and (max_bh * h * w * cb * features.dtype.itemsize) > 8 * 2**20
+        else 0
+    )
+    if _lv0 is not None and max_bh > 1:  # test hook: force either path
+        lv0 = _lv0
+    kernel = functools.partial(
+        _kernel, out_size=os_, max_bh=max_bh, max_bw=max_bw, h=h, w=w,
+        lv0=lv0,
+    )
     win = 2 * ((max_bw + 7) // 8) * 8
     wpad = 8 * ((w - 1) // 8) + win  # covers the widest aligned slice
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -193,7 +222,7 @@ def roi_pool_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((max_bh, h, w, cb), features.dtype),
+            pltpu.VMEM((max(max_bh - lv0, 1), h, w, cb), features.dtype),
             pltpu.VMEM((os_, wpad, cb), features.dtype),
         ],
     )
