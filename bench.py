@@ -66,9 +66,12 @@ def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
             min_detections=4,
             max_detections=4,
         )
+    batch = getattr(args, "batch", 16) or 16
     if fast:
+        if roi_chunk is None and batch >= 24:
+            roi_chunk = 1600  # r2-measured fast-preset chunk at B=32
         return FRCNNConfig.fast_extraction(roi_chunk=roi_chunk)
-    if roi_chunk is None and getattr(args, "batch", 16) >= 24:
+    if roi_chunk is None and batch >= 24:
         # pool-inside-scan chunking (roi_heads.py): caps the pooled+res5
         # HBM high-water mark so B>=24 fits; B=32 measured fastest (r3)
         roi_chunk = 2400
@@ -167,6 +170,47 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
     emit(metric + ("_fed" if fed else ""), imgs_per_sec)
 
 
+def run_injit_bench(args, dtype="bfloat16"):
+    """Pure device-loop throughput: K extraction steps inside ONE jitted
+    fori_loop (inputs perturbed per-iter, single fetch). Removes the
+    per-dispatch cost that the default protocol pays 5 times — on the dev
+    tunnel that cost is 30-90 ms/dispatch, on a production host ~none, so
+    this row bounds what a directly attached host would see from the same
+    program. Labeled separately; the default dispatch-loop metric stays
+    the headline for r1/r2 comparability."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    batch = args.batch
+    cfg = make_config(args, dtype=dtype)
+    step, params, raws, raw_sizes = build_step(cfg, batch, smoke=False)
+    raw = jax.device_put(raws[0])
+    iters = max(args.steps, 8)
+
+    @jax.jit
+    def loop(params, raw, sizes, n):
+        def body(i, acc):
+            # perturb the uint8 raws by i%2 so no iteration hoists
+            feats, boxes, preds = step(
+                params, raw + (i % 2).astype(raw.dtype), sizes
+            )
+            return acc + jnp.sum(feats[0, 0, :4].astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    n1, nk = jnp.asarray(1), jnp.asarray(iters)
+    float(loop(params, raw, raw_sizes, n1))
+    t0 = time.perf_counter()
+    float(loop(params, raw, raw_sizes, n1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(loop(params, raw, raw_sizes, nk))
+    tk = time.perf_counter() - t0
+    per_step = (tk - t1) / (iters - 1)
+    emit("frcnn_extraction_throughput_bf16_injit", batch / per_step)
+
+
 def run_e2e_bench(args):
     """jpegs -> decode -> feed -> FRCNN -> arrow, the real extraction path
     (reference: abc/extraction.py:142-248 ran this loop at batch size 1)."""
@@ -221,11 +265,17 @@ def run_e2e_bench(args):
             os.path.join(img_dir, f"COCO_train2014_{i:012d}.jpg"),
             os.path.join(warm_imgs, f"COCO_train2014_{i:012d}.jpg"),
         )
-    FR.extract(warm_dir, **common)
+    try:
+        FR.extract(warm_dir, **common)
 
-    t0 = time.perf_counter()
-    FR.extract(datadir, **common)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        FR.extract(datadir, **common)
+        dt = time.perf_counter() - t0
+    finally:
+        import shutil
+
+        shutil.rmtree(datadir, ignore_errors=True)
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     import jax
 
@@ -248,7 +298,7 @@ def run_host_bench(args):
     from vltk_tpu.adapters.frcnn import FRCNN as FRCNNAdapter
 
     n_images = max(args.batch * args.steps, 128)
-    h, w = GEOM["full"][4]
+    raw_canvas, _, _, _, (h, w) = GEOM["full"]
     datadir = tempfile.mkdtemp(prefix="vltk_host_bench_")
     img_dir = os.path.join(datadir, "coco2014", "train")
     os.makedirs(img_dir)
@@ -260,11 +310,12 @@ def run_host_bench(args):
 
     class HostOnlyFRCNN(FRCNNAdapter):
         """Device step stubbed with a host-side zero buffer of the real
-        packed output shape — everything else (decode pool, collate,
-        arrow write) is the production pipeline."""
+        packed output shape — everything else (decode pool, pad-to-canvas
+        collate, arrow write) is the production pipeline, including the
+        same raw-canvas padding the device path performs."""
 
         _name = "hostonlyfrcnn"
-        raw_canvas = (h, w)
+        raw_canvas = GEOM["full"][0]
 
         @classmethod
         def setup(cls, **kwargs):
@@ -290,11 +341,17 @@ def run_host_bench(args):
             os.path.join(img_dir, f"COCO_train2014_{i:012d}.jpg"),
             os.path.join(warm_imgs, f"COCO_train2014_{i:012d}.jpg"),
         )
-    HostOnlyFRCNN.extract(warm_dir, dataset_name="coco2014")
+    try:
+        HostOnlyFRCNN.extract(warm_dir, dataset_name="coco2014")
 
-    t0 = time.perf_counter()
-    HostOnlyFRCNN.extract(datadir, dataset_name="coco2014")
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        HostOnlyFRCNN.extract(datadir, dataset_name="coco2014")
+        dt = time.perf_counter() - t0
+    finally:
+        import shutil
+
+        shutil.rmtree(datadir, ignore_errors=True)
+        shutil.rmtree(warm_dir, ignore_errors=True)
     emit("host_feed_throughput", n_images / dt)
 
 
@@ -461,8 +518,8 @@ def run_train_bench(args):
 
     # fwd+bwd at the parity canvas keeps ~1.4 GB of backbone activations
     # per image live for the backward — B=2 is the safe single-chip default
-    # (pass --batch to push it)
-    b = min(args.batch, 2) if args.batch >= 16 else args.batch
+    # (pass --batch to push it; the global default batch is for extraction)
+    b = args.batch if args.batch_explicit else 2
     _, canvas, short, maximum, raw_hw = GEOM["full"]
     cfg = FRCNNConfig(
         post_nms_topk=300, dtype="bfloat16", roi_chunk=args.roi_chunk
@@ -473,12 +530,9 @@ def run_train_bench(args):
         rng.uniform(-40, 40, (b, *canvas, 3)).astype(np.float32)
     )
     sizes = jnp.asarray([[float(canvas[0]), float(canvas[1])]] * b)
-    gt_boxes = jnp.asarray(
-        rng.uniform(0, 600, (b, 8, 2)).repeat(2, axis=-1)
-        + np.concatenate(
-            [np.zeros((b, 8, 2)), rng.uniform(32, 200, (b, 8, 2))], axis=-1
-        ).astype(np.float32)
-    )
+    lo = rng.uniform(0, 600, (b, 8, 2)).astype(np.float32)  # (x1, y1)
+    wh = rng.uniform(32, 200, (b, 8, 2)).astype(np.float32)
+    gt_boxes = jnp.asarray(np.concatenate([lo, lo + wh], axis=-1))
     gt_valid = jnp.ones((b, 8), bool)
     gt_classes = jnp.asarray(rng.integers(0, cfg.num_classes, (b, 8)), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), images[:1], sizes[:1])["params"]
@@ -618,11 +672,13 @@ def run_preset_drift(args):
     rows = []
     for name, *_ in variants:
         feats, boxes, obj, probs, _n, mask = outs[name]
-        ious = np.zeros((batch, ref_boxes.shape[1]))
+        ious = np.full((batch, ref_boxes.shape[1]), np.nan)
         cos = []
         objm = []
         for b in range(batch):
             for i in range(ref_boxes.shape[1]):
+                if not ref_mask[b, i]:
+                    continue  # padded reference slot: not a ground truth
                 a = ref_boxes[b, i]
                 lt = np.maximum(a[None, :2], boxes[b, :, :2])
                 rb = np.minimum(a[None, 2:], boxes[b, :, 2:])
@@ -633,8 +689,9 @@ def run_preset_drift(args):
                     boxes[b, :, 3] - boxes[b, :, 1], 0, None
                 )
                 u = area_a + area_b - inter + 1e-9
-                j = int(np.argmax(inter / u))
-                ious[b, i] = (inter / u)[j]
+                iou_row = np.where(mask[b].astype(bool), inter / u, -1.0)
+                j = int(np.argmax(iou_row))  # only VALID variant slots
+                ious[b, i] = max(iou_row[j], 0.0)
                 if ious[b, i] >= 0.5:
                     fa, fb = ref_feats[b, i], feats[b, j]
                     cos.append(
@@ -651,8 +708,15 @@ def run_preset_drift(args):
         rows.append(
             {
                 "preset": name,
-                "box_agreement@iou0.5": round(float(np.mean(ious >= 0.5)), 4),
-                "mean_matched_iou": round(float(np.mean(ious[ious >= 0.5])) if (ious >= 0.5).any() else 0.0, 4),
+                "box_agreement@iou0.5": round(
+                    float(np.mean(ious[~np.isnan(ious)] >= 0.5)), 4
+                ),
+                "mean_matched_iou": round(
+                    float(np.mean(ious[np.nan_to_num(ious) >= 0.5]))
+                    if (np.nan_to_num(ious) >= 0.5).any()
+                    else 0.0,
+                    4,
+                ),
                 "feat_cosine_mean": round(float(np.mean(cos)) if cos else 0.0, 4),
                 "obj_id_agreement": round(float(np.mean(objm)) if objm else 0.0, 4),
                 "map50_vs_parity": round(float(map50), 4),
@@ -699,14 +763,19 @@ def main():
     ap.add_argument("--drift", action="store_true")
     ap.add_argument("--host", action="store_true")
     ap.add_argument("--preset-drift", action="store_true")
+    ap.add_argument("--injit", action="store_true")
     ap.add_argument(
         "--train", choices=("lxmert", "frcnn"), default=None,
         help="time a TPU training step instead of extraction",
     )
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 32 (extraction modes), mode-specific otherwise")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--roi-chunk", type=int, default=None)
     args = ap.parse_args()
+    args.batch_explicit = args.batch is not None
+    if args.batch is None:
+        args.batch = 32  # extraction sweet spot (r3); train modes override
 
     if args.smoke:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -731,6 +800,8 @@ def main():
         run_host_bench(args)
     elif args.train:
         run_train_bench(args)
+    elif args.injit:
+        run_injit_bench(args)
     elif args.preset_drift:
         run_preset_drift(args)
     elif args.e2e:

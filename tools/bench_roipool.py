@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""RoIPool pallas kernel micro-benchmark (v1 vs v2) at the parity shape.
+"""RoIPool kernel micro-benchmark (shipped pallas kernel vs XLA path).
 
 Protocol (CLAUDE.md): the axon tunnel makes per-call timings meaningless,
 so run K iterations inside one jitted lax.fori_loop, perturb the input by
@@ -51,11 +51,11 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cb", type=int, default=0, help="channel_block override")
     ap.add_argument(
-        "--kernels", default="v1,v2", help="comma list from {v1,v2}"
+        "--kernels", default="pallas", help="comma list from {pallas,xla}"
     )
     args = ap.parse_args()
 
-    from vltk_tpu.ops.pallas_kernels import roi_pool_pallas, roi_pool_pallas_v2
+    from vltk_tpu.ops.pallas_kernels import _roi_pool_xla, roi_pool_pallas
 
     rng = np.random.default_rng(0)
     feat = jnp.asarray(
@@ -74,12 +74,14 @@ def main():
     )
     boxes = jnp.asarray(boxes)
 
-    kernels = {"v1": roi_pool_pallas, "v2": roi_pool_pallas_v2}
-    for name in args.kernels.split(","):
-        fn = lambda f, b, k=kernels[name]: k(
+    kernels = {
+        "pallas": lambda f, b: roi_pool_pallas(
             f, b, 14, 1.0 / 16, channel_block=args.cb
-        )
-        dt = timed(fn, feat, boxes, args.iters)
+        ),
+        "xla": lambda f, b: _roi_pool_xla(f, b, 14, 1.0 / 16),
+    }
+    for name in args.kernels.split(","):
+        dt = timed(kernels[name], feat, boxes, args.iters)
         print(
             f"{name}: {dt*1e3:.2f} ms for ({args.b}, {args.p}) RoIs over "
             f"({args.h}, {args.w}, {args.c}) bf16"

@@ -88,9 +88,20 @@ def stage_images(imgids, images_dir: str, workdir: str) -> str:
 
 def run(checkpoint: str, images: str, fixture: str, atol_box: float,
         rtol_feat: float, min_cosine: float) -> int:
+    import shutil
+
     golden = load_fixture(fixture)
     imgids = sorted(golden)
     workdir = tempfile.mkdtemp(prefix="vltk_verify_ckpt_")
+    try:
+        return _run_staged(golden, imgids, images, workdir, checkpoint,
+                           atol_box, rtol_feat, min_cosine)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _run_staged(golden, imgids, images, workdir, checkpoint, atol_box,
+                rtol_feat, min_cosine) -> int:
     datadir = stage_images(imgids, images, workdir)
 
     from vltk_tpu.adapters.frcnn import FRCNN

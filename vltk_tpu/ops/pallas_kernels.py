@@ -125,7 +125,10 @@ def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
     for j in range(out_size):
         ws = jnp.clip((j * rw) // out_size + x1, 0, w)
         we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
-        x0a = pl.multiple_of((ws // 8) * 8, 8)
+        # ws == w is possible for an empty right-edge bin; clamp before
+        # aligning so x0a + win never reads past the wpad scratch (the
+        # masked result is still empty -> 0)
+        x0a = pl.multiple_of((jnp.minimum(ws, w - 1) // 8) * 8, 8)
         cols = rowmax_ref[:, pl.ds(x0a, win), :]  # (out_size, win, cb)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + x0a
         keep = (cidx >= ws) & (cidx < we)
