@@ -360,6 +360,87 @@ def test_ulysses_train_backward_hlo_clean():
     assert np.isfinite(float(loss))
 
 
+def test_zero1_optimizer_state_sharding():
+    """ZeRO stage 1 (SURVEY §5.8 depth): with ``zero1_axis="data"`` the
+    Adam moments are PHYSICALLY sharded over the data axis (each DP
+    device stores 1/dp of the optimizer state) while training remains
+    numerically identical to the replicated-optimizer run."""
+    import optax
+
+    from vltk_tpu.parallel import zero1_state_shardings
+    from vltk_tpu.train import create_state, make_train_step
+    from vltk_tpu.train.steps import TrainState
+
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 4), ("model", 2))))
+    model = Lxmert(CFG)
+    rng = np.random.default_rng(0)
+    n, s, v = 8, 6, 3
+    batch = {
+        "ids": rng.integers(0, CFG.vocab_size, (n, s)).astype(np.int32),
+        "mask": np.ones((n, s), np.float32),
+        "feats": rng.normal(size=(n, v, CFG.visual_feat_dim)).astype(np.float32),
+        "pos": rng.uniform(0, 1, (n, v, 4)).astype(np.float32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["ids"][:1], batch["feats"][:1],
+        batch["pos"][:1],
+    )["params"]
+    tx = optax.adamw(1e-2)
+
+    def loss_fn(p, b, step_rng):
+        lang, visn, pool = model.apply(
+            {"params": p}, b["ids"], b["feats"], b["pos"], b["mask"]
+        )
+        return jnp.sum(lang**2) + jnp.sum(pool**2), {}
+
+    sharded = shard_batch(batch, mesh)
+
+    # ZeRO-1 run
+    z_state = create_state(
+        model.apply, params, tx, mesh, LXMERT_RULES, zero1_axis="data"
+    )
+    abstract = jax.eval_shape(
+        lambda p: TrainState.create(apply_fn=model.apply, params=p, tx=tx),
+        z_state.params,
+    )
+    out_sh = zero1_state_shardings(abstract, LXMERT_RULES, mesh, "data")
+    z_step = make_train_step(loss_fn, mesh, state_shardings=out_sh)
+
+    # moments are physically sharded: a replicated (h, h)-kernel's mu
+    # shard holds 1/4 of the rows; a TP column-kernel's mu adds data on
+    # its free dim
+    mu = z_state.opt_state[0].mu
+    ln_kernel_mu = mu["pooler"]["dense"]["kernel"] if "pooler" in mu else None
+    some = mu["layer_0"]["att"]["att_out"]["kernel"]  # P("model", None) base
+    h = CFG.hidden_size
+    assert some.sharding.spec == P("model", "data"), some.sharding.spec
+    assert some.addressable_shards[0].data.shape == (h // 2, h // 4)
+    q_mu = mu["layer_0"]["att"]["query"]["kernel"]  # P(None, "model") base
+    assert q_mu.sharding.spec == P("data", "model")
+    # params themselves keep their rule shardings (no data axis)
+    q_p = z_state.params["layer_0"]["att"]["query"]["kernel"]
+    assert q_p.sharding.spec == P(None, "model")
+
+    # replicated-optimizer reference run
+    r_state = create_state(model.apply, params, tx, mesh, LXMERT_RULES)
+    r_step = make_train_step(loss_fn, mesh)
+
+    key = jax.random.PRNGKey(7)
+    for _ in range(2):
+        z_state, zm = z_step(z_state, sharded, key)
+        r_state, rm = r_step(r_state, sharded, key)
+    np.testing.assert_allclose(
+        float(zm["loss"]), float(rm["loss"]), rtol=1e-6
+    )
+    za = jax.tree_util.tree_leaves(z_state.params)
+    ra = jax.tree_util.tree_leaves(r_state.params)
+    for a, b in zip(za, ra):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
+
+
 def test_layoutlm_ulysses_long_ocr():
     """LayoutLM (single-stream OCR encoder) rides the same Ulysses path:
     seq-1024 forward matches replicated — FUNSD/DocVQA streams beyond the

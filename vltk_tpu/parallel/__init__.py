@@ -27,6 +27,7 @@ from vltk_tpu.parallel.sharding import (
     LXMERT_RULES,
     infer_shardings,
     shard_params,
+    zero1_state_shardings,
 )
 
 __all__ = [
@@ -36,5 +37,6 @@ __all__ = [
     "shard_batch",
     "infer_shardings",
     "shard_params",
+    "zero1_state_shardings",
     "LXMERT_RULES",
 ]

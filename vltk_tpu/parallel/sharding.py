@@ -48,34 +48,85 @@ def _spec_for(path: str, shape, rules: Rules) -> P:
     return P()
 
 
-def infer_shardings(params, rules: Rules, mesh: Mesh):
-    """Tree of ``NamedSharding`` matching ``params``' structure.
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Replicate when the mesh lacks a named axis or a dim doesn't divide
+    (keeps tiny test configs working on any mesh)."""
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        if any(a not in mesh.shape for a in axes):
+            return P()
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        if dim >= len(shape) or shape[dim] % size != 0:
+            return P()
+    return spec
 
-    Any rule axis whose size would not divide the param dim falls back to
-    replication for that param (keeps tiny test configs working on any
-    mesh).
-    """
+
+def infer_shardings(params, rules: Rules, mesh: Mesh):
+    """Tree of ``NamedSharding`` matching ``params``' structure."""
 
     def one(path_tuple, leaf):
         path = "/".join(str(getattr(p, "key", p)) for p in path_tuple)
         spec = _spec_for(path, leaf.shape, rules)
-        # replicate when the mesh lacks a named axis or a dim doesn't divide
-        for dim, axis in enumerate(spec):
-            if axis is None:
-                continue
-            axes = (axis,) if isinstance(axis, str) else tuple(axis)
-            if any(a not in mesh.shape for a in axes):
-                spec = P()
-                break
-            size = 1
-            for a in axes:
-                size *= mesh.shape[a]
-            if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
-                spec = P()
-                break
-        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, _fit_spec(spec, leaf.shape, mesh))
 
     return jax.tree_util.tree_map_with_path(one, params)
+
+
+def _add_axis_to_spec(spec: P, shape, mesh: Mesh, axis: str) -> P:
+    """Insert ``axis`` on the first free dim it divides (ZeRO sharding of
+    an optimizer-moment leaf on top of its param's TP spec)."""
+    if axis not in mesh.shape:
+        return spec
+    size = mesh.shape[axis]
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    for dim, used in enumerate(entries):
+        if used is not None:
+            continue
+        if shape[dim] % size == 0 and shape[dim] > 0:
+            entries[dim] = axis
+            return P(*entries)
+    return spec
+
+
+def zero1_state_shardings(abstract_state, rules: Rules, mesh: Mesh,
+                          axis: str = "data"):
+    """ZeRO-1 sharding tree for a flax TrainState (DeepSpeed ZeRO stage 1,
+    1910.02054): parameters keep their TP rule shardings, but every
+    optimizer *moment* leaf (``mu``/``nu`` subtrees — same structure as
+    params) is additionally sharded over the data axis on its first free
+    divisible dim. Each data-parallel device then stores only 1/dp of the
+    Adam state; XLA's partitioner derives the update-compute sharding and
+    the all-gather of the final updates automatically from these
+    annotations (SPMD — no hand-written reduce-scatter needed).
+
+    Pass the result as ``out_shardings`` when jitting state creation, and
+    thread it through the train step's ``out_shardings`` so the layout is
+    stable across steps.
+    """
+
+    def one(path_tuple, leaf):
+        keys = [str(p).strip(".[]'\"") for p in path_tuple]
+        shape = getattr(leaf, "shape", ())
+        if not shape:
+            return NamedSharding(mesh, P())  # step / count scalars
+        for marker in ("mu", "nu"):
+            if marker in keys:
+                tail = "/".join(keys[keys.index(marker) + 1:])
+                base = _fit_spec(_spec_for(tail, shape, rules), shape, mesh)
+                return NamedSharding(
+                    mesh, _add_axis_to_spec(base, shape, mesh, axis)
+                )
+        if "params" in keys:
+            tail = "/".join(keys[keys.index("params") + 1:])
+            base = _fit_spec(_spec_for(tail, shape, rules), shape, mesh)
+            return NamedSharding(mesh, base)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(one, abstract_state)
 
 
 def shard_params(params, rules: Rules, mesh: Mesh):

@@ -21,25 +21,47 @@ class TrainState(train_state.TrainState):
     """flax TrainState (params, opt_state, step, apply_fn, tx)."""
 
 
-def create_state(apply_fn, params, tx, mesh=None, rules=None) -> TrainState:
+def create_state(
+    apply_fn, params, tx, mesh=None, rules=None, zero1_axis=None
+) -> TrainState:
     """Build a TrainState; under a mesh, params are placed by ``rules`` and
-    the optimizer state inherits their shardings through jit propagation."""
+    the optimizer state inherits their shardings through jit propagation.
+
+    ``zero1_axis`` (e.g. ``"data"``) additionally shards every optimizer
+    moment over that mesh axis — ZeRO stage 1 (1910.02054): each DP
+    device stores 1/dp of the Adam state and XLA all-gathers the final
+    updates. Pass the same axis to make_train_step(state_shardings=...)
+    via zero1_state_shardings to pin the layout across steps (input
+    sharding propagation alone also works — the explicit pin just makes
+    the layout contract visible)."""
     if mesh is not None and rules is not None:
         from vltk_tpu.parallel import shard_params
+        from vltk_tpu.parallel.sharding import zero1_state_shardings
 
         params = shard_params(params, rules, mesh)
 
         def init(p):
             return TrainState.create(apply_fn=apply_fn, params=p, tx=tx)
 
+        if zero1_axis is not None:
+            abstract = jax.eval_shape(init, params)
+            out_sh = zero1_state_shardings(abstract, rules, mesh, zero1_axis)
+            with mesh:
+                return jax.jit(init, out_shardings=out_sh)(params)
         with mesh:
             return jax.jit(init)(params)
     return TrainState.create(apply_fn=apply_fn, params=params, tx=tx)
 
 
-def make_train_step(loss_fn: Callable, mesh=None, donate: bool = True):
+def make_train_step(
+    loss_fn: Callable, mesh=None, donate: bool = True, state_shardings=None
+):
     """``loss_fn(params, batch, rng) -> (loss, aux_dict)`` -> jitted
-    ``step(state, batch, rng) -> (state, metrics)``."""
+    ``step(state, batch, rng) -> (state, metrics)``.
+
+    ``state_shardings`` (e.g. from parallel.zero1_state_shardings) pins
+    the output state layout so a ZeRO-sharded optimizer state stays
+    sharded across steps instead of depending on propagation."""
 
     def step(state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -48,7 +70,15 @@ def make_train_step(loss_fn: Callable, mesh=None, donate: bool = True):
         metrics = {"loss": loss, **aux}
         return state, metrics
 
-    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(
+        step,
+        donate_argnums=(0,) if donate else (),
+        **(
+            {"out_shardings": (state_shardings, None)}
+            if state_shardings is not None
+            else {}
+        ),
+    )
     if mesh is None:
         return jitted
 
