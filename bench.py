@@ -66,14 +66,15 @@ def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
             min_detections=4,
             max_detections=4,
         )
-    batch = getattr(args, "batch", 16) or 16
+    # pool-inside-scan chunking (roi_heads.py) is a measured win at every
+    # batch, not just a memory cap: it bounds the pooled+res5 working set
+    # (fast preset +14%, parity B=16 +6.8%, and it is what lets B=32 fit
+    # HBM at all). The scan only engages when batch*P exceeds the chunk.
     if fast:
-        if roi_chunk is None and batch >= 24:
-            roi_chunk = 1600  # r2-measured fast-preset chunk at B=32
+        if roi_chunk is None:
+            roi_chunk = 1600
         return FRCNNConfig.fast_extraction(roi_chunk=roi_chunk)
-    if roi_chunk is None and batch >= 24:
-        # pool-inside-scan chunking (roi_heads.py): caps the pooled+res5
-        # HBM high-water mark so B>=24 fits; B=32 measured fastest (r3)
+    if roi_chunk is None:
         roi_chunk = 2400
     return FRCNNConfig(post_nms_topk=300, dtype=dtype, roi_chunk=roi_chunk)
 
