@@ -80,9 +80,13 @@ class FRCNNConfig:
     max_detections: int = 36
     # compute dtype for convs/matmuls (None -> float32); params stay f32
     dtype: Optional[str] = None
-    # res5 RoI chunking: cap RoIs materialized through res5 at once (scan),
-    # bounding the HBM high-water mark so large batches fit. None = 1 pass.
-    roi_chunk: Optional[int] = None
+    # res5 RoI chunking: pool+res5 run as a scan over blocks of this many
+    # RoIs (roi_heads.PoolRes5Scan), bounding the pooled+res5 HBM working
+    # set. Measured a throughput WIN at every batch size, not just a
+    # memory cap (BASELINE.md r3: parity B=16 +6.8%, fast preset +14%,
+    # and it is what lets B=32 parity extraction fit HBM). The scan only
+    # engages when batch * proposals exceeds the chunk. None = 1 pass.
+    roi_chunk: Optional[int] = 2400
 
     @classmethod
     def fast_extraction(cls, **overrides) -> "FRCNNConfig":
@@ -93,7 +97,10 @@ class FRCNNConfig:
         survivors come from the top of the score distribution), but boxes
         can differ from the torch reference, so the default config stays
         parity-exact."""
-        kwargs = dict(pre_nms_topk=2000, post_nms_topk=100, dtype="bfloat16")
+        kwargs = dict(
+            pre_nms_topk=2000, post_nms_topk=100, dtype="bfloat16",
+            roi_chunk=1600,  # measured optimum at the fast RoI count (r3)
+        )
         kwargs.update(overrides)
         return cls(**kwargs)
 
