@@ -441,6 +441,51 @@ def test_zero1_optimizer_state_sharding():
         )
 
 
+def test_zero1_state_checkpoint_roundtrip(tmp_path):
+    """A ZeRO-sharded TrainState survives the orbax sharded checkpoint
+    path (train/checkpoint.py): values identical after restore and the
+    moment shardings preserved — resume does not silently replicate the
+    optimizer state."""
+    import optax
+
+    from vltk_tpu.train import create_state
+    from vltk_tpu.train.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 4), ("model", 2))))
+    model = Lxmert(CFG)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 4), np.int32),
+        np.zeros((1, 2, CFG.visual_feat_dim), np.float32),
+        np.zeros((1, 2, 4), np.float32),
+    )["params"]
+    state = create_state(
+        model.apply, params, optax.adamw(1e-3), mesh, LXMERT_RULES,
+        zero1_axis="data",
+    )
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+    save_checkpoint_sharded(str(tmp_path), "zero1", 0, tree)
+    restored = load_checkpoint_sharded(str(tmp_path), "zero1", tree)
+
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(tree),
+        jax.tree_util.tree_leaves_with_path(restored),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if hasattr(a, "sharding") and hasattr(b, "sharding"):
+            assert a.sharding == b.sharding, (pa, a.sharding, b.sharding)
+    # spot-check a moment leaf really is data-sharded after restore
+    mu = restored["opt_state"][0].mu
+    q_mu = mu["layer_0"]["att"]["query"]["kernel"]
+    assert "data" in str(q_mu.sharding.spec)
+
+
 def test_layoutlm_ulysses_long_ocr():
     """LayoutLM (single-stream OCR encoder) rides the same Ulysses path:
     seq-1024 forward matches replicated — FUNSD/DocVQA streams beyond the
