@@ -70,13 +70,16 @@ def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
     # batch, not just a memory cap: it bounds the pooled+res5 working set
     # (fast preset +14%, parity B=16 +6.8%, and it is what lets B=32 fit
     # HBM at all). The scan only engages when batch*P exceeds the chunk.
+    int8 = bool(getattr(args, "int8", False))
     if fast:
         if roi_chunk is None:
             roi_chunk = 1600
-        return FRCNNConfig.fast_extraction(roi_chunk=roi_chunk)
+        return FRCNNConfig.fast_extraction(roi_chunk=roi_chunk, int8=int8)
     if roi_chunk is None:
         roi_chunk = 2400
-    return FRCNNConfig(post_nms_topk=300, dtype=dtype, roi_chunk=roi_chunk)
+    return FRCNNConfig(
+        post_nms_topk=300, dtype=dtype, roi_chunk=roi_chunk, int8=int8
+    )
 
 
 GEOM = {
@@ -619,6 +622,8 @@ def run_preset_drift(args):
         ("props_150", dict(post_nms_topk=150, pre_nms_topk=3000), canvas, short, maximum),
         ("props_100", dict(post_nms_topk=100, pre_nms_topk=2000), canvas, short, maximum),
         ("canvas_600", dict(post_nms_topk=300, pre_nms_topk=6000), (608, 1024), 600.0, 1000.0),
+        ("int8_300", dict(post_nms_topk=300, pre_nms_topk=6000, int8=True), canvas, short, maximum),
+        ("int8_100", dict(post_nms_topk=100, pre_nms_topk=2000, int8=True), canvas, short, maximum),
     ]
 
     rng = np.random.default_rng(0)
@@ -765,6 +770,9 @@ def main():
     ap.add_argument("--host", action="store_true")
     ap.add_argument("--preset-drift", action="store_true")
     ap.add_argument("--injit", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 MXU convs (dynamic PTQ preset; composes "
+                         "with --fast; accuracy: --preset-drift)")
     ap.add_argument(
         "--train", choices=("lxmert", "frcnn"), default=None,
         help="time a TPU training step instead of extraction",
@@ -810,7 +818,16 @@ def main():
     elif args.drift:
         run_drift_report(args)
     elif args.fast:
-        run_device_bench(args, "frcnn_extraction_throughput_fast", fast=True)
+        run_device_bench(
+            args,
+            "frcnn_extraction_throughput_fast"
+            + ("_int8" if args.int8 else ""),
+            fast=True,
+        )
+    elif args.int8:
+        run_device_bench(
+            args, "frcnn_extraction_throughput_int8", dtype="bfloat16"
+        )
     elif args.f32:
         run_device_bench(
             args, "frcnn_extraction_throughput_f32_parity", dtype=None

@@ -412,3 +412,47 @@ def test_fast_extraction_preset():
     assert cfg.max_detections == 36  # output contract unchanged
     # overrides win
     assert FRCNNConfig.fast_extraction(post_nms_topk=64).post_nms_topk == 64
+
+
+class TestInt8Conv:
+    """The int8 MXU preset (layers.Int8Conv): dynamic PTQ — per-channel
+    weight scales, per-tensor activation scale, int32 accumulation
+    (reference has no quantized path; this is a TPU-native extraction
+    preset, v5e int8 MXU ~2x bf16 — tools/probe_int8.py)."""
+
+    def test_matches_f32_conv_within_quant_error(self, rng):
+        from vltk_tpu.models.layers import Int8Conv
+
+        x = jnp.asarray(rng.standard_normal((2, 9, 11, 16)).astype(np.float32))
+        import flax.linen as nn
+
+        ref = nn.Conv(features=24, kernel_size=(3, 3), padding=[(1, 1), (1, 1)],
+                      use_bias=False, name="conv")
+        q = Int8Conv(features=24, kernel_size=(3, 3), padding=(1, 1),
+                     use_bias=False, name="conv")
+        params = ref.init(jax.random.PRNGKey(3), x)
+        # identical param tree -> checkpoints / converters untouched
+        assert jax.tree_util.tree_structure(
+            q.init(jax.random.PRNGKey(3), x)
+        ) == jax.tree_util.tree_structure(params)
+        y_ref = ref.apply(params, x)
+        y_q = q.apply(params, x)
+        err = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+        assert err < 0.02, err  # 8-bit symmetric quant, well-conditioned input
+
+    def test_frcnn_int8_contract_and_param_layout(self, rng):
+        import dataclasses
+
+        cfg8 = dataclasses.replace(TINY, int8=True)
+        model8 = FRCNN(cfg8)
+        imgs = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        sizes = jnp.asarray([[60.0, 60.0]])
+        params8 = model8.init(jax.random.PRNGKey(0), imgs, sizes)
+        out = model8.apply(params8, imgs, sizes)
+        assert out["boxes"].shape == (1, TINY.max_detections, 4)
+        assert bool(jnp.all(jnp.isfinite(out["roi_features"])))
+        # int8 is a pure runtime flag: param tree identical to the f32 model
+        params_f32 = FRCNN(TINY).init(jax.random.PRNGKey(0), imgs, sizes)
+        assert jax.tree_util.tree_structure(params8) == jax.tree_util.tree_structure(
+            params_f32
+        )

@@ -64,6 +64,7 @@ class BottleneckBlock(nn.Module):
     stride_in_1x1: bool = True
     dilation: int = 1
     dtype: Optional[jnp.dtype] = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -77,6 +78,7 @@ class BottleneckBlock(nn.Module):
             strides=(stride_1x1, stride_1x1),
             activation=nn.relu,
             dtype=self.dtype,
+            int8=self.int8,
             name="conv1",
         )(x)
         out = ConvNorm(
@@ -88,12 +90,14 @@ class BottleneckBlock(nn.Module):
             groups=self.num_groups,
             activation=nn.relu,
             dtype=self.dtype,
+            int8=self.int8,
             name="conv2",
         )(out)
         out = ConvNorm(
             self.out_channels,
             kernel_size=(1, 1),
             dtype=self.dtype,
+            int8=self.int8,
             name="conv3",
         )(out)
         if in_channels != self.out_channels:
@@ -121,6 +125,7 @@ class ResStage(nn.Module):
     stride_in_1x1: bool = True
     dilation: int = 1
     dtype: Optional[jnp.dtype] = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -133,6 +138,7 @@ class ResStage(nn.Module):
                 stride_in_1x1=self.stride_in_1x1,
                 dilation=self.dilation,
                 dtype=self.dtype,
+                int8=self.int8,
                 name=str(i),
             )(x)
         return x
@@ -152,6 +158,7 @@ class ResNetC4(nn.Module):
     stride_in_1x1: bool = True
     caffe_maxpool: bool = True
     dtype: Optional[jnp.dtype] = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -174,6 +181,7 @@ class ResNetC4(nn.Module):
                 num_groups=self.num_groups,
                 stride_in_1x1=self.stride_in_1x1,
                 dtype=self.dtype,
+                int8=self.int8,
                 name=f"res{stage_idx}",
             )(x)
             out_channels *= 2
@@ -190,6 +198,7 @@ def res5_blocks(
     stride_in_1x1: bool = True,
     halve: bool = False,
     dtype: Optional[jnp.dtype] = None,
+    int8: bool = False,
 ) -> jnp.ndarray:
     """The 3 res5 bottleneck blocks, as a helper callable from any compact
     module body — the param children are named "0"/"1"/"2" under the caller
@@ -208,6 +217,7 @@ def res5_blocks(
             stride_in_1x1=stride_in_1x1,
             dilation=1 if halve else 2,
             dtype=dtype,
+            int8=int8,
             name=str(i),
         )(x)
     return x
@@ -227,6 +237,7 @@ class Res5Head(nn.Module):
     stride_in_1x1: bool = True
     halve: bool = False
     dtype: Optional[jnp.dtype] = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -238,6 +249,7 @@ class Res5Head(nn.Module):
             stride_in_1x1=self.stride_in_1x1,
             halve=self.halve,
             dtype=self.dtype,
+            int8=self.int8,
         )
 
 

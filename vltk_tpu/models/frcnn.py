@@ -80,6 +80,15 @@ class FRCNNConfig:
     max_detections: int = 36
     # compute dtype for convs/matmuls (None -> float32); params stay f32
     dtype: Optional[str] = None
+    # int8 MXU path for every bottleneck conv (backbone res2-4 + res5):
+    # v5e runs int8 matmuls at ~2x the bf16 rate (tools/probe_int8.py).
+    # Post-training dynamic quantization — per-output-channel weight
+    # scales, per-tensor activation scales, int32 accumulation
+    # (layers.Int8Conv); params stay f32 so checkpoints are untouched.
+    # Inference-only (round has zero gradient); accuracy cost is measured
+    # by bench.py --preset-drift, so like fast_extraction this is an
+    # opt-in preset, never the parity default.
+    int8: bool = False
     # res5 RoI chunking: pool+res5 run as a scan over blocks of this many
     # RoIs (roi_heads.PoolRes5Scan), bounding the pooled+res5 HBM working
     # set. Measured a throughput WIN at every batch size, not just a
@@ -187,6 +196,7 @@ class FRCNN(nn.Module):
             stride_in_1x1=cfg.stride_in_1x1,
             caffe_maxpool=cfg.caffe_maxpool,
             dtype=dtype,
+            int8=cfg.int8,
             name="backbone",
         )(images)
 
@@ -229,6 +239,7 @@ class FRCNN(nn.Module):
             use_attr=cfg.use_attr,
             cls_agnostic_bbox_reg=cfg.cls_agnostic_bbox_reg,
             dtype=dtype,
+            int8=cfg.int8,
             roi_chunk=cfg.roi_chunk,
             name="roi_heads",
         )(feats, prop_boxes)

@@ -12,6 +12,7 @@ import math
 from typing import Callable, Optional,  Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -38,6 +39,69 @@ class FrozenBatchNorm(nn.Module):
         return x * mul.astype(x.dtype) + add.astype(x.dtype)
 
 
+class Int8Conv(nn.Module):
+    """Conv2d evaluated on the int8 MXU path (inference-only preset).
+
+    v5e runs int8 matmuls at ~2x the bf16 MXU rate (measured here: 270
+    TOP/s vs the 190 TFLOP/s the bf16 res5 sustains — tools/probe_int8.py).
+    This module keeps the CANONICAL f32 ``kernel`` param — same shape/path
+    as ``nn.Conv`` — and quantizes at apply time, so checkpoints,
+    converters, and trainers are untouched and int8 is a pure runtime
+    preset flag:
+
+      * weights: symmetric per-output-channel, ``round(w * 127 / max|w|)``
+      * activations: symmetric per-tensor with a DYNAMIC (data-dependent)
+        scale — one max-reduction per conv input; XLA fuses the quantize
+        into the producer's epilogue
+      * conv accumulates in int32 (``preferred_element_type``), then one
+        fused f32 rescale by ``s_x * s_w[c]``
+
+    Standard PTQ recipe (per-channel weights + per-tensor activations);
+    accuracy cost is measured empirically by ``bench.py --preset-drift``
+    rather than assumed. ``jnp.round`` has a zero gradient, so this path
+    is for extraction/inference presets, not training."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, cin // self.groups, self.features),
+        )
+        out_dt = self.dtype or x.dtype
+        w = kernel.astype(jnp.float32)
+        s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
+        w_q = jnp.round(w / s_w).astype(jnp.int8)  # (kh,kw,cin/g,F)
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            x_q,
+            w_q,
+            window_strides=self.strides,
+            padding=[(p, p) for p in self.padding],
+            rhs_dilation=self.dilation,
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_x * s_w)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y.astype(out_dt)
+
+
 class ConvNorm(nn.Module):
     """Conv2d + optional frozen norm + optional activation
     (reference: frcnn.py:785-822 fused Conv2d)."""
@@ -52,20 +116,34 @@ class ConvNorm(nn.Module):
     norm: bool = True
     activation: Optional[Callable] = None
     dtype: Optional[jnp.dtype] = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding=[(p, p) for p in self.padding],
-            kernel_dilation=self.dilation,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.int8:
+            x = Int8Conv(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                strides=self.strides,
+                padding=self.padding,
+                dilation=self.dilation,
+                groups=self.groups,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                strides=self.strides,
+                padding=[(p, p) for p in self.padding],
+                kernel_dilation=self.dilation,
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.norm:
             x = FrozenBatchNorm(self.features, name="norm")(x)
         if self.activation is not None:

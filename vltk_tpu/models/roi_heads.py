@@ -35,6 +35,7 @@ class PoolRes5Scan(nn.Module):
     stride_in_1x1: bool = True
     halve: bool = False
     dtype: Any = None
+    int8: bool = False
     pooler_resolution: int = 14
     feature_stride: int = 16
 
@@ -59,6 +60,7 @@ class PoolRes5Scan(nn.Module):
             stride_in_1x1=self.stride_in_1x1,
             halve=self.halve,
             dtype=self.dtype,
+            int8=self.int8,
         )
         feat = jnp.mean(y, axis=(1, 2))  # frcnn.py:1401 mean pool
         return carry, feat.reshape(n, pc, -1)
@@ -121,6 +123,7 @@ class Res5RoIHeads(nn.Module):
     use_attr: bool = True
     cls_agnostic_bbox_reg: bool = False
     dtype: Any = None
+    int8: bool = False
     # cap on RoIs materialized through res5 at once: the res5 activation
     # volume is the HBM high-water mark of extraction (B=32 OOMed at 16.2G,
     # BASELINE.md) — chunking scans res5 over RoI blocks and keeps only the
@@ -147,6 +150,7 @@ class Res5RoIHeads(nn.Module):
             stride_in_1x1=self.stride_in_1x1,
             halve=self.res5_halve,
             dtype=self.dtype,
+            int8=self.int8,
         )
         if self.roi_chunk is not None and n * p > self.roi_chunk:
             # pool-inside-scan: each scan step pools ITS OWN (N, Pc) box
