@@ -114,18 +114,34 @@ def build_step(cfg, batch, smoke):
         jnp.zeros((1, *canvas, 3), jnp.float32),
         jnp.asarray([[float(canvas[0]), float(canvas[1])]]),
     )["params"]
+    variables = {"params": params}
+    if cfg.int8:
+        # static PTQ: record per-layer activation maxima once (unchunked
+        # twin, small batch — frcnn.calibrate_int8) so the timed loop runs
+        # Int8Conv's fused static path, not the per-step max reduction
+        from vltk_tpu.models import calibrate_int8
+
+        cb = min(batch, 4)
+        pre = jax.jit(
+            lambda r, s: preprocess_batch(
+                r, s, canvas_hw=canvas, short=short, maximum=maximum
+            )
+        )(raws[0][:cb], raw_sizes[:cb])
+        variables["quant"] = calibrate_int8(
+            cfg, params, [(pre["img"], pre["sizes"], pre["scales_yx"])]
+        )
 
     @jax.jit
-    def step(params, raw_images, sizes):
+    def step(variables, raw_images, sizes):
         pre = preprocess_batch(
             raw_images, sizes, canvas_hw=canvas, short=short, maximum=maximum
         )
         out = model.apply(
-            {"params": params}, pre["img"], pre["sizes"], scales_yx=pre["scales_yx"]
+            variables, pre["img"], pre["sizes"], scales_yx=pre["scales_yx"]
         )
         return out["roi_features"], out["boxes"], out["preds_per_image"]
 
-    return step, params, raws, raw_sizes
+    return step, variables, raws, raw_sizes
 
 
 def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
@@ -646,14 +662,28 @@ def run_preset_drift(args):
                 jnp.asarray([[float(cvs[0]), float(cvs[1])]]),
             )["params"]
             params = _tame_params(params)
+        variables = {"params": params}
+        if overrides.get("int8"):
+            # static scales from one small calibration batch — the same
+            # setup a production int8 deployment would ship with
+            from vltk_tpu.models import calibrate_int8
+
+            pre_c = jax.jit(
+                lambda r, s: preprocess_batch(
+                    r, s, canvas_hw=cvs, short=sh, maximum=mx
+                )
+            )(raw_dev[: min(batch, 4)], raw_sizes[: min(batch, 4)])
+            variables["quant"] = calibrate_int8(
+                cfg, params, [(pre_c["img"], pre_c["sizes"], pre_c["scales_yx"])]
+            )
 
         @jax.jit
-        def step(params, raw_images, sizes, _m=model, _c=cvs, _s=sh, _x=mx):
+        def step(variables, raw_images, sizes, _m=model, _c=cvs, _s=sh, _x=mx):
             pre = preprocess_batch(
                 raw_images, sizes, canvas_hw=_c, short=_s, maximum=_x
             )
             out = _m.apply(
-                {"params": params}, pre["img"], pre["sizes"],
+                variables, pre["img"], pre["sizes"],
                 scales_yx=pre["scales_yx"],
             )
             return (
@@ -661,7 +691,7 @@ def run_preset_drift(args):
                 out["obj_probs"], out["preds_per_image"], out["mask"],
             )
 
-        out = step(params, raw_dev, raw_sizes)
+        out = step(variables, raw_dev, raw_sizes)
         fetched = [np.asarray(t, np.float32) for t in out]
         assert fetched[4].min() > 0, f"{name}: no detections at tamed init"
         outs[name] = fetched
@@ -670,7 +700,7 @@ def run_preset_drift(args):
         t0 = time.perf_counter()
         o = None
         for _ in range(5):
-            o = step(params, raw_dev, raw_sizes)
+            o = step(variables, raw_dev, raw_sizes)
         float(jnp.sum(o[0]))
         times[name] = (time.perf_counter() - t0) / 5
 

@@ -456,3 +456,40 @@ class TestInt8Conv:
         assert jax.tree_util.tree_structure(params8) == jax.tree_util.tree_structure(
             params_f32
         )
+
+    def test_calibrated_quant_collection(self, rng):
+        """Static PTQ: calibrate_int8 records act_max; the chunked model
+        (scan broadcasts "quant") accepts the collection and matches the
+        unchunked twin it was calibrated through."""
+        import dataclasses
+
+        from vltk_tpu.models import calibrate_int8
+
+        imgs = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        sizes = jnp.asarray([[60.0, 60.0]])
+        cfg = dataclasses.replace(TINY, int8=True, roi_chunk=8)  # scan engages
+        model = FRCNN(cfg)
+        params = model.init(jax.random.PRNGKey(0), imgs, sizes)["params"]
+        quant = calibrate_int8(cfg, params, [(imgs, sizes)])
+        leaves = jax.tree_util.tree_leaves(quant)
+        assert leaves and all(float(l) > 0 for l in leaves)  # maxima recorded
+        out_chunked = model.apply({"params": params, "quant": quant}, imgs, sizes)
+        out_unchunked = FRCNN(dataclasses.replace(cfg, roi_chunk=None)).apply(
+            {"params": params, "quant": quant}, imgs, sizes
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_chunked["roi_features"], np.float32),
+            np.asarray(out_unchunked["roi_features"], np.float32),
+            rtol=2e-5, atol=2e-5,
+        )
+        # calibrated-on-this-input static scales == the dynamic scales the
+        # UNCHUNKED model computes on the same input, so that pair must
+        # agree to float tolerance (the chunked dynamic path legitimately
+        # differs: its scan steps use chunk-local maxima)
+        un = FRCNN(dataclasses.replace(cfg, roi_chunk=None))
+        out_dyn = un.apply({"params": params}, imgs, sizes)
+        np.testing.assert_allclose(
+            np.asarray(out_unchunked["boxes"], np.float32),
+            np.asarray(out_dyn["boxes"], np.float32),
+            rtol=1e-5, atol=1e-4,
+        )

@@ -1,4 +1,4 @@
-from vltk_tpu.models.frcnn import FRCNN, FRCNNConfig
+from vltk_tpu.models.frcnn import FRCNN, FRCNNConfig, calibrate_int8
 from vltk_tpu.models.detection_loss import (
     fast_rcnn_losses,
     rpn_losses,

@@ -373,3 +373,49 @@ def _postprocess(
         "preds_per_image": jnp.sum(m, axis=1).astype(jnp.int32),
         "mask": m,
     }
+
+
+def calibrate_int8(
+    cfg: FRCNNConfig,
+    params,
+    batches,
+) -> dict:
+    """Record static int8 activation scales (PTQ calibration).
+
+    Runs each ``(images, image_sizes[, scales_yx])`` batch through an
+    int8 FRCNN with the ``"quant"`` collection mutable, accumulating a
+    running per-layer ``act_max`` (layers.Int8Conv). The returned
+    collection is then passed alongside params —
+    ``model.apply({"params": p, "quant": q}, ...)`` — which switches
+    every Int8Conv to its static fast path (quantize fused into the
+    producer epilogue, no per-step max reduction).
+
+    Calibration itself uses an UNCHUNKED twin config: the res5 chunk
+    scan broadcasts "quant" and a broadcast collection cannot be mutated
+    inside ``nn.scan``. Param/variable paths are identical between the
+    two branches (roi_heads.py), so the recorded scales drop straight
+    into the chunked production model. Keep calibration batches small
+    enough for the unchunked pooled intermediate (B<=8 at parity
+    geometry).
+
+    The reference has no quantized path; this is TPU-native PTQ for the
+    v5e int8 MXU (~2x bf16 rate, tools/probe_int8.py).
+    """
+    calib_cfg = dataclasses.replace(cfg, int8=True, roi_chunk=None)
+    model = FRCNN(calib_cfg)
+    quant: dict = {}
+    for batch in batches:
+        images, image_sizes, *rest = batch
+        scales_yx = rest[0] if rest else None
+        variables = {"params": params}
+        if quant:
+            variables["quant"] = quant
+        _, mutated = model.apply(
+            variables,
+            images,
+            image_sizes,
+            scales_yx=scales_yx,
+            mutable=["quant"],
+        )
+        quant = mutated["quant"]
+    return quant

@@ -50,9 +50,19 @@ class Int8Conv(nn.Module):
     preset flag:
 
       * weights: symmetric per-output-channel, ``round(w * 127 / max|w|)``
-      * activations: symmetric per-tensor with a DYNAMIC (data-dependent)
-        scale — one max-reduction per conv input; XLA fuses the quantize
-        into the producer's epilogue
+      * activations: symmetric per-tensor. Two modes:
+          - CALIBRATED (the fast path): apply with a ``"quant"`` variable
+            collection holding per-layer ``act_max`` (recorded by running
+            any batch with ``mutable=["quant"]`` — see
+            :func:`vltk_tpu.models.frcnn.calibrate_int8`). The scale is
+            then a trace-time-constant-shaped scalar, so the quantize is
+            one elementwise op XLA fuses into the producer's epilogue and
+            the conv reads HALF the bytes of bf16.
+          - DYNAMIC (fallback, no "quant" vars): per-input max reduction
+            every call. Measured end-to-end NEUTRAL on v5e (56.2 vs 57.5
+            img/s parity extraction): the extra max+quantize HBM sweeps
+            over every conv input eat the 2x MXU rate. Kept only as the
+            zero-setup fallback.
       * conv accumulates in int32 (``preferred_element_type``), then one
         fused f32 rescale by ``s_x * s_w[c]``
 
@@ -83,7 +93,20 @@ class Int8Conv(nn.Module):
         s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
         w_q = jnp.round(w / s_w).astype(jnp.int8)  # (kh,kw,cin/g,F)
         xf = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        obs_max = jnp.max(jnp.abs(xf))
+        # NOT during init: init makes every collection mutable, and "quant"
+        # must stay out of the init tree (param-layout parity with nn.Conv)
+        calibrating = self.is_mutable_collection("quant") and not self.is_initializing()
+        if calibrating or self.has_variable("quant", "act_max"):
+            act_max = self.variable(
+                "quant", "act_max", lambda: jnp.zeros((), jnp.float32)
+            )
+            if calibrating:
+                # running max over calibration batches
+                act_max.value = jnp.maximum(act_max.value, obs_max)
+            s_x = jnp.maximum(act_max.value, 1e-8) / 127.0
+        else:
+            s_x = jnp.maximum(obs_max, 1e-8) / 127.0
         x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             x_q,

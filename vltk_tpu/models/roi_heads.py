@@ -170,7 +170,11 @@ class Res5RoIHeads(nn.Module):
             xs = boxes_p.reshape(n, k, pc, 4).transpose(1, 0, 2, 3)
             scanned = linen.scan(
                 PoolRes5Scan,
-                variable_broadcast="params",
+                # "quant" = static int8 activation scales (layers.Int8Conv);
+                # broadcast like params. Calibration (which MUTATES "quant")
+                # must run through the unchunked twin — scan cannot mutate a
+                # broadcast collection (frcnn.calibrate_int8 does this).
+                variable_broadcast=["params", "quant"],
                 split_rngs={"params": False},
                 in_axes=(linen.broadcast, 0),
                 out_axes=0,
