@@ -133,6 +133,50 @@ class TestFRCNNExtraction:
         # metadata captured the model config
         assert adapter.metadata["model_config"]["max_detections"] == 4
 
+    def test_extract_int8_lazy_calibration(self, coco_images):
+        """int8=True flows through setup; the first batch triggers the
+        one-time static-PTQ calibration (adapters/frcnn.py
+        forward_dispatch) and extraction completes with fixed shapes."""
+        datadir, ids = coco_images
+        from vltk_tpu.adapters import Adapters
+        from vltk_tpu.adapters.frcnn import FRCNN as FRCNNAdapter
+
+        class TinyInt8FRCNN(FRCNNAdapter):
+            _name = "tinyint8frcnn"
+            model_batch_size = 2
+            raw_canvas = (64, 64)
+            resized_canvas = (64, 64)
+            short = 48.0
+            maximum = 64.0
+
+        Adapters.add(TinyInt8FRCNN)
+        out = TinyInt8FRCNN.extract(
+            datadir,
+            "coco2014",
+            splits=["train"],
+            depth=50,
+            stem_out_channels=8,
+            res2_out_channels=16,
+            width_per_group=4,
+            rpn_hidden_channels=16,
+            anchor_sizes=(16, 32),
+            pre_nms_topk=64,
+            post_nms_topk=16,
+            num_classes=7,
+            num_attrs=5,
+            pooler_resolution=7,
+            min_detections=4,
+            max_detections=4,
+            visual_dim=16 * 8,
+            int8=True,
+            roi_chunk=8,  # scan path must accept the quant collection
+        )
+        adapter = out["train"]
+        assert adapter.num_rows == 5
+        feats = np.asarray(adapter.get(ids[0])[V.features])
+        assert feats.shape == (4, 128)
+        assert np.isfinite(feats).all()
+
 
 class TestHostPipelineGate:
     def test_device_fused_pipeline_does_not_pad(self, tmp_path, rng):

@@ -493,3 +493,13 @@ class TestInt8Conv:
             np.asarray(out_dyn["boxes"], np.float32),
             rtol=1e-5, atol=1e-4,
         )
+
+
+def test_int8_extraction_preset():
+    from vltk_tpu.models import FRCNNConfig
+
+    cfg = FRCNNConfig.int8_extraction()
+    assert cfg.int8 and cfg.dtype == "bfloat16"
+    assert cfg.post_nms_topk == 300  # full parity geometry
+    assert cfg.max_detections == 36
+    assert FRCNNConfig.int8_extraction(post_nms_topk=100).post_nms_topk == 100

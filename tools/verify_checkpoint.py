@@ -87,7 +87,7 @@ def stage_images(imgids, images_dir: str, workdir: str) -> str:
 
 
 def run(checkpoint: str, images: str, fixture: str, atol_box: float,
-        rtol_feat: float, min_cosine: float) -> int:
+        rtol_feat: float, min_cosine: float, int8: bool = False) -> int:
     import shutil
 
     golden = load_fixture(fixture)
@@ -95,13 +95,13 @@ def run(checkpoint: str, images: str, fixture: str, atol_box: float,
     workdir = tempfile.mkdtemp(prefix="vltk_verify_ckpt_")
     try:
         return _run_staged(golden, imgids, images, workdir, checkpoint,
-                           atol_box, rtol_feat, min_cosine)
+                           atol_box, rtol_feat, min_cosine, int8)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
 def _run_staged(golden, imgids, images, workdir, checkpoint, atol_box,
-                rtol_feat, min_cosine) -> int:
+                rtol_feat, min_cosine, int8=False) -> int:
     datadir = stage_images(imgids, images, workdir)
 
     from vltk_tpu.adapters.frcnn import FRCNN
@@ -112,7 +112,11 @@ def _run_staged(golden, imgids, images, workdir, checkpoint, atol_box,
         datadir,
         dataset_name="visualgenome",
         checkpoint=checkpoint,
-        dtype=None,
+        # --int8: the calibrated static-PTQ preset (first-batch
+        # calibration in the adapter) — measures the REAL-WEIGHT accuracy
+        # budget of the int8 MXU path against the golden fixture
+        dtype="bfloat16" if int8 else None,
+        int8=int8,
         pre_nms_topk=6000,
         post_nms_topk=300,
     )
@@ -184,9 +188,12 @@ def main() -> int:
                     help="max abs box error in pixels (fixture boxes are rounded)")
     ap.add_argument("--rtol-feat", type=float, default=0.05)
     ap.add_argument("--min-cosine", type=float, default=0.999)
+    ap.add_argument("--int8", action="store_true",
+                    help="run the calibrated int8 preset instead of f32 "
+                         "parity (reports its real-weight accuracy budget)")
     args = ap.parse_args()
     return run(args.checkpoint, args.images, args.fixture, args.atol_box,
-               args.rtol_feat, args.min_cosine)
+               args.rtol_feat, args.min_cosine, int8=args.int8)
 
 
 if __name__ == "__main__":

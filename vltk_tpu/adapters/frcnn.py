@@ -84,12 +84,12 @@ class FRCNN(VisnExtraction):
         short, maximum = cls.short, cls.maximum
 
         @jax.jit
-        def step(params, raw_images, raw_sizes):
+        def step(variables, raw_images, raw_sizes):
             pre = preprocess_batch(
                 raw_images, raw_sizes, canvas_hw=canvas, short=short, maximum=maximum
             )
             out = model.apply(
-                {"params": params},
+                variables,
                 pre["img"],
                 pre["sizes"],
                 scales_yx=pre["scales_yx"],
@@ -109,7 +109,22 @@ class FRCNN(VisnExtraction):
             )
             return packed
 
-        bundle = {"step": step, "params": params, "cfg": cfg}
+        @jax.jit
+        def pre_fn(raw_images, raw_sizes):
+            return preprocess_batch(
+                raw_images, raw_sizes, canvas_hw=canvas, short=short, maximum=maximum
+            )
+
+        # "variables" is what step applies; int8 runs lazily calibrate
+        # static activation scales from the FIRST data batch
+        # (forward_dispatch) and add them here as the "quant" collection
+        bundle = {
+            "step": step,
+            "params": params,
+            "cfg": cfg,
+            "variables": {"params": params},
+            "pre_fn": pre_fn,
+        }
         model_config = {
             "model": "frcnn-resnet101-c4-vg",
             "checkpoint": checkpoint,
@@ -176,7 +191,22 @@ class FRCNN(VisnExtraction):
     def forward_dispatch(cls, model, batch: Mapping[str, Any], **kwargs):
         """Enqueue the device step; no host sync — the driver overlaps the
         fetch of the previous batch with this one's compute."""
-        packed = model["step"](model["params"], batch[V.img], batch[V.rawsize])
+        variables = model["variables"]
+        cfg = model["cfg"]
+        if cfg.int8 and "quant" not in variables:
+            # one-time static-PTQ calibration on (up to 4 images of) the
+            # first real batch: dynamic per-input scales measured
+            # throughput-NEUTRAL (BASELINE.md), so int8 always ships with
+            # calibrated scales
+            from vltk_tpu.models import calibrate_int8
+
+            pre = model["pre_fn"](batch[V.img][:4], batch[V.rawsize][:4])
+            variables["quant"] = calibrate_int8(
+                cfg,
+                variables["params"],
+                [(pre["img"], pre["sizes"], pre["scales_yx"])],
+            )
+        packed = model["step"](variables, batch[V.img], batch[V.rawsize])
         return (packed, list(batch[V.imgid]))
 
     @classmethod

@@ -113,6 +113,27 @@ class FRCNNConfig:
         kwargs.update(overrides)
         return cls(**kwargs)
 
+    @classmethod
+    def int8_extraction(cls, **overrides) -> "FRCNNConfig":
+        """Calibrated static-PTQ preset: full parity GEOMETRY (300
+        proposals, 36 detections) with every bottleneck conv on the v5e
+        int8 MXU path. The best measured accuracy/speed point on the
+        preset Pareto (BASELINE.md r3: +18% over bf16 at 97% box
+        agreement / 0.93 relative mAP at worst-case random init) —
+        unlike fast_extraction it keeps the full proposal set, so
+        accuracy cost comes only from score rounding, not candidate
+        truncation. Extraction adapters calibrate automatically on the
+        first batch (adapters/frcnn.py); direct model users call
+        :func:`calibrate_int8`."""
+        kwargs = dict(
+            dtype="bfloat16", int8=True,
+            # the VG extraction parity geometry (reference
+            # tests/frcnn_test.py:16-19 / bench.py parity config)
+            pre_nms_topk=6000, post_nms_topk=300,
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
     @property
     def num_anchors(self) -> int:
         return len(self.anchor_sizes) * len(self.aspect_ratios)
