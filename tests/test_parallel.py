@@ -579,3 +579,253 @@ def test_visualbert_ulysses_matches_replicated():
         jax.block_until_ready(pool)
     np.testing.assert_allclose(np.asarray(seq), np.asarray(ref_seq), atol=2e-5)
     np.testing.assert_allclose(np.asarray(pool), np.asarray(ref_pool), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Ring attention (SURVEY §5.7's second backend: KV rotation over ppermute)
+# ---------------------------------------------------------------------------
+
+
+def _dense_attention(q, k, v, mask, dh):
+    sc = jnp.einsum("nqhd,nkhd->nhqk", q, k) / np.sqrt(dh)
+    sc = sc + (1.0 - mask)[:, None, None, :] * -10000.0
+    p = jax.nn.softmax(sc, axis=-1)
+    return jnp.einsum("nhqk,nkhd->nqhd", p, v)
+
+
+def test_ring_attention_matches_dense():
+    """ring_self_attention (forward AND grads) must match dense softmax
+    attention on a dp x sp x tp mesh, including a ragged key mask that
+    rotates around the ring with K/V."""
+    from vltk_tpu.parallel import ring_self_attention
+
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 2), ("seq", 2), ("model", 2))))
+    rng = np.random.default_rng(0)
+    n, s, nh, dh = 2, 32, 4, 8
+    q = rng.normal(size=(n, s, nh, dh)).astype(np.float32)
+    k = rng.normal(size=(n, s, nh, dh)).astype(np.float32)
+    v = rng.normal(size=(n, s, nh, dh)).astype(np.float32)
+    mask = (rng.uniform(size=(n, s)) > 0.2).astype(np.float32)
+
+    ref = _dense_attention(q, k, v, mask, dh)
+    with mesh:
+        got = jax.jit(
+            lambda q, k, v, m: ring_self_attention(q, k, v, m, mesh=mesh)
+        )(q, k, v, mask)
+        hlo = (
+            jax.jit(lambda q, k, v, m: ring_self_attention(q, k, v, m, mesh=mesh))
+            .lower(q, k, v, mask).compile().as_text()
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # the ring rotation lowers to neighbour collective-permutes, not
+    # all-to-alls or full KV all-gathers
+    assert "collective-permute" in hlo, "no collective-permute in ring HLO"
+
+    def loss_ring(q, k, v):
+        with mesh:
+            return jnp.sum(ring_self_attention(q, k, v, mask, mesh=mesh) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_attention(q, k, v, mask, dh) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ring, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_ring_backend_lxmert_matches_replicated():
+    """Lxmert with seq_attention_backend='ring' must match the replicated
+    forward; lang activations stay physically seq-sharded and the lang
+    self-attention lowers to collective-permutes."""
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 2), ("seq", 2), ("model", 2))))
+    base = LxmertConfig(
+        vocab_size=64,
+        hidden_size=16,
+        num_heads=4,
+        intermediate_size=32,
+        l_layers=1,
+        x_layers=1,
+        r_layers=1,
+        visual_feat_dim=8,
+        max_position_embeddings=512,
+        num_answers=6,
+        num_objects=5,
+        num_attrs=3,
+    )
+    ring_cfg = LxmertConfig(
+        **{**base.__dict__, "activation_sharding": True,
+           "seq_attention_sharding": True, "seq_attention_backend": "ring"}
+    )
+    rng = np.random.default_rng(7)
+    n, s, v = 4, 512, 4
+    ids = rng.integers(0, base.vocab_size, (n, s)).astype(np.int32)
+    mask = np.ones((n, s), np.float32)
+    feats = rng.normal(size=(n, v, base.visual_feat_dim)).astype(np.float32)
+    pos = rng.uniform(0, 1, (n, v, 4)).astype(np.float32)
+
+    ref_model = Lxmert(base)
+    params = ref_model.init(
+        jax.random.PRNGKey(0), ids[:1, :8], feats[:1], pos[:1]
+    )["params"]
+    ref_lang, _, ref_pool = ref_model.apply(
+        {"params": params}, ids, feats, pos, mask
+    )
+
+    ring_model = Lxmert(ring_cfg)
+    sharded_params = shard_params(params, LXMERT_RULES, mesh)
+    batch = shard_batch({"ids": ids, "mask": mask, "feats": feats, "pos": pos}, mesh)
+    lang_sharding = NamedSharding(mesh, P("data", "seq", None))
+
+    @jax.jit
+    def fwd(p, b):
+        lang, visn, pool = ring_model.apply(
+            {"params": p}, b["ids"], b["feats"], b["pos"], b["mask"]
+        )
+        return jax.lax.with_sharding_constraint(lang, lang_sharding), pool
+
+    with mesh:
+        hlo = fwd.lower(sharded_params, batch).compile().as_text()
+        lang, pool = fwd(sharded_params, batch)
+        jax.block_until_ready(lang)
+
+    np.testing.assert_allclose(np.asarray(lang), np.asarray(ref_lang), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pool), np.asarray(ref_pool), atol=2e-5)
+    shard_shape = lang.addressable_shards[0].data.shape
+    assert shard_shape == (n // 2, s // 2, base.hidden_size), shard_shape
+    assert "collective-permute" in hlo, "ring rotation missing from HLO"
+    # no full-sequence KV/activation all-gather in the forward
+    full_act_bytes = 4 * n * s * base.hidden_size
+    for dims, nb in _all_gather_result_bytes(hlo):
+        assert nb < full_act_bytes, (
+            f"ring forward all-gather materializes a full activation: "
+            f"f32[{dims}] = {nb}B >= {full_act_bytes}B"
+        )
+
+
+def test_ring_seq_degree_beyond_head_count():
+    """The ring backend's reason to exist: a sequence-parallel degree
+    LARGER than the head count (impossible for Ulysses, which re-shards
+    heads over seq). 2 heads over an 8-way seq axis must still match."""
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 1), ("seq", 8))))
+    base = LxmertConfig(
+        vocab_size=64,
+        hidden_size=16,
+        num_heads=2,  # < seq axis size 8
+        intermediate_size=32,
+        l_layers=1,
+        x_layers=1,
+        r_layers=1,
+        visual_feat_dim=8,
+        max_position_embeddings=512,
+        num_answers=6,
+        num_objects=5,
+        num_attrs=3,
+    )
+    ring_cfg = LxmertConfig(
+        **{**base.__dict__, "activation_sharding": True,
+           "seq_attention_sharding": True, "seq_attention_backend": "ring"}
+    )
+    rng = np.random.default_rng(11)
+    n, s, v = 2, 128, 4
+    ids = rng.integers(0, base.vocab_size, (n, s)).astype(np.int32)
+    mask = np.ones((n, s), np.float32)
+    feats = rng.normal(size=(n, v, base.visual_feat_dim)).astype(np.float32)
+    pos = rng.uniform(0, 1, (n, v, 4)).astype(np.float32)
+
+    ref_model = Lxmert(base)
+    params = ref_model.init(
+        jax.random.PRNGKey(0), ids[:1, :8], feats[:1], pos[:1]
+    )["params"]
+    ref_lang, _, ref_pool = ref_model.apply(
+        {"params": params}, ids, feats, pos, mask
+    )
+
+    ring_model = Lxmert(ring_cfg)
+    sharded_params = shard_params(params, LXMERT_RULES, mesh)
+    batch = shard_batch({"ids": ids, "mask": mask, "feats": feats, "pos": pos}, mesh)
+
+    @jax.jit
+    def fwd(p, b):
+        return ring_model.apply(
+            {"params": p}, b["ids"], b["feats"], b["pos"], b["mask"]
+        )
+
+    with mesh:
+        lang, visn, pool = fwd(sharded_params, batch)
+        jax.block_until_ready(pool)
+    np.testing.assert_allclose(np.asarray(lang), np.asarray(ref_lang), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pool), np.asarray(ref_pool), atol=2e-5)
+
+
+def test_ring_train_backward_hlo_clean():
+    """Same hygiene bar as the Ulysses backward (VERDICT r2 weak #3): the
+    compiled value_and_grad step with the ring backend must emit no SPMD
+    involuntary-full-rematerialization warnings and no full-activation
+    all-gather; the ring rotation must appear as collective-permutes."""
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 2), ("seq", 2), ("model", 2))))
+    base = LxmertConfig(
+        vocab_size=64,
+        hidden_size=16,
+        num_heads=4,
+        intermediate_size=32,
+        l_layers=1,
+        x_layers=1,
+        r_layers=1,
+        visual_feat_dim=8,
+        max_position_embeddings=256,
+        num_answers=6,
+        num_objects=5,
+        num_attrs=3,
+    )
+    ring_cfg = LxmertConfig(
+        **{**base.__dict__, "activation_sharding": True,
+           "seq_attention_sharding": True, "seq_attention_backend": "ring"}
+    )
+    rng = np.random.default_rng(0)
+    n, s, v = 4, 256, 4
+    ids = rng.integers(0, base.vocab_size, (n, s)).astype(np.int32)
+    mask = np.ones((n, s), np.float32)
+    feats = rng.normal(size=(n, v, base.visual_feat_dim)).astype(np.float32)
+    pos = rng.uniform(0, 1, (n, v, 4)).astype(np.float32)
+
+    model = Lxmert(base)
+    params = model.init(
+        jax.random.PRNGKey(0), ids[:1, :8], feats[:1], pos[:1]
+    )["params"]
+    ring_model = Lxmert(ring_cfg)
+    sharded_params = shard_params(params, LXMERT_RULES, mesh)
+    batch = shard_batch(
+        {"ids": ids, "mask": mask, "feats": feats, "pos": pos}, mesh
+    )
+
+    def loss_fn(p, b):
+        lang, visn, pool = ring_model.apply(
+            {"params": p}, b["ids"], b["feats"], b["pos"], b["mask"]
+        )
+        return jnp.sum(lang**2) + jnp.sum(pool**2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    with mesh, _CaptureStderrFd() as cap:
+        compiled = step.lower(sharded_params, batch).compile()
+    hlo = compiled.as_text()
+
+    assert "Involuntary full rematerialization" not in cap.text, (
+        "SPMD partitioner replicated an activation in the ring train "
+        "step:\n" + cap.text[:2000]
+    )
+    assert "collective-permute" in hlo, "ring rotation missing from HLO"
+    full_act_bytes = 4 * n * s * base.hidden_size
+    for dims, nb in _all_gather_result_bytes(hlo):
+        assert nb < full_act_bytes, (
+            f"ring train-step all-gather materializes a full activation: "
+            f"f32[{dims}] = {nb}B >= {full_act_bytes}B"
+        )
+
+    with mesh:
+        loss, grads = step(sharded_params, batch)
+    assert np.isfinite(float(loss))

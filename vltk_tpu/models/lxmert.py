@@ -69,6 +69,11 @@ class LxmertConfig:
     # activation_sharding and num_heads divisible by model*seq axes) —
     # the real long-context path (SURVEY §5.7)
     seq_attention_sharding: bool = False
+    # which sequence-parallel attention backend seq_attention_sharding
+    # uses: "ulysses" (head-sharded via all-to-alls; seq degree capped at
+    # num_heads // tp) or "ring" (KV rotation via neighbour ppermute,
+    # parallel/ring.py; seq degree unconstrained by head count)
+    seq_attention_backend: str = "ulysses"
 
     @property
     def head_dim(self) -> int:
@@ -93,6 +98,20 @@ def _constrain(x: jnp.ndarray, cfg: LxmertConfig, spec: Tuple) -> jnp.ndarray:
         return x
     from jax.sharding import PartitionSpec as P
 
+    from vltk_tpu.parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    if mesh is not None:
+        # axes the active mesh lacks fall back to replication (same
+        # philosophy as parallel/sharding.py:_spec_for) so e.g. a
+        # data x seq mesh runs the same model code as data x seq x model
+        def keep(e):
+            if isinstance(e, tuple):
+                kept = tuple(a for a in e if a in mesh.axis_names)
+                return kept if kept else None
+            return e if (e is None or e in mesh.axis_names) else None
+
+        spec = tuple(keep(e) for e in spec)
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
@@ -135,7 +154,40 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(n, s, nh, dh)
         k = k.reshape(n, ctx.shape[1], nh, dh)
         v = v.reshape(n, ctx.shape[1], nh, dh)
-        if seq_shard:
+        backend = getattr(cfg, "seq_attention_backend", "ulysses")
+        if seq_shard and backend == "ring" and ctx is x:
+            # Ring backend (parallel/ring.py): queries stay seq-sharded,
+            # K/V shards rotate via neighbour ppermute — no head-count cap
+            # on the seq degree and no layout-switch all-to-alls. Cross-
+            # attention (ctx is the other modality) doesn't take this
+            # branch: its KV side is the short visual stream, so plain
+            # dense attention on the seq-sharded queries is already local.
+            from vltk_tpu.parallel.mesh import current_mesh
+            from vltk_tpu.parallel.ring import ring_self_attention
+
+            mesh = current_mesh()
+            if mesh is None:
+                raise ValueError(
+                    "seq_attention_backend='ring' must be traced under an "
+                    "active mesh context (with mesh: / use_mesh)"
+                )
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            drop_rng = self.make_rng("dropout") if rate > 0.0 else None
+            out4 = ring_self_attention(
+                q, k, v, ctx_mask, mesh=mesh, dropout_rate=rate,
+                dropout_rng=drop_rng, compute_dtype=dt,
+            )
+            out = out4.reshape(n, s, h)
+            out = nn.Dense(
+                h, kernel_init=_dense_init(cfg), dtype=dt, name="att_out"
+            )(out)
+            out = nn.Dropout(cfg.hidden_dropout, name="out_drop")(
+                out, deterministic=deterministic
+            )
+            return nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln"
+            )(x + out)
+        if seq_shard and backend == "ulysses":
             # Ulysses all-to-all in: seq-sharded -> head-sharded. Heads are
             # already model-sharded by the TP param rules (q/k/v kernels
             # P(None, "model"), model-major blocks), so "seq" takes the

@@ -19,10 +19,12 @@ Axes (see ``MeshConfig`` in vltk_tpu/config.py):
 
 from vltk_tpu.parallel.mesh import (
     batch_sharding,
+    current_mesh,
     make_mesh,
     replicated,
     shard_batch,
 )
+from vltk_tpu.parallel.ring import ring_self_attention
 from vltk_tpu.parallel.sharding import (
     LXMERT_RULES,
     infer_shardings,
@@ -32,6 +34,8 @@ from vltk_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "current_mesh",
+    "ring_self_attention",
     "batch_sharding",
     "replicated",
     "shard_batch",

@@ -46,6 +46,28 @@ def make_mesh(mesh_config=None, *, devices=None) -> Mesh:
     return Mesh(grid, axis_names=tuple(names))
 
 
+def current_mesh():
+    """The mesh active at trace time, or ``None``.
+
+    Honors both entry styles: ``jax.sharding.use_mesh(mesh)`` (the new
+    context) and the classic ``with mesh:`` block the train-step builder
+    uses (train/steps.py) — the latter still registers through the
+    legacy thread-resources slot, so read it with the deprecation
+    warning suppressed; this helper is the single point of contact.
+    """
+    m = jax.sharding.get_abstract_mesh()
+    if m is not None and getattr(m, "axis_names", ()):
+        return m
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.interpreters import pxla
+
+        pm = pxla.thread_resources.env.physical_mesh
+    return None if pm.empty else pm
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding for a batch-leading array: first dim over ``axis``."""
     return NamedSharding(mesh, P(axis))
