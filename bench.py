@@ -593,6 +593,135 @@ def run_train_bench(args):
     emit_train("frcnn_detect_train_step_bf16", dt, b)
 
 
+def run_infer_bench(args):
+    """TPU serving-step timing: jitted FORWARD throughput for the VL
+    models (the reference never measured any model path; its eval loops
+    were bs=1 CPU/GPU — abc/simple.py:576-682). Same in-jit fori
+    protocol as training (`_timed_fori_steps`); inputs perturbed per
+    iteration so XLA cannot hoist the forward out of the loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    which = args.infer
+    iters = max(args.steps, 8)
+
+    # Params AND the batch ride in the fori carry, NOT as closure
+    # constants: a closed-over jnp array is embedded into the program and
+    # shipped with the remote_compile request — at base-model param sizes
+    # that exceeds the axon tunnel's request-body limit (HTTP 413) and
+    # bloats the compile even on a direct host.
+    if which == "lxmert":
+        from vltk_tpu.models import LxmertConfig, LxmertForVQA
+
+        cfg = LxmertConfig(dtype="bfloat16")
+        model = LxmertForVQA(cfg)
+        # serving geometry = the VQA fine-tune geometry; batch default
+        # higher than training (no activation storage for a backward)
+        b, s, v = (args.batch if args.batch_explicit else 128), 20, 36
+        rng = np.random.default_rng(0)
+        batch = (
+            jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32),
+            jnp.asarray(
+                rng.normal(size=(b, v, cfg.visual_feat_dim)), jnp.float32
+            ),
+            jnp.asarray(rng.uniform(0, 1, (b, v, 4)), jnp.float32),
+            jnp.ones((b, s), jnp.float32),
+        )
+        params = model.init(
+            jax.random.PRNGKey(0),
+            np.asarray(batch[0][:1]), np.asarray(batch[1][:1]),
+            np.asarray(batch[2][:1]),
+        )["params"]
+
+        @jax.jit
+        def run_k(carry, n):
+            p, (ids, feats, boxes, mask) = carry
+
+            def body(i, acc):
+                logits = model.apply(
+                    {"params": p},
+                    ids, feats + i * 1e-9, boxes, mask,
+                )
+                return acc + jnp.max(logits).astype(jnp.float32)
+
+            return carry, jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
+
+        dt, val = _timed_fori_steps(run_k, (params, batch), iters)
+        assert np.isfinite(val)
+        emit_train("lxmert_vqa_infer_step_bf16", dt, b)
+        return
+
+    if which == "layoutlm":
+        # long-OCR document geometry (SURVEY §5.7): seq-1024 token stream
+        # through the LayoutLM encoder — the workload the seq-parallel
+        # backends exist for, timed here single-chip (dense attention)
+        from vltk_tpu.models.layoutlm import LayoutLM, LayoutLMConfig
+
+        # max_position_embeddings must cover the stream: past-the-table
+        # position ids NaN-fill through jnp.take (nn.Embed's fill mode)
+        cfg = LayoutLMConfig(dtype="bfloat16", max_position_embeddings=1024)
+        model = LayoutLM(cfg)
+        b, s = (args.batch if args.batch_explicit else 32), 1024
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+        bboxes = jnp.asarray(
+            np.sort(rng.integers(0, 1000, (b, s, 2, 2)), axis=2).reshape(
+                b, s, 4
+            ),
+            jnp.int32,
+        )
+        mask = jnp.ones((b, s), jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), np.asarray(ids[:1]), np.asarray(bboxes[:1])
+        )["params"]
+
+        @jax.jit
+        def run_k(carry, n):
+            p, (ids, bboxes, mask) = carry
+
+            def body(i, acc):
+                # mask is the only float input: scale it by (1 + i*1e-9)
+                # so the forward is loop-variant and cannot be hoisted
+                seq = model.apply(
+                    {"params": p}, ids, bboxes, mask * (1.0 + i * 1e-9),
+                )
+                return acc + jnp.max(seq).astype(jnp.float32)
+
+            return carry, jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
+
+        dt, val = _timed_fori_steps(run_k, (params, (ids, bboxes, mask)), iters)
+        assert np.isfinite(val)
+        emit_train("layoutlm_seq1024_infer_step_bf16", dt, b)
+        return
+
+    # ViT-base 224 classification-backbone forward
+    from vltk_tpu.models.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(dtype="bfloat16")
+    model = ViT(cfg)
+    b = args.batch if args.batch_explicit else 64
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.normal(size=(b, cfg.image_size, cfg.image_size, 3)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), np.asarray(imgs[:1]))["params"]
+
+    @jax.jit
+    def run_k(carry, n):
+        p, x = carry
+
+        def body(i, acc):
+            _, pooled = model.apply({"params": p}, x + i * 1e-9)
+            return acc + jnp.max(pooled).astype(jnp.float32)
+
+        return carry, jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
+
+    dt, val = _timed_fori_steps(run_k, (params, imgs), iters)
+    assert np.isfinite(val)
+    emit_train("vit_base224_infer_step_bf16", dt, b)
+
+
 def emit_train(metric, step_seconds, batch):
     print(
         json.dumps(
@@ -807,6 +936,10 @@ def main():
         "--train", choices=("lxmert", "frcnn"), default=None,
         help="time a TPU training step instead of extraction",
     )
+    ap.add_argument(
+        "--infer", choices=("lxmert", "vit", "layoutlm"), default=None,
+        help="time a TPU serving forward step instead of extraction",
+    )
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 32 (extraction modes), mode-specific otherwise")
     ap.add_argument("--steps", type=int, default=5)
@@ -839,6 +972,8 @@ def main():
         run_host_bench(args)
     elif args.train:
         run_train_bench(args)
+    elif args.infer:
+        run_infer_bench(args)
     elif args.injit:
         run_injit_bench(args)
     elif args.preset_drift:

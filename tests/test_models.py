@@ -503,3 +503,33 @@ def test_int8_extraction_preset():
     assert cfg.post_nms_topk == 300  # full parity geometry
     assert cfg.max_detections == 36
     assert FRCNNConfig.int8_extraction(post_nms_topk=100).post_nms_topk == 100
+
+
+def test_position_table_overflow_raises():
+    """Sequences longer than max_position_embeddings must fail LOUDLY at
+    trace time: nn.Embed's gather NaN-fills past-the-table ids silently
+    (bench.py --infer layoutlm found this as an all-NaN forward)."""
+    import pytest
+
+    from vltk_tpu.models import LxmertConfig
+    from vltk_tpu.models.layoutlm import LayoutLM, LayoutLMConfig
+    from vltk_tpu.models.lxmert import Lxmert
+
+    cfg = LayoutLMConfig(
+        vocab_size=64, hidden_size=16, num_heads=2, intermediate_size=32,
+        l_layers=1, max_position_embeddings=8,
+    )
+    ids = np.zeros((1, 16), np.int32)  # 16 > 8
+    boxes = np.zeros((1, 16, 4), np.int32)
+    with pytest.raises(ValueError, match="max_position_embeddings"):
+        LayoutLM(cfg).init(jax.random.PRNGKey(0), ids, boxes)
+
+    lcfg = LxmertConfig(
+        vocab_size=64, hidden_size=16, num_heads=2, intermediate_size=32,
+        l_layers=1, x_layers=1, r_layers=1, visual_feat_dim=8,
+        max_position_embeddings=8, num_answers=4, num_objects=4, num_attrs=4,
+    )
+    feats = np.zeros((1, 2, 8), np.float32)
+    pos = np.zeros((1, 2, 4), np.float32)
+    with pytest.raises(ValueError, match="max_position_embeddings"):
+        Lxmert(lcfg).init(jax.random.PRNGKey(0), ids, feats, pos)

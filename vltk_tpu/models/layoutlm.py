@@ -52,6 +52,13 @@ class LayoutLMEmbeddings(nn.Module):
     def __call__(self, input_ids, boxes, token_type_ids=None, deterministic=True):
         cfg = self.cfg
         n, s = input_ids.shape
+        if s > cfg.max_position_embeddings:
+            # loud, at trace time: past-the-table position ids NaN-fill
+            # silently through nn.Embed's gather (jnp.take fill mode)
+            raise ValueError(
+                f"sequence length {s} exceeds max_position_embeddings="
+                f"{cfg.max_position_embeddings}; raise it in the config"
+            )
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         emb_init = nn.initializers.normal(stddev=cfg.initializer_range)

@@ -58,6 +58,13 @@ class VisualBertEmbeddings(nn.Module):
         cfg = self.cfg
         n, s = input_ids.shape
         v = visual_feats.shape[1]
+        if max(s, v) > cfg.max_position_embeddings:
+            # loud, at trace time: past-the-table position ids NaN-fill
+            # silently through nn.Embed's gather (jnp.take fill mode)
+            raise ValueError(
+                f"stream length {max(s, v)} exceeds max_position_embeddings="
+                f"{cfg.max_position_embeddings}; raise it in the config"
+            )
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         emb_init = nn.initializers.normal(stddev=cfg.initializer_range)
