@@ -474,7 +474,7 @@ def run_train_bench(args):
         from vltk_tpu.models import LxmertConfig, LxmertForVQA
         from vltk_tpu.models import lxmert as L
 
-        cfg = LxmertConfig(dtype="bfloat16")  # base size, bf16 compute
+        cfg = LxmertConfig(dtype="bfloat16", remat=args.remat)  # base size
         model = LxmertForVQA(cfg)
         b, s, v = args.batch, 20, 36  # VQA geometry: 20 tokens, 36 boxes
         rng = np.random.default_rng(0)
@@ -530,7 +530,11 @@ def run_train_bench(args):
 
         dt, loss = _timed_fori_steps(run_k, (params, opt_state), iters)
         assert np.isfinite(loss)
-        emit_train("lxmert_vqa_train_step_bf16", dt, b)
+        emit_train(
+            "lxmert_vqa_train_step_bf16"
+            + ("_remat" if args.remat else ""),
+            dt, b,
+        )
         return
 
     # FRCNN detection fine-tune step (R101-C4, parity canvas)
@@ -935,6 +939,10 @@ def main():
     ap.add_argument(
         "--train", choices=("lxmert", "frcnn"), default=None,
         help="time a TPU training step instead of extraction",
+    )
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="with --train lxmert: jax.checkpoint every encoder layer",
     )
     ap.add_argument(
         "--infer", choices=("lxmert", "vit", "layoutlm"), default=None,

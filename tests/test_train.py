@@ -337,3 +337,100 @@ def test_mesh_resume_preserves_shardings(tmp_path, rng):
         np.asarray(q), np.asarray(exp.state.params["lxmert"]["layer_0"]["att"]["query"]["kernel"]),
         rtol=1e-6,
     )
+
+
+# -------------------------------------------------- accumulation / remat ----
+
+
+def _tiny_vqa_setup(seed=0):
+    cfg = LxmertConfig(
+        vocab_size=64, hidden_size=16, num_heads=2, intermediate_size=32,
+        l_layers=1, x_layers=1, r_layers=1, visual_feat_dim=8,
+        max_position_embeddings=32, num_answers=6, num_objects=5, num_attrs=3,
+    )
+    model = LxmertForVQA(cfg)
+    rng = np.random.default_rng(seed)
+    n, s, v = 8, 6, 3
+    batch = {
+        "ids": rng.integers(0, cfg.vocab_size, (n, s)).astype(np.int32),
+        "feats": rng.normal(size=(n, v, cfg.visual_feat_dim)).astype(np.float32),
+        "pos": rng.uniform(0, 1, (n, v, 4)).astype(np.float32),
+        "scores": np.eye(cfg.num_answers, dtype=np.float32)[
+            rng.integers(0, cfg.num_answers, n)
+        ],
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["ids"][:1], batch["feats"][:1],
+        batch["pos"][:1],
+    )["params"]
+    return cfg, model, params, batch
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=4 must produce the same post-step params as the plain
+    full-batch step (mean-reduced loss; deterministic forward)."""
+    import optax
+
+    from vltk_tpu.train import create_state, make_train_step
+
+    cfg, model, params, batch = _tiny_vqa_setup()
+
+    def loss_fn(p, b, step_rng):
+        logits = model.apply({"params": p}, b["ids"], b["feats"], b["pos"])
+        return L.vqa_soft_loss(logits, b["scores"]), {}
+
+    out = {}
+    for accum in (1, 4):
+        tx = optax.adamw(1e-2)
+        state = create_state(model.apply, params, tx)
+        step = make_train_step(loss_fn, accum_steps=accum, donate=False)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        out[accum] = (state.params, float(metrics["loss"]))
+
+    np.testing.assert_allclose(out[1][1], out[4][1], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        out[1][0], out[4][0],
+    )
+
+
+def test_remat_matches_baseline():
+    """cfg.remat=True must change nothing numerically: same params tree,
+    same forward, same gradients — only the backward's memory schedule
+    differs (jax.checkpoint recompute)."""
+    cfg, model, params, batch = _tiny_vqa_setup()
+    r_cfg = LxmertConfig(**{**cfg.__dict__, "remat": True})
+    r_model = LxmertForVQA(r_cfg)
+
+    # identical parameter structure (remat wrapping preserves names)
+    r_params = r_model.init(
+        jax.random.PRNGKey(0), batch["ids"][:1], batch["feats"][:1],
+        batch["pos"][:1],
+    )["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        r_params
+    )
+
+    def loss(m):
+        def f(p):
+            logits = m.apply({"params": p}, batch["ids"], batch["feats"],
+                             batch["pos"])
+            return L.vqa_soft_loss(logits, batch["scores"])
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(model))(params)
+    l1, g1 = jax.value_and_grad(loss(r_model))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        g0, g1,
+    )
+    # the compiled backward actually rematerializes: remat HLO recomputes
+    # the encoder (more fusions/dots than the stored-activation backward)
+    hlo0 = jax.jit(jax.grad(loss(model))).lower(params).compile().as_text()
+    hlo1 = jax.jit(jax.grad(loss(r_model))).lower(params).compile().as_text()
+    assert hlo1.count("fusion") >= hlo0.count("fusion")

@@ -25,6 +25,7 @@ from vltk_tpu.models.lxmert import (
     TransformerLayer,
     _constrain,
     _dense_init,
+    _encoder_layers,
     masked_cross_entropy,
 )
 
@@ -121,10 +122,11 @@ class LayoutLM(nn.Module):
         # streams beyond 512, SURVEY §5.7)
         seq_shard = cfg.activation_sharding and cfg.seq_attention_sharding
         x = _constrain(x, cfg, ("data", "seq", None))
+        Layer, _ = _encoder_layers(cfg)
         for i in range(cfg.l_layers):
-            x = TransformerLayer(cfg, name=f"layer_{i}")(
+            x = Layer(cfg, name=f"layer_{i}")(
                 x, attention_mask.astype(jnp.float32), deterministic,
-                seq_shard=seq_shard,
+                seq_shard,
             )
             x = _constrain(x, cfg, ("data", "seq", None))
         return x

@@ -28,6 +28,7 @@ from vltk_tpu.models.lxmert import (
     TransformerLayer,
     _constrain,
     _dense_init,
+    _encoder_layers,
 )
 
 
@@ -143,9 +144,10 @@ class VisualBert(nn.Module):
         # mechanism as LayoutLM's long-OCR path
         seq_shard = cfg.activation_sharding and cfg.seq_attention_sharding
         x = _constrain(x, cfg, ("data", "seq", None))
+        Layer, _ = _encoder_layers(cfg)
         for i in range(cfg.l_layers):
-            x = TransformerLayer(cfg, name=f"layer_{i}")(
-                x, mask, deterministic, seq_shard=seq_shard
+            x = Layer(cfg, name=f"layer_{i}")(
+                x, mask, deterministic, seq_shard
             )
             x = _constrain(x, cfg, ("data", "seq", None))
 

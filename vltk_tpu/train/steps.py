@@ -54,18 +54,55 @@ def create_state(
 
 
 def make_train_step(
-    loss_fn: Callable, mesh=None, donate: bool = True, state_shardings=None
+    loss_fn: Callable, mesh=None, donate: bool = True, state_shardings=None,
+    accum_steps: int = 1,
 ):
     """``loss_fn(params, batch, rng) -> (loss, aux_dict)`` -> jitted
     ``step(state, batch, rng) -> (state, metrics)``.
 
     ``state_shardings`` (e.g. from parallel.zero1_state_shardings) pins
     the output state layout so a ZeRO-sharded optimizer state stays
-    sharded across steps instead of depending on propagation."""
+    sharded across steps instead of depending on propagation.
+
+    ``accum_steps > 1`` = gradient accumulation: every batch array's
+    leading dim is split into ``accum_steps`` microbatches, a
+    ``lax.scan`` runs value_and_grad per microbatch (peak activation HBM
+    drops to one microbatch's worth), and ONE optimizer update applies
+    the mean gradient. Exactly equals the full-batch step whenever the
+    loss is a mean over examples (all losses in models/ are); the rng is
+    folded per microbatch, so dropout draws differ from the full-batch
+    run the way any two dropout schedules do."""
+
+    def accum_grad_fn(params, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps,
+                                *x.shape[1:]),
+            batch,
+        )
+        rngs = jax.random.split(rng, accum_steps)
+
+        def body(carry, inp):
+            acc_g, acc_loss = carry
+            mb, r = inp
+            (loss, aux), g = grad_fn(params, mb, r)
+            acc_g = jax.tree_util.tree_map(jax.numpy.add, acc_g, g)
+            return (acc_g, acc_loss + loss), aux
+
+        zeros = jax.tree_util.tree_map(jax.numpy.zeros_like, params)
+        (g, loss), auxs = jax.lax.scan(
+            body, (zeros, jax.numpy.asarray(0.0)), (micro, rngs)
+        )
+        grads = jax.tree_util.tree_map(lambda x: x / accum_steps, g)
+        aux = jax.tree_util.tree_map(lambda a: a.mean(axis=0), auxs)
+        return (loss / accum_steps, aux), grads
 
     def step(state: TrainState, batch, rng):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, aux), grads = grad_fn(state.params, batch, rng)
+        if accum_steps > 1:
+            (loss, aux), grads = accum_grad_fn(state.params, batch, rng)
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, aux), grads = grad_fn(state.params, batch, rng)
         state = state.apply_gradients(grads=grads)
         metrics = {"loss": loss, **aux}
         return state, metrics
