@@ -236,6 +236,42 @@ class TestRoIPoolFormulations:
 
 
 class TestRoIPoolPallas:
+    def test_pallas_int8_matches_xla(self, rng):
+        """int8 (quantized-activation) kernel path, interpret mode: must
+        bit-match pooling the float copy of the int8 values (quantize is
+        monotone, so it commutes with max-pool). On real TPU this dtype
+        routes to XLA instead — Mosaic crashes on int8 dynamic sublane
+        slices (see the kernel docstring dead-end note)."""
+        import jax
+
+        from vltk_tpu.ops.pallas_kernels import roi_pool_pallas
+
+        b, h, w, c, p, out_size = 2, 20, 24, 8, 6, 7
+        feat = np.clip(
+            np.round(rng.standard_normal((b, h, w, c)) * 40), -127, 127
+        ).astype(np.int8)
+        boxes = np.zeros((b, p, 4), np.float32)
+        boxes[..., 0] = rng.uniform(0, w * 16 - 2, (b, p))
+        boxes[..., 1] = rng.uniform(0, h * 16 - 2, (b, p))
+        boxes[..., 2] = np.minimum(
+            boxes[..., 0] + rng.uniform(1, w * 16, (b, p)), w * 16 - 1
+        )
+        boxes[..., 3] = np.minimum(
+            boxes[..., 1] + rng.uniform(1, h * 16, (b, p)), h * 16 - 1
+        )
+        boxes[0, 0] = [3, 3, 3.5, 3.5]
+        got = roi_pool_pallas(
+            jnp.asarray(feat), jnp.asarray(boxes), out_size, 1 / 16,
+            interpret=True,
+        )
+        assert got.dtype == jnp.int8
+        want = jax.vmap(
+            lambda f, bx: roi_pool(f, bx, out_size, 1 / 16)
+        )(jnp.asarray(feat, jnp.float32), jnp.asarray(boxes))
+        np.testing.assert_array_equal(
+            np.asarray(got, np.int32), np.asarray(want).astype(np.int32)
+        )
+
     def test_pallas_matches_xla(self, rng):
         """Pallas kernel (interpret mode) vs the XLA sparse-table path."""
         import jax

@@ -35,6 +35,16 @@ RoIs over (52, 84, 1024) bf16 — see tools/probe_roipool_ablation.py):
   legal in current Mosaic when the start is provably 8-aligned
   (pl.multiple_of on 8*(ws//8), window widened to 16 and masked).
   Numerically bit-identical to v1 on TPU.
+* int8 variant (dead end on THIS toolchain, r3): pooling the already-
+  quantized res4 activations would halve the kernel's traffic in the
+  int8 preset. The kernel body is dtype-generic (int8 empty sentinel
+  -128, int32-upcast reduce — interpret-mode bit-exact, test_ops) and
+  elementwise int8 max / int8 scratch stores / int32-upcast reductions
+  all compile, but ANY dynamic sublane slice of int8 data crashes the
+  Mosaic remote compiler (probed minimal kernels: 8-aligned and
+  32-aligned starts both fail identically). roi_pool_auto therefore
+  routes integer dtypes to the XLA path; re-probe when the toolchain
+  updates.
 
 All VMEM traffic, no gathers; bin arithmetic (integer edges identical to
 torchvision, see ops/roi_pool.py:_roi_bin_edges) is precomputed in XLA and
@@ -58,11 +68,28 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
+def _pass2_window(max_bw: int, align: int) -> int:
+    """Window length for pass 2's aligned dynamic slice: an
+    align-aligned start offset (<= align-1) plus a [ws, ws+max_bw) bin
+    must fit. The align=8 (f32/bf16) formula is the measured v3 one,
+    kept bit-for-bit; align=32 (int8 sublane tile) takes the minimal
+    cover."""
+    if align == 8:
+        return 2 * ((max_bw + 7) // 8) * 8
+    return -(-(align - 1 + max_bw) // align) * align
+
+
 def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
             rowmax_ref, *, out_size: int, max_bh: int, max_bw: int,
             h: int, w: int, lv0: int = 0):
     dtype = feat_ref.dtype
-    neg = jnp.asarray(_NEG, dtype)
+    # int8 path (quantized extraction preset): data is clipped to
+    # [-127, 127] (layers.Int8Conv), so iinfo.min = -128 is a free
+    # empty-bin sentinel; everything else (range table, max-reductions,
+    # aligned slices) is dtype-generic
+    integer = jnp.issubdtype(dtype, jnp.integer)
+    neg_val = jnp.iinfo(dtype).min if integer else _NEG
+    neg = jnp.asarray(neg_val, dtype)
     bi = pl.program_id(0)
     pi = pl.program_id(2)  # grid is (batch, channel-blocks, rois)
     # scalar prefetch carries only 4 ints per RoI (corner + size), flat 1D
@@ -118,26 +145,37 @@ def _kernel(y1_ref, x1_ref, rh_ref, rw_ref, feat_ref, out_ref, table_ref,
         rowmax_ref[i, :w, :] = jnp.where(ln > 0, val, neg)
 
     # pass 2: col bins. Dynamic-start slices on the sublane dim must be
-    # provably 8-aligned, so slice the aligned 16-wide window containing
-    # [ws, ws+max_bw) and mask within it. Cols beyond w-1 read scratch
-    # padding — always masked out (we <= w).
-    win = 2 * ((max_bw + 7) // 8) * 8
+    # provably aligned to the dtype's sublane tile (8 for f32/bf16, 32
+    # for int8 — an 8-aligned int8 slice crashes the Mosaic compiler), so
+    # slice the aligned window containing [ws, ws+max_bw) and mask within
+    # it. Cols beyond w-1 read scratch padding — always masked out
+    # (we <= w).
+    align = 32 if integer else 8
+    win = _pass2_window(max_bw, align)
     for j in range(out_size):
         ws = jnp.clip((j * rw) // out_size + x1, 0, w)
         we = jnp.clip(((j + 1) * rw + out_size - 1) // out_size + x1, 0, w)
         # ws == w is possible for an empty right-edge bin; clamp before
         # aligning so x0a + win never reads past the wpad scratch (the
         # masked result is still empty -> 0)
-        x0a = pl.multiple_of((jnp.minimum(ws, w - 1) // 8) * 8, 8)
+        x0a = pl.multiple_of(
+            (jnp.minimum(ws, w - 1) // align) * align, align
+        )
         cols = rowmax_ref[:, pl.ds(x0a, win), :]  # (out_size, win, cb)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + x0a
         keep = (cidx >= ws) & (cidx < we)
         cols = jnp.where(keep, cols, neg)
+        # Mosaic has no int8 REDUCTIONS (elementwise int8 max in the table
+        # build is fine) — upcast the registers for the reduce; the
+        # traffic win is storage-side (int8 VMEM/HBM), not register-side
+        if integer:
+            cols = cols.astype(jnp.int32)
         m = jnp.max(cols, axis=1).astype(jnp.float32)  # (out_size, cb)
         # empty bins (hend<=hstart or wend<=wstart) -> 0 like torchvision;
         # compare in f32 (bf16 compares are unsupported on some Mosaic
         # targets)
-        out_ref[0, 0, :, j, :] = jnp.where(m <= _NEG / 2, 0.0, m).astype(dtype)
+        empty = m <= (float(neg_val) if integer else _NEG / 2)
+        out_ref[0, 0, :, j, :] = jnp.where(empty, 0.0, m).astype(dtype)
 
 
 @functools.partial(
@@ -209,8 +247,9 @@ def roi_pool_pallas(
         _kernel, out_size=os_, max_bh=max_bh, max_bw=max_bw, h=h, w=w,
         lv0=lv0,
     )
-    win = 2 * ((max_bw + 7) // 8) * 8
-    wpad = 8 * ((w - 1) // 8) + win  # covers the widest aligned slice
+    align = 32 if jnp.issubdtype(features.dtype, jnp.integer) else 8
+    win = _pass2_window(max_bw, align)
+    wpad = align * ((w - 1) // align) + win  # covers the widest aligned slice
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, n_cb, p),
@@ -286,6 +325,15 @@ def roi_pool_auto(features_b, boxes_b, output_size=14, spatial_scale=1.0 / 16):
     """Batched RoIPool dispatcher: pallas kernel on TPU (differentiable
     via the custom VJP above), XLA sparse-table formulation elsewhere.
     features_b (B,H,W,C), boxes_b (B,P,4)."""
-    if jax.default_backend() == "tpu":
+    # integer dtypes stay on the XLA path on TPU: the kernel's int8
+    # formulation is correct (interpret-mode parity-tested) but this
+    # Mosaic toolchain crashes on ANY dynamic sublane slice of an int8
+    # scratch (probed: 8- and 32-aligned starts both HTTP-500 the remote
+    # compiler, even in a minimal kernel) — so pooling quantized res4
+    # directly, which would halve the kernel's traffic in the int8
+    # preset, is measured-blocked, not untried (2026-08 probes)
+    if jax.default_backend() == "tpu" and not jnp.issubdtype(
+        features_b.dtype, jnp.integer
+    ):
         return roi_pool_pallas_ad(features_b, boxes_b, output_size, spatial_scale)
     return _roi_pool_xla(features_b, boxes_b, output_size, spatial_scale)
