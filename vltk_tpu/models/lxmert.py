@@ -79,6 +79,14 @@ class LxmertConfig:
     # them — trades ~30% more FLOPs for ~L x less activation HBM, the
     # standard TPU lever for bigger train batches / longer sequences
     remat: bool = False
+    # Mixture-of-Experts FFN (models/moe.py): > 0 replaces every dense
+    # FFN with moe_experts experts, top-k routed at static capacity,
+    # expert kernels sharded over the ``expert`` mesh axis
+    # (parallel/sharding.py:LXMERT_MOE_RULES). 0 = dense (default).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_weight: float = 0.01
 
     @property
     def head_dim(self) -> int:
@@ -269,6 +277,17 @@ class FeedForward(nn.Module):
         )
 
 
+def _ffn_cls(cfg: LxmertConfig):
+    """Dense FFN, or the MoE block when ``cfg.moe_experts > 0``
+    (models/moe.py — same post-LN residual contract, expert kernels
+    sharded over the ``expert`` mesh axis)."""
+    if getattr(cfg, "moe_experts", 0) > 0:
+        from vltk_tpu.models.moe import MoEFeedForward
+
+        return MoEFeedForward
+    return FeedForward
+
+
 class TransformerLayer(nn.Module):
     """Single-modality layer: self-attention + FFN. ``seq_shard`` enables
     the Ulysses head-sharded attention path (lang stream only)."""
@@ -280,7 +299,7 @@ class TransformerLayer(nn.Module):
         x = MultiHeadAttention(self.cfg, name="att")(
             x, x, mask, deterministic, seq_shard=seq_shard
         )
-        return FeedForward(self.cfg, name="ffn")(x, deterministic)
+        return _ffn_cls(self.cfg)(self.cfg, name="ffn")(x, deterministic)
 
 
 class CrossModalityLayer(nn.Module):
@@ -306,8 +325,9 @@ class CrossModalityLayer(nn.Module):
         visn2 = MultiHeadAttention(cfg, name="visn_self_att")(
             visn2, visn2, visn_mask, deterministic
         )
-        lang2 = FeedForward(cfg, name="lang_ffn")(lang2, deterministic)
-        visn2 = FeedForward(cfg, name="visn_ffn")(visn2, deterministic)
+        ffn = _ffn_cls(cfg)
+        lang2 = ffn(cfg, name="lang_ffn")(lang2, deterministic)
+        visn2 = ffn(cfg, name="visn_ffn")(visn2, deterministic)
         return lang2, visn2
 
 

@@ -15,6 +15,10 @@ Axes (see ``MeshConfig`` in vltk_tpu/config.py):
   * ``seq``   — sequence parallel (SP) for long OCR-document token streams
     (FUNSD/DocVQA exceed 512 tokens; the reference could only truncate,
     vltk/configs.py:113-114).
+  * ``expert`` — expert parallel (EP): MoE expert kernels sharded across
+    devices (models/moe.py + LXMERT_MOE_RULES).
+  * ``pipe``  — pipeline parallel (PP): layer stages on successive
+    devices, microbatches streamed via ppermute (parallel/pipeline.py).
 """
 
 from vltk_tpu.parallel.mesh import (
@@ -25,7 +29,9 @@ from vltk_tpu.parallel.mesh import (
     shard_batch,
 )
 from vltk_tpu.parallel.ring import ring_self_attention
+from vltk_tpu.parallel.pipeline import gpipe_spmd, stack_layer_params
 from vltk_tpu.parallel.sharding import (
+    LXMERT_MOE_RULES,
     LXMERT_RULES,
     infer_shardings,
     shard_params,
@@ -42,5 +48,8 @@ __all__ = [
     "infer_shardings",
     "shard_params",
     "zero1_state_shardings",
+    "gpipe_spmd",
+    "stack_layer_params",
     "LXMERT_RULES",
+    "LXMERT_MOE_RULES",
 ]

@@ -37,6 +37,19 @@ LXMERT_RULES: Rules = (
     (r".*word_embeddings/embedding$", P("model", None)),
 )
 
+# Expert parallelism on top of TP: the MoE block's stacked expert kernels
+# (models/moe.py — (E, h, f) / (E, f, h)) shard their leading expert dim
+# over the ``expert`` mesh axis and keep Megatron column/row sharding of
+# each expert's FFN over ``model``. The router stays replicated (it is a
+# tiny h x E matmul every device needs). On meshes without an ``expert``
+# axis, _fit_spec falls back to the TP-only spec automatically.
+LXMERT_MOE_RULES: Rules = (
+    (r".*ffn/wi$", P("expert", None, "model")),
+    (r".*ffn/bi$", P("expert", "model")),
+    (r".*ffn/wo$", P("expert", "model", None)),
+    (r".*ffn/bo$", P("expert", None)),
+) + tuple(LXMERT_RULES)
+
 
 def _spec_for(path: str, shape, rules: Rules) -> P:
     for pattern, spec in rules:
@@ -49,20 +62,29 @@ def _spec_for(path: str, shape, rules: Rules) -> P:
 
 
 def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
-    """Replicate when the mesh lacks a named axis or a dim doesn't divide
-    (keeps tiny test configs working on any mesh)."""
+    """Degrade gracefully per dimension: axes the mesh lacks, or dims the
+    mesh size doesn't divide, fall back to replication for that dim only
+    (keeps tiny test configs working on any mesh, and lets composed rule
+    sets — e.g. expert+model — keep the axes the mesh does have)."""
+    entries = []
     for dim, axis in enumerate(spec):
         if axis is None:
+            entries.append(None)
             continue
         axes = (axis,) if isinstance(axis, str) else tuple(axis)
-        if any(a not in mesh.shape for a in axes):
-            return P()
+        kept = tuple(a for a in axes if a in mesh.shape)
         size = 1
-        for a in axes:
+        for a in kept:
             size *= mesh.shape[a]
-        if dim >= len(shape) or shape[dim] % size != 0:
-            return P()
-    return spec
+        if not kept or dim >= len(shape) or shape[dim] % size != 0:
+            entries.append(None)
+        else:
+            entries.append(kept if len(kept) > 1 else kept[0])
+    if tuple(entries) == tuple(spec):
+        return spec
+    while entries and entries[-1] is None:
+        entries.pop()
+    return P(*entries)
 
 
 def infer_shardings(params, rules: Rules, mesh: Mesh):
