@@ -618,7 +618,7 @@ def run_infer_bench(args):
     if which == "lxmert":
         from vltk_tpu.models import LxmertConfig, LxmertForVQA
 
-        cfg = LxmertConfig(dtype="bfloat16")
+        cfg = LxmertConfig(dtype="bfloat16", attention_impl=args.attn)
         model = LxmertForVQA(cfg)
         # serving geometry = the VQA fine-tune geometry; batch default
         # higher than training (no activation storage for a backward)
@@ -653,7 +653,8 @@ def run_infer_bench(args):
 
         dt, val = _timed_fori_steps(run_k, (params, batch), iters)
         assert np.isfinite(val)
-        emit_train("lxmert_vqa_infer_step_bf16", dt, b)
+        suffix = "_flash" if args.attn == "flash" else ""
+        emit_train("lxmert_vqa_infer_step_bf16" + suffix, dt, b)
         return
 
     if which == "layoutlm":
@@ -664,7 +665,10 @@ def run_infer_bench(args):
 
         # max_position_embeddings must cover the stream: past-the-table
         # position ids NaN-fill through jnp.take (nn.Embed's fill mode)
-        cfg = LayoutLMConfig(dtype="bfloat16", max_position_embeddings=1024)
+        cfg = LayoutLMConfig(
+            dtype="bfloat16", max_position_embeddings=1024,
+            attention_impl=args.attn,
+        )
         model = LayoutLM(cfg)
         b, s = (args.batch if args.batch_explicit else 32), 1024
         rng = np.random.default_rng(0)
@@ -696,7 +700,8 @@ def run_infer_bench(args):
 
         dt, val = _timed_fori_steps(run_k, (params, (ids, bboxes, mask)), iters)
         assert np.isfinite(val)
-        emit_train("layoutlm_seq1024_infer_step_bf16", dt, b)
+        suffix = "_flash" if args.attn == "flash" else ""
+        emit_train("layoutlm_seq1024_infer_step_bf16" + suffix, dt, b)
         return
 
     # ViT-base 224 classification-backbone forward
@@ -947,6 +952,13 @@ def main():
     ap.add_argument(
         "--infer", choices=("lxmert", "vit", "layoutlm"), default=None,
         help="time a TPU serving forward step instead of extraction",
+    )
+    ap.add_argument(
+        "--attn", choices=("xla", "flash"), default="xla",
+        help="attention impl for --infer/--train lxmert|layoutlm: 'flash' "
+             "routes eligible self-attention through the fused Pallas "
+             "kernel (O(S) HBM instead of the (S,S) score matrix; only "
+             "long-sequence geometries qualify — see BASELINE.md)",
     )
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 32 (extraction modes), mode-specific otherwise")

@@ -262,3 +262,108 @@ class TestVisualBert:
         sh = infer_shardings(params, LXMERT_RULES, mesh)
         assert sh["layer_0"]["att"]["query"]["kernel"].spec == P(None, "model")
         assert sh["layer_0"]["ffn"]["mlp_out"]["kernel"].spec == P("model", None)
+
+
+class TestFlashAttention:
+    """The fused Pallas flash-attention path (cfg.attention_impl="flash").
+
+    Hermetic coverage: the kernel itself is verified in Pallas interpret
+    mode against the model's XLA score/softmax formulation (forward AND
+    grad), and the eligibility gate is verified to fall back to the XLA
+    path (bit-identical outputs) whenever flash does not apply — which
+    includes this CPU test environment itself.
+    """
+
+    def _qkv(self, rng, n=2, s=128, nh=2, dh=64, pad=24):
+        q = rng.normal(size=(n, s, nh, dh)).astype(np.float32)
+        k = rng.normal(size=(n, s, nh, dh)).astype(np.float32)
+        v = rng.normal(size=(n, s, nh, dh)).astype(np.float32)
+        mask = np.ones((n, s), np.float32)
+        mask[:, s - pad:] = 0.0
+        return q, k, v, mask
+
+    @staticmethod
+    def _xla_attention(q, k, v, mask, dh):
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(
+            jnp.asarray(dh, q.dtype)
+        )
+        bias = (1.0 - mask[:, None, None, :]) * L.NEG_INF
+        scores = scores + bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        return jnp.einsum("nhqk,nkhd->nqhd", probs.astype(q.dtype), v)
+
+    def test_interpret_forward_parity(self, rng):
+        import jax.experimental.pallas.tpu as pltpu
+
+        q, k, v, mask = self._qkv(rng)
+        with pltpu.force_tpu_interpret_mode():
+            got = L._flash_self_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(mask), 64,
+            )
+        ref = self._xla_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask), 64,
+        )
+        real = np.broadcast_to(
+            mask.astype(bool)[:, :, None, None], ref.shape
+        )
+        d = np.abs(np.asarray(got) - np.asarray(ref))[real]
+        assert d.max() < 2e-5, d.max()
+
+    def test_interpret_grad_parity(self, rng):
+        """jax.grad flows through the kernel's custom VJP and matches the
+        XLA formulation's gradient at real positions (pad-query rows of
+        the cotangent are zeroed on both sides — their outputs are
+        defined to differ, see _flash_eligible)."""
+        import jax.experimental.pallas.tpu as pltpu
+
+        q, k, v, mask = self._qkv(rng)
+        w = (rng.normal(size=q.shape).astype(np.float32)
+             * mask[:, :, None, None])
+        w = jnp.asarray(w)
+
+        def loss_flash(q_, k_, v_):
+            out = L._flash_self_attention(q_, k_, v_, jnp.asarray(mask), 64)
+            return jnp.sum(out * w)
+
+        def loss_xla(q_, k_, v_):
+            out = self._xla_attention(q_, k_, v_, jnp.asarray(mask), 64)
+            return jnp.sum(out * w)
+
+        args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        with pltpu.force_tpu_interpret_mode():
+            gf = jax.grad(loss_flash, argnums=(0, 1, 2))(*args)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(*args)
+        for a, b, name in zip(gf, gx, "qkv"):
+            d = np.abs(np.asarray(a) - np.asarray(b))
+            # pad keys/values still receive ~0 grad via the NEG_INF
+            # softmax on the XLA side and exactly 0 via segment ids
+            assert d.max() < 5e-4, (name, d.max())
+
+    def test_eligibility_gate(self):
+        cfg = LxmertConfig(attention_impl="flash")
+        x = object()
+        other = object()
+        # cross-attention, non-128 seq, active dropout: all ineligible
+        assert not L._flash_eligible(x, other, 128, True, cfg)
+        assert not L._flash_eligible(x, x, 100, True, cfg)
+        # CPU backend (this suite): never eligible even when shapes fit
+        assert not L._flash_eligible(x, x, 128, True, cfg)
+
+    def test_cpu_fallback_bit_identical(self, rng):
+        """attention_impl='flash' must be a no-op where flash does not
+        apply: same params tree, bit-identical forward to 'xla'."""
+        cfg_x = TINY
+        cfg_f = LxmertConfig(
+            **{**TINY.__dict__, "attention_impl": "flash"}
+        )
+        ids, mask, feats, pos = _batch(rng)
+        m_x, m_f = Lxmert(cfg_x), Lxmert(cfg_f)
+        params = m_x.init(
+            jax.random.PRNGKey(0), ids, feats, pos, mask
+        )["params"]
+        out_x = m_x.apply({"params": params}, ids, feats, pos, mask)
+        out_f = m_f.apply({"params": params}, ids, feats, pos, mask)
+        for a, b in zip(out_x, out_f):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -87,6 +87,12 @@ class LxmertConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_aux_loss_weight: float = 0.01
+    # "flash" routes eligible self-attention through the fused Pallas
+    # flash-attention kernel (jax.experimental.pallas.ops.tpu) — O(S)
+    # HBM instead of materializing the (S, S) score matrix; the
+    # long-sequence serving/training lever. Transparent XLA fallback
+    # when not applicable (see MultiHeadAttention docstring).
+    attention_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -128,6 +134,60 @@ def _constrain(x: jnp.ndarray, cfg: LxmertConfig, spec: Tuple) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
+def _flash_eligible(x, ctx, s: int, deterministic: bool, cfg) -> bool:
+    """Whether the fused flash kernel applies to this attention call.
+
+    Falls back to the XLA formulation (transparently — so one config
+    runs on every backend/shape) unless ALL of:
+
+    * self-attention (``ctx is x``; cross-attention's KV side is the
+      36-region visual stream, far below the kernel's 128 block),
+    * sequence length is a multiple of the 128 Mosaic block,
+    * attention dropout is inactive (the kernel has none; train with
+      ``attention_dropout=0.0`` to keep flash in the backward too),
+    * running on TPU (Mosaic kernels don't lower elsewhere).
+
+    Note one deliberate semantic difference from the XLA path: padding
+    is enforced via segment ids, which *also* stops pad queries from
+    attending to real keys. Outputs at pad positions therefore differ —
+    they are don't-care downstream (pooling reads CLS, losses mask) but
+    comparisons must restrict to real positions.
+    """
+    import jax as _jax
+
+    return (
+        ctx is x
+        and s % 128 == 0
+        and (deterministic or cfg.attention_dropout == 0.0)
+        and _jax.default_backend() == "tpu"
+    )
+
+
+def _flash_self_attention(q, k, v, mask, dh: int):
+    """(n, s, nh, dh) q/k/v -> flash attention output, same layout.
+
+    Wraps ``jax.experimental.pallas.ops.tpu.flash_attention`` (public
+    JAX Pallas op, custom-VJP so jax.grad stays fused): online-softmax
+    blocks in VMEM, O(S) HBM traffic instead of the XLA path's
+    materialized (n, nh, S, S) score/prob tensors — at LayoutLM's
+    seq-1024 serving config that tensor is ~1.6 GB of round-trips per
+    layer (tools/probe_flash.py measures it; results in BASELINE.md).
+    """
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))  # (n, nh, s, dh)
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    seg = None
+    if mask is not None:
+        ids = mask.astype(jnp.int32)  # 1 = real, 0 = pad
+        seg = _fa.SegmentIds(q=ids, kv=ids)
+    out = _fa.flash_attention(
+        qt, kt, vt, segment_ids=seg, sm_scale=1.0 / float(dh) ** 0.5
+    )
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
 class MultiHeadAttention(nn.Module):
     """Post-LN residual attention block: ``ln(x + dropout(proj(attn)))``.
 
@@ -167,6 +227,22 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(n, s, nh, dh)
         k = k.reshape(n, ctx.shape[1], nh, dh)
         v = v.reshape(n, ctx.shape[1], nh, dh)
+        if (
+            getattr(cfg, "attention_impl", "xla") == "flash"
+            and not seq_shard
+            and _flash_eligible(x, ctx, s, deterministic, cfg)
+        ):
+            out4 = _flash_self_attention(q, k, v, ctx_mask, dh)
+            out = out4.reshape(n, s, h)
+            out = nn.Dense(
+                h, kernel_init=_dense_init(cfg), dtype=dt, name="att_out"
+            )(out)
+            out = nn.Dropout(cfg.hidden_dropout, name="out_drop")(
+                out, deterministic=deterministic
+            )
+            return nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln"
+            )(x + out)
         backend = getattr(cfg, "seq_attention_backend", "ulysses")
         if seq_shard and backend == "ring" and ctx is x:
             # Ring backend (parallel/ring.py): queries stay seq-sharded,
