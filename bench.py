@@ -537,6 +537,85 @@ def run_train_bench(args):
         )
         return
 
+    if which == "layoutlm":
+        # Seq-1024 document fine-tune (FUNSD-style token classification):
+        # the long-context training geometry where the flash kernel's
+        # O(S) HBM matters — the XLA path stores the (B, 12h, 1024, 1024)
+        # probs tensor per layer for the backward (~300 MB per image of
+        # batch across 12 layers). Attention dropout is 0 in BOTH attn
+        # modes here so xla-vs-flash is apples-to-apples (the fused
+        # kernel has no dropout; hidden/embedding dropout stay active).
+        from vltk_tpu.models.layoutlm import (
+            LayoutLMConfig,
+            LayoutLMForTokenClassification,
+            token_classification_loss,
+        )
+
+        cfg = LayoutLMConfig(
+            dtype="bfloat16", max_position_embeddings=1024,
+            attention_impl=args.attn, attention_dropout=0.0,
+            remat=args.remat,
+        )
+        model = LayoutLMForTokenClassification(cfg)
+        b, s = (args.batch if args.batch_explicit else 8), 1024
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+        xy0 = rng.integers(0, 900, (b, s, 2))
+        wh = rng.integers(1, 100, (b, s, 2))
+        bboxes = jnp.asarray(
+            np.concatenate([xy0, xy0 + wh], axis=-1), jnp.int32
+        )
+        mask_np = np.ones((b, s), np.float32)
+        mask_np[:, int(s * 0.8):] = 0.0  # 20% pad tail
+        mask = jnp.asarray(mask_np)
+        labels_np = rng.integers(0, cfg.num_labels, (b, s))
+        labels_np[mask_np == 0.0] = -100  # ignore pad positions
+        labels = jnp.asarray(labels_np, jnp.int32)
+        params = model.init(
+            jax.random.PRNGKey(0), np.asarray(ids[:1]),
+            np.asarray(bboxes[:1]), np.asarray(mask[:1]),
+        )["params"]
+        tx = optax.adamw(3e-5)
+        opt_state = tx.init(params)
+        key = jax.random.PRNGKey(1)
+
+        def loss_fn(p, step_rng, ids, bboxes, mask, labels):
+            logits = model.apply(
+                {"params": p}, ids, bboxes, mask,
+                deterministic=False, rngs={"dropout": step_rng},
+            )
+            return token_classification_loss(logits, labels)
+
+        @jax.jit
+        def run_k(carry, n):
+            def body(i, c):
+                p, o, (ids, bboxes, mask, labels), _ = c
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    p, jax.random.fold_in(key, i), ids, bboxes, mask, labels
+                )
+                updates, o = tx.update(grads, o, p)
+                return (
+                    optax.apply_updates(p, updates), o,
+                    (ids, bboxes, mask, labels), loss,
+                )
+
+            p, o, data, loss = jax.lax.fori_loop(
+                0, n, body, (*carry, jnp.asarray(0.0))
+            )
+            return (p, o, data), loss
+
+        dt, loss = _timed_fori_steps(
+            run_k, (params, opt_state, (ids, bboxes, mask, labels)), iters
+        )
+        assert np.isfinite(loss)
+        suffix = "_flash" if args.attn == "flash" else ""
+        emit_train(
+            "layoutlm_seq1024_train_step_bf16"
+            + ("_remat" if args.remat else "") + suffix,
+            dt, b,
+        )
+        return
+
     # FRCNN detection fine-tune step (R101-C4, parity canvas)
     from vltk_tpu.models import FRCNN, FRCNNConfig, fast_rcnn_losses, rpn_losses
 
@@ -942,12 +1021,13 @@ def main():
                     help="int8 MXU convs (dynamic PTQ preset; composes "
                          "with --fast; accuracy: --preset-drift)")
     ap.add_argument(
-        "--train", choices=("lxmert", "frcnn"), default=None,
+        "--train", choices=("lxmert", "frcnn", "layoutlm"), default=None,
         help="time a TPU training step instead of extraction",
     )
     ap.add_argument(
         "--remat", action="store_true",
-        help="with --train lxmert: jax.checkpoint every encoder layer",
+        help="with --train lxmert|layoutlm: jax.checkpoint every encoder "
+             "layer",
     )
     ap.add_argument(
         "--infer", choices=("lxmert", "vit", "layoutlm"), default=None,
