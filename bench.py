@@ -456,6 +456,20 @@ def _timed_fori_steps(run_k, init_carry, iters):
     return (tk - t1) / (iters - 1), float(loss)
 
 
+def _require_flash_geometry(args, seq_lens, mode):
+    """Refuse ``--attn flash`` when no self-attention in this bench can
+    pass the ``_flash_eligible`` gate (seq % 128 == 0): a "_flash"-labeled
+    row must measure the fused kernel, not the silent XLA fallback."""
+    if args.attn == "flash" and not any(s % 128 == 0 for s in seq_lens):
+        raise SystemExit(
+            f"--attn flash with {mode}: no self-attention geometry "
+            f"(seq lens {tuple(seq_lens)}) is a multiple of the fused "
+            "kernel's 128 block, so the flash path would never engage "
+            "and the emitted row would mislabel the XLA fallback. Use "
+            "--infer/--train layoutlm (seq 1024) or drop --attn flash."
+        )
+
+
 def run_train_bench(args):
     """TPU training-step timing (VERDICT r2 task 4): the LXMERT VQA
     fine-tune step and the FRCNN detection fine-tune step — the training
@@ -474,9 +488,12 @@ def run_train_bench(args):
         from vltk_tpu.models import LxmertConfig, LxmertForVQA
         from vltk_tpu.models import lxmert as L
 
+        _require_flash_geometry(args, (20,), "--train lxmert")
         cfg = LxmertConfig(dtype="bfloat16", remat=args.remat)  # base size
         model = LxmertForVQA(cfg)
-        b, s, v = args.batch, 20, 36  # VQA geometry: 20 tokens, 36 boxes
+        # VQA geometry: 20 tokens, 36 boxes; B=32 is the recorded
+        # BASELINE.md row, independent of the extraction default
+        b, s, v = (args.batch if args.batch_explicit else 32), 20, 36
         rng = np.random.default_rng(0)
         batch = {
             "input_ids": jnp.asarray(
@@ -697,6 +714,7 @@ def run_infer_bench(args):
     if which == "lxmert":
         from vltk_tpu.models import LxmertConfig, LxmertForVQA
 
+        _require_flash_geometry(args, (20,), "--infer lxmert")
         cfg = LxmertConfig(dtype="bfloat16", attention_impl=args.attn)
         model = LxmertForVQA(cfg)
         # serving geometry = the VQA fine-tune geometry; batch default
@@ -732,8 +750,8 @@ def run_infer_bench(args):
 
         dt, val = _timed_fori_steps(run_k, (params, batch), iters)
         assert np.isfinite(val)
-        suffix = "_flash" if args.attn == "flash" else ""
-        emit_train("lxmert_vqa_infer_step_bf16" + suffix, dt, b)
+        # no "_flash" suffix: _require_flash_geometry rejected that combo
+        emit_train("lxmert_vqa_infer_step_bf16", dt, b)
         return
 
     if which == "layoutlm":
@@ -786,6 +804,7 @@ def run_infer_bench(args):
     # ViT-base 224 classification-backbone forward
     from vltk_tpu.models.vit import ViT, ViTConfig
 
+    _require_flash_geometry(args, (197,), "--infer vit")  # 14*14 + CLS
     cfg = ViTConfig(dtype="bfloat16")
     model = ViT(cfg)
     b = args.batch if args.batch_explicit else 64
@@ -1018,8 +1037,10 @@ def main():
     ap.add_argument("--preset-drift", action="store_true")
     ap.add_argument("--injit", action="store_true")
     ap.add_argument("--int8", action="store_true",
-                    help="int8 MXU convs (dynamic PTQ preset; composes "
-                         "with --fast; accuracy: --preset-drift)")
+                    help="int8 MXU convs (calibrated static PTQ: 4 "
+                         "calibration images, then the fused static-scale "
+                         "path is what's timed; composes with --fast; "
+                         "accuracy: --preset-drift)")
     ap.add_argument(
         "--train", choices=("lxmert", "frcnn", "layoutlm"), default=None,
         help="time a TPU training step instead of extraction",
@@ -1035,10 +1056,12 @@ def main():
     )
     ap.add_argument(
         "--attn", choices=("xla", "flash"), default="xla",
-        help="attention impl for --infer/--train lxmert|layoutlm: 'flash' "
-             "routes eligible self-attention through the fused Pallas "
-             "kernel (O(S) HBM instead of the (S,S) score matrix; only "
-             "long-sequence geometries qualify — see BASELINE.md)",
+        help="attention impl for --infer/--train layoutlm (seq 1024): "
+             "'flash' routes self-attention through the fused Pallas "
+             "kernel (O(S) HBM instead of the (S,S) score matrix). "
+             "Geometries where the kernel can never engage (lxmert's "
+             "seq-20 VQA stream, vit) are refused rather than silently "
+             "timed on the XLA fallback — see BASELINE.md)",
     )
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 32 (extraction modes), mode-specific otherwise")
@@ -1047,7 +1070,8 @@ def main():
     args = ap.parse_args()
     args.batch_explicit = args.batch is not None
     if args.batch is None:
-        args.batch = 32  # extraction sweet spot (r3); train modes override
+        args.batch = 32  # extraction sweet spot (r3); non-extraction
+        # modes pick their own defaults via args.batch_explicit
 
     if args.smoke:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -271,6 +271,59 @@ def test_gpipe_matches_sequential():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_gpipe_data_sharded_stream():
+    """data_axis= shards the microbatch dim over the data axis (each
+    data slice runs its own pipeline), matching the replicated result
+    exactly — and the stream is physically sharded, not replicated."""
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("pipe", 4), ("data", 2))))
+    rng = np.random.default_rng(2)
+    layers, width, m, mb = 8, 8, 6, 4
+    stacked = _toy_stack(rng, layers, width)
+    x = jnp.asarray(rng.normal(size=(m, mb, width)), jnp.float32)
+
+    ref = x
+    for i in range(layers):
+        ref = _toy_layer({"w": stacked["w"][i], "b": stacked["b"][i]}, ref)
+
+    fn = jax.jit(
+        lambda p, xx: gpipe_spmd(
+            _toy_layer, p, xx, mesh=mesh, data_axis="data"
+        )
+    )
+    got = fn(stacked, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    # the output (like the stream) must be batch-sharded over data:
+    # each device addresses mb/dp = 2 of the 4 microbatch rows
+    shard_shapes = {s.data.shape for s in got.addressable_shards}
+    assert shard_shapes == {(m, mb // 2, width)}, shard_shapes
+
+    # grads flow through the data-sharded stream too
+    def pipe_loss(p):
+        return jnp.sum(
+            gpipe_spmd(_toy_layer, p, x, mesh=mesh, data_axis="data") ** 2
+        )
+
+    def seq_loss(p):
+        h = x
+        for i in range(layers):
+            h = _toy_layer({"w": p["w"][i], "b": p["b"][i]}, h)
+        return jnp.sum(h**2)
+
+    with mesh:
+        got_g = jax.grad(pipe_loss)(stacked)
+    ref_g = jax.grad(seq_loss)(stacked)
+    for k in ("w", "b"):
+        np.testing.assert_allclose(
+            np.asarray(got_g[k]), np.asarray(ref_g[k]), atol=1e-5
+        )
+
+    # validation: microbatch size not divisible by the data axis
+    bad = jnp.zeros((m, 3, width))
+    with pytest.raises(ValueError):
+        gpipe_spmd(_toy_layer, stacked, bad, mesh=mesh, data_axis="data")
+
+
 def test_gpipe_grad_matches_sequential():
     _need_devices(8)
     mesh = make_mesh(MeshConfig(axes=(("pipe", 4),)))

@@ -635,6 +635,52 @@ def test_ring_attention_matches_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_ring_dropout_masks_independent_across_shards():
+    """Attention-dropout draws must differ across data shards and model
+    shards, not just across ring (q-shard, kv-shard) pairs: the mask
+    tensor only spans the local (nl, nhl, ...) dims, so the key must be
+    folded with the data/model axis indices too (parallel/ring.py).
+    Identical inputs tiled across examples and heads expose any shared
+    mask as bit-identical outputs."""
+    from vltk_tpu.parallel import ring_self_attention
+
+    _need_devices(8)
+    mesh = make_mesh(MeshConfig(axes=(("data", 2), ("seq", 2), ("model", 2))))
+    rng = np.random.default_rng(1)
+    n, s, nh, dh = 4, 32, 4, 8
+    # one (s, dh) block tiled over every example and head: without
+    # dropout all (example, head) slices of the output are identical
+    base_q = rng.normal(size=(1, s, 1, dh)).astype(np.float32)
+    base_k = rng.normal(size=(1, s, 1, dh)).astype(np.float32)
+    base_v = rng.normal(size=(1, s, 1, dh)).astype(np.float32)
+    q = np.tile(base_q, (n, 1, nh, 1))
+    k = np.tile(base_k, (n, 1, nh, 1))
+    v = np.tile(base_v, (n, 1, nh, 1))
+    mask = np.ones((n, s), np.float32)
+    key = jax.random.PRNGKey(7)
+
+    def run():
+        with mesh:
+            return np.asarray(
+                jax.jit(
+                    lambda q, k, v, m: ring_self_attention(
+                        q, k, v, m, mesh=mesh,
+                        dropout_rate=0.5, dropout_rng=key,
+                    )
+                )(q, k, v, mask)
+            )
+
+    out = run()
+    # examples 0 and 2 live on different data shards; heads 0 and 2 on
+    # different model shards — each must see an independent draw
+    assert not np.array_equal(out[0], out[2]), (
+        "dropout masks duplicated across data shards")
+    assert not np.array_equal(out[0, :, 0], out[0, :, 2]), (
+        "dropout masks duplicated across model shards")
+    # but the draw stays reproducible for a fixed rng
+    np.testing.assert_array_equal(out, run())
+
+
 def test_ring_backend_lxmert_matches_replicated():
     """Lxmert with seq_attention_backend='ring' must match the replicated
     forward; lang activations stay physically seq-sharded and the lang

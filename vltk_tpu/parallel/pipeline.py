@@ -32,12 +32,24 @@ Design notes:
   ride along so per-example state (attention masks) stays paired with
   its microbatch.
 
-Cost note: the finished microbatch outputs accumulate on the last
-stage only and are returned replicated via a ``psum`` over ``pipe``
-(all other stages contribute zeros). That is one output-sized
-all-reduce per call — negligible next to the per-tick compute, and it
-keeps the primitive composable (callers see a replicated result
-regardless of stage count).
+Cost notes:
+
+* The finished microbatch outputs accumulate on the last stage only
+  and are returned replicated via a ``psum`` over ``pipe`` (all other
+  stages contribute zeros). That is one output-sized all-reduce per
+  call — negligible next to the per-tick compute, and it keeps the
+  primitive composable (callers see a replicated result regardless of
+  stage count).
+* The microbatch stream ``x`` (and the output accumulator) is
+  **replicated over the pipe axis** (``x_specs = P()``): every device
+  holds the full (M, mb, ...) stream, O(global batch) activation input
+  memory per device. What PP partitions here is the *layer stack* —
+  params, layer activations-in-flight, and the backward's saved
+  residuals scale as L/P — which is the HBM term that caps model size.
+  If the input stream itself is the bottleneck, pass ``data_axis=``:
+  the microbatch dim is then sharded over that axis (each data slice
+  runs an independent pipeline), cutting the stream's per-device
+  footprint to 1/dp.
 """
 
 from __future__ import annotations
@@ -77,6 +89,7 @@ def gpipe_spmd(
     *,
     mesh: Mesh,
     axis: str = "pipe",
+    data_axis: str | None = None,
 ):
     """Run ``layer_fn`` L times over ``x``'s microbatches, GPipe-style.
 
@@ -91,9 +104,15 @@ def gpipe_spmd(
       mesh: mesh containing ``axis``; other axes pass through untouched
         (compose DP/TP by sharding inside ``layer_fn``'s arrays as
         usual — this function only partitions layers and time).
+      data_axis: optional mesh axis to shard every leaf's microbatch
+        dim (dim 1) over — each data slice runs an independent pipeline
+        over the same layer shards, so the stream costs 1/dp per device
+        instead of being fully replicated. The microbatch size must
+        divide the axis size.
 
     Returns the processed microbatch pytree, same structure/shape as
-    ``x``, replicated over ``axis``.
+    ``x``, replicated over ``axis`` (and sharded over ``data_axis`` if
+    given).
     """
     if axis not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no {axis!r} axis")
@@ -109,7 +128,21 @@ def gpipe_spmd(
     m = jax.tree_util.tree_leaves(x)[0].shape[0]
 
     param_specs = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
-    x_specs = jax.tree_util.tree_map(lambda _: P(), x)
+    if data_axis is not None:
+        if data_axis not in mesh.axis_names:
+            raise ValueError(
+                f"mesh {mesh.axis_names} has no {data_axis!r} axis"
+            )
+        dp = mesh.shape[data_axis]
+        for leaf in jax.tree_util.tree_leaves(x):
+            if leaf.ndim < 2 or leaf.shape[1] % dp != 0:
+                raise ValueError(
+                    f"every x leaf needs a dim-1 microbatch size divisible "
+                    f"by {data_axis}={dp}; got shape {leaf.shape}"
+                )
+        x_specs = jax.tree_util.tree_map(lambda _: P(None, data_axis), x)
+    else:
+        x_specs = jax.tree_util.tree_map(lambda _: P(), x)
 
     def shard_fn(p_stage, xm):
         stage = jax.lax.axis_index(axis)

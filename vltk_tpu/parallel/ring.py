@@ -24,8 +24,9 @@ Numerics: the softmax is computed *online* (running row-max ``m``,
 normalizer ``l``, unnormalized accumulator ``o`` — the flash-attention
 recurrence) in f32 regardless of compute dtype, so the result matches
 dense attention up to reduction-order rounding. Attention dropout is
-supported blockwise (keyed by the global (q-shard, kv-shard) pair, so
-every logical score position gets an independent, reproducible draw);
+supported blockwise (keyed by the global (q-shard, kv-shard) pair plus
+the data/model shard indices, so every logical score position on every
+shard gets an independent, reproducible draw);
 it is *valid* dropout but not bit-identical to the dense path's single
 full-matrix draw — parity tests run deterministic.
 
@@ -101,6 +102,14 @@ def ring_self_attention(
     def shard_fn(qb, kb, vb, mb, key):
         # local blocks: qb (nl, sq, nhl, dh); kb/vb (nl, sk, nhl, dh)
         my = jax.lax.axis_index(seq_axis)
+        if dropout_rate > 0.0:
+            # distinct draws per data/model shard too: the mask tensor only
+            # spans the *local* (nl, nhl, ...) dims, so without this fold
+            # examples on different data shards (and head groups on
+            # different model shards) would share bit-identical masks
+            for ax in (da, ma):
+                if ax is not None:
+                    key = jax.random.fold_in(key, jax.lax.axis_index(ax))
         nl, sq, nhl, _ = qb.shape
         qb = qb.astype(compute_dtype)
         m0 = jnp.full((nl, nhl, sq), -jnp.inf, jnp.float32)
