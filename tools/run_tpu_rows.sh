@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Capture every pending TPU measurement in one pass (run when the axon
+# tunnel is up).  Appends one JSON line per row to tools/tpu_rows.jsonl;
+# transcribe the results into BASELINE.md tables afterwards.
+#
+# Pending as of round 3 (flash-attention + layoutlm benches landed while
+# the tunnel was down):
+#   - headline regression check (bf16 parity geometry, B=32 default)
+#   - layoutlm seq-1024 serving: xla vs flash
+#   - layoutlm seq-1024 fine-tune step: xla vs flash (+ remat variants)
+#   - per-layer flash kernel probe (tools/probe_flash.py)
+set -u
+cd "$(dirname "$0")/.."
+out=tools/tpu_rows.jsonl
+ts=$(date -Is)
+echo "# tpu session $ts" >> "$out"
+
+run() {
+  echo "== $*" >&2
+  timeout 1800 "$@" 2>/dev/null | grep -E '^\{' >> "$out" || \
+    echo "{\"failed\": \"$*\"}" >> "$out"
+}
+
+run python bench.py
+run python bench.py --infer layoutlm
+run python bench.py --infer layoutlm --attn flash
+run python bench.py --train layoutlm
+run python bench.py --train layoutlm --attn flash
+run python bench.py --train layoutlm --remat
+run python bench.py --train layoutlm --attn flash --remat
+echo "== probe_flash" >&2
+timeout 1800 python tools/probe_flash.py >> "$out" 2>&1 || true
+echo "done -> $out" >&2
