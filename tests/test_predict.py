@@ -1,0 +1,208 @@
+"""End-to-end VQA predictor tests (vltk_tpu/predict.py): the composed
+image+question -> answer path at tiny geometry, hermetic random init.
+The reference's closest artifact is the manual demo in
+tests/frcnn_test.py:11-31 (features only, bs=1, no composition)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+pytest.importorskip("jax")
+
+from vltk_tpu.models import FRCNNConfig, LxmertConfig
+
+TINY_FRCNN = FRCNNConfig(
+    depth=50,
+    stem_out_channels=8,
+    res2_out_channels=16,
+    width_per_group=4,
+    rpn_hidden_channels=16,
+    anchor_sizes=(16, 32),
+    aspect_ratios=(0.5, 1.0, 2.0),
+    pre_nms_topk=64,
+    post_nms_topk=16,
+    num_classes=7,
+    num_attrs=5,
+    pooler_resolution=7,
+    min_detections=4,
+    max_detections=4,
+)
+
+TINY_LXMERT = LxmertConfig(
+    vocab_size=64,
+    hidden_size=24,
+    num_heads=2,
+    intermediate_size=48,
+    l_layers=2,
+    x_layers=1,
+    r_layers=1,
+    visual_feat_dim=128,  # res2_out_channels * 8
+    max_position_embeddings=32,
+    num_answers=3,
+    num_objects=7,
+    num_attrs=5,
+)
+
+ANSWERS = ["yes", "no", "red", "2", "cat"]
+
+
+@pytest.fixture(scope="module")
+def tiny_vocab(tmp_path_factory):
+    path = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+              "what", "is", "the", "color", "cat", "on", "box", "##s"]
+    path.write_text("\n".join(tokens) + "\n")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def predictor(tiny_vocab):
+    from vltk_tpu.data.tokenizer import Tokenizer
+    from vltk_tpu.predict import VQAPredictor
+
+    tok = Tokenizer(
+        name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=12
+    )
+    return VQAPredictor(
+        ANSWERS,
+        frcnn_config=TINY_FRCNN,
+        lxmert_config=TINY_LXMERT,
+        tokenizer=tok,
+        batch_size=2,
+        raw_canvas=(64, 64),
+        resized_canvas=(64, 64),
+        short=32.0,
+        maximum=64.0,
+    )
+
+
+def _images(tmp_path):
+    rng = np.random.default_rng(0)
+    arr1 = rng.integers(0, 255, (48, 56, 3)).astype(np.uint8)
+    arr2 = rng.integers(0, 255, (40, 64, 3)).astype(np.uint8)
+    jpg = os.path.join(str(tmp_path), "img.jpg")
+    Image.fromarray(arr1).save(jpg)
+    return [arr1, jpg, arr2]
+
+
+class TestVQAPredictor:
+    def test_end_to_end_shapes_and_ranking(self, predictor, tmp_path):
+        # 3 pairs at batch_size=2 exercises the padded final chunk
+        images = _images(tmp_path)
+        questions = ["what is the color", "is the cat on the box", "what"]
+        results = predictor(images, questions, top_k=3)
+        assert len(results) == 3
+        for res in results:
+            assert res["answer"] in ANSWERS
+            assert res["answer"] == res["topk"][0][0]
+            scores = [s for _, s in res["topk"]]
+            assert scores == sorted(scores, reverse=True)
+            assert all(0.0 <= s <= 1.0 for s in scores)
+            assert res["boxes"].shape == (TINY_FRCNN.max_detections, 4)
+            assert res["objects"].shape == (TINY_FRCNN.max_detections,)
+            assert 0 <= res["num_boxes"] <= TINY_FRCNN.max_detections
+
+    def test_deterministic(self, predictor, tmp_path):
+        images = _images(tmp_path)[:1]
+        a = predictor(images, ["what is the color"])
+        b = predictor(images, ["what is the color"])
+        assert a[0]["answer"] == b[0]["answer"]
+        np.testing.assert_array_equal(a[0]["boxes"], b[0]["boxes"])
+        assert a[0]["topk"] == b[0]["topk"]
+
+    def test_length_mismatch_raises(self, predictor):
+        with pytest.raises(ValueError):
+            predictor([np.zeros((8, 8, 3), np.uint8)], ["q1", "q2"])
+
+    def test_empty_request(self, predictor):
+        assert predictor([], []) == []
+
+    def test_bad_image_shape_raises(self, predictor):
+        with pytest.raises(ValueError):
+            predictor([np.zeros((8, 8), np.uint8)], ["q"])
+
+    def test_vocab_overflow_raises(self, tiny_vocab):
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.predict import VQAPredictor
+
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=12
+        )
+        import dataclasses
+
+        small = dataclasses.replace(TINY_LXMERT, vocab_size=4)
+        with pytest.raises(ValueError, match="vocab"):
+            VQAPredictor(
+                ANSWERS,
+                frcnn_config=TINY_FRCNN,
+                lxmert_config=small,
+                tokenizer=tok,
+                raw_canvas=(64, 64),
+                resized_canvas=(64, 64),
+                short=32.0,
+                maximum=64.0,
+            )
+
+
+class TestAnswerLoading:
+    def test_json_list_and_map(self, tmp_path):
+        from vltk_tpu.predict import _load_answer_list
+
+        lst = tmp_path / "answers_list.json"
+        lst.write_text(json.dumps(["a", "b", "c"]))
+        assert _load_answer_list(str(lst)) == ["a", "b", "c"]
+        # {answer: id} map form (the experiment layer's labels.json shape)
+        mp = tmp_path / "answers_map.json"
+        mp.write_text(json.dumps({"b": 1, "a": 0, "c": 2}))
+        assert _load_answer_list(str(mp)) == ["a", "b", "c"]
+        assert _load_answer_list(("x", "y")) == ["x", "y"]
+
+
+class TestPredictCLI:
+    def test_usage_errors(self, capsys):
+        from vltk_tpu.cli import main
+
+        assert main(["predict"]) == 2
+        assert main(["predict", "img.jpg"]) == 2
+        # --frcnn without --lxmert
+        assert main(
+            ["predict", "img.jpg", "what", "--frcnn=x.pt"]
+        ) == 2
+        # checkpoints without an answer vocabulary
+        assert main(
+            ["predict", "img.jpg", "what", "--frcnn=x.pt", "--lxmert=y.pt"]
+        ) == 2
+
+    def test_happy_path_with_stub(self, monkeypatch, capsys, tmp_path):
+        """CLI glue only — the real pipeline is covered above; the full
+        default model is too big for a CPU unit test."""
+        import vltk_tpu.predict as P
+        from vltk_tpu.cli import main
+
+        class Stub:
+            def __init__(self, answers, **kw):
+                self.answers = list(answers)
+
+            def __call__(self, images, questions, top_k=5):
+                return [
+                    {
+                        "answer": "yes",
+                        "score": 0.9,
+                        "topk": [("yes", 0.9), ("no", 0.1)],
+                        "boxes": np.zeros((4, 4)),
+                        "objects": np.zeros((4,)),
+                        "object_probs": np.zeros((4,)),
+                        "num_boxes": 4,
+                    }
+                ]
+
+        monkeypatch.setattr(P, "VQAPredictor", Stub)
+        rc = main(["predict", str(tmp_path / "img.jpg"), "is", "it", "a", "cat"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["answer"] == "yes"
+        assert out["question"] == "is it a cat"
+        assert out["num_boxes"] == 4

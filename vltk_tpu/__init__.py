@@ -58,4 +58,8 @@ def __getattr__(name):
         from vltk_tpu.processing import Processors
 
         return Processors
+    if name == "VQAPredictor":
+        from vltk_tpu.predict import VQAPredictor
+
+        return VQAPredictor
     raise AttributeError(f"module 'vltk_tpu' has no attribute {name!r}")

@@ -7,6 +7,7 @@ Rebuilt on argparse (no third-party CLI dep):
   vltk data <dataset:split> [...] [--flags]       build loaders, print batch
   vltk extract <extractor> <dataset> [--flags]    run feature extraction
   vltk simple <experiment> [--flags]              run a registered experiment
+  vltk predict <image> <question...>              end-to-end VQA inference
   vltk config [--flags]                           print the resolved config
   vltk adapters | experiments                     list registries
 
@@ -16,6 +17,7 @@ overrides it (reference: utils/base.py:167-188 unflatten semantics).
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import traceback
@@ -98,6 +100,57 @@ def cmd_extract(positional: List[str], cfg: Config, flags_extra: Dict) -> int:
     return 0
 
 
+def cmd_predict(positional: List[str], flags: Dict[str, str]) -> int:
+    """``vltk predict <image> <question words...>`` — composed VQA
+    inference (vltk_tpu/predict.py). With ``--frcnn=`` + ``--lxmert=``
+    torch checkpoints and an ``--answers=`` vocabulary it answers for
+    real; without them it runs the full pipeline at random init (loudly
+    labeled) so the path is exercisable anywhere."""
+    if len(positional) < 2:
+        print(
+            "usage: vltk predict <image> <question...> "
+            "[--answers=labels.json --frcnn=ckpt.pt --lxmert=ckpt.pt "
+            "--top_k=5]",
+            file=sys.stderr,
+        )
+        return 2
+    image, question = positional[0], " ".join(positional[1:])
+    from vltk_tpu.predict import VQAPredictor
+
+    frcnn, lxmert = flags.get("frcnn"), flags.get("lxmert")
+    answers = flags.get("answers")
+    top_k = int(flags.get("top_k", "5"))
+    if (frcnn is None) != (lxmert is None):
+        print("--frcnn and --lxmert must be given together", file=sys.stderr)
+        return 2
+    if frcnn is not None:
+        if answers is None:
+            print("--answers is required with checkpoints", file=sys.stderr)
+            return 2
+        predictor = VQAPredictor.from_pretrained(
+            frcnn, lxmert, answers, batch_size=1
+        )
+    else:
+        answers = answers or ["yes", "no", "unknown"]
+        print(
+            "[predict] no checkpoints given: RANDOM-INIT weights — output "
+            "exercises the pipeline, not a trained model",
+            file=sys.stderr,
+        )
+        predictor = VQAPredictor(answers, batch_size=1)
+    (res,) = predictor([image], [question], top_k=top_k)
+    print(json.dumps(
+        {
+            "question": question,
+            "answer": res["answer"],
+            "score": round(res["score"], 4),
+            "topk": [(a, round(s, 4)) for a, s in res["topk"]],
+            "num_boxes": res["num_boxes"],
+        }
+    ))
+    return 0
+
+
 def cmd_simple(positional: List[str], cfg: Config) -> int:
     if not positional:
         print("usage: vltk simple <experiment> [--flags]", file=sys.stderr)
@@ -154,6 +207,8 @@ def main(argv: List[str] = None) -> int:
 
         print("\n".join(Experiments.avail()))
         return 0
+    if command == "predict":
+        return cmd_predict(positional, flags)
 
     # config-consuming commands: split known-config dot flags from extras
     known_top = {f.name for f in Config.__dataclass_fields__.values()}  # type: ignore[attr-defined]

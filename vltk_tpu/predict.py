@@ -1,0 +1,319 @@
+"""End-to-end VQA inference: raw images + questions -> ranked answers.
+
+The reference never shipped this composition — its demo path was manual:
+extract FRCNN features (reference: tests/frcnn_test.py:11-31, one image
+at a time through ``vltk/modeling/frcnn.py``), then hand-feed them to an
+out-of-repo LXMERT. :class:`VQAPredictor` is that user journey as one
+object, built from the framework's own pieces:
+
+* host decode/pad  — the extraction adapter's fixed-canvas collate
+  (adapters/frcnn.py:159, reference input convention
+  vltk/adapters/frcnn.py:13-23),
+* device preprocess + detector — one jitted program (fused
+  resize/normalize/pad -> R101-C4 -> RPN -> RoIPool -> res5),
+* question encoding — the first-party C++ WordPiece tokenizer
+  (native/wordpiece.cpp; SURVEY §2.10 N5),
+* answering — LxmertForVQA, sigmoid scores (the head is trained with
+  the BCE soft loss, models/lxmert.py:vqa_soft_loss).
+
+Everything runs at fixed shapes: images ride a static raw canvas,
+questions pad to ``max_seq_length``, and requests are chunked into
+``batch_size`` buckets so every call after the first reuses the same two
+compiled XLA programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from vltk_tpu import vars as V
+
+ImageLike = Union[str, np.ndarray]
+
+
+def _load_answer_list(answers: Union[str, Sequence[str]]) -> List[str]:
+    """Answer vocabulary: a list of strings, or a path to a json list /
+    {answer: id} map (the ``labels.json`` shape the reference's
+    experiment layer persisted, reference: vltk/abc/simple.py:496-529)."""
+    if isinstance(answers, str):
+        with open(answers) as f:
+            data = json.load(f)
+        if isinstance(data, dict):
+            pairs = sorted(data.items(), key=lambda kv: kv[1])
+            return [k for k, _ in pairs]
+        return list(data)
+    return list(answers)
+
+
+class VQAPredictor:
+    """images + questions -> ranked answer strings, fixed shapes end-to-end.
+
+    Args:
+      answers: the answer vocabulary the LXMERT head was fine-tuned over
+        (list of strings, or path to a json list / {answer: id} map).
+      frcnn_params / lxmert_params: flax param trees (e.g. from
+        ``torch_frcnn_to_jax`` / ``torch_lxmert_to_jax``). ``None`` means
+        random init — useful for smoke tests and shape validation only.
+      frcnn_config / lxmert_config: architecture overrides; the LXMERT
+        answer head is auto-sized to ``len(answers)``.
+      batch_size: static request bucket; inputs are padded up to it so
+        every call reuses one compiled program per model.
+      max_seq_length: static question token budget (VQA geometry: 20).
+      raw_canvas / resized_canvas / short / maximum: detector input
+        geometry; default to the extraction adapter's production values.
+    """
+
+    def __init__(
+        self,
+        answers: Union[str, Sequence[str]],
+        *,
+        frcnn_params=None,
+        lxmert_params=None,
+        frcnn_config=None,
+        lxmert_config=None,
+        batch_size: int = 8,
+        max_seq_length: int = 20,
+        tokenizer=None,
+        raw_canvas=None,
+        resized_canvas=None,
+        short: Optional[float] = None,
+        maximum: Optional[float] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from vltk_tpu.adapters.frcnn import FRCNN as FRCNNAdapter
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.models import (
+            FRCNN,
+            FRCNNConfig,
+            LxmertConfig,
+            LxmertForVQA,
+        )
+        from vltk_tpu.ops.image_ops import preprocess_batch
+
+        self.answers = _load_answer_list(answers)
+        self.batch_size = int(batch_size)
+        self._adapter = FRCNNAdapter
+        self.raw_canvas = tuple(raw_canvas or FRCNNAdapter.raw_canvas)
+        self._resized_canvas = tuple(resized_canvas or FRCNNAdapter.resized_canvas)
+        self._short = float(short if short is not None else FRCNNAdapter.short)
+        self._maximum = float(
+            maximum if maximum is not None else FRCNNAdapter.maximum
+        )
+
+        fcfg = frcnn_config or FRCNNConfig(dtype="bfloat16")
+        lcfg = lxmert_config or LxmertConfig(dtype="bfloat16")
+        if lcfg.num_answers != len(self.answers):
+            lcfg = dataclasses.replace(lcfg, num_answers=len(self.answers))
+        if lcfg.visual_feat_dim != fcfg.res2_out_channels * 8:
+            lcfg = dataclasses.replace(
+                lcfg, visual_feat_dim=fcfg.res2_out_channels * 8
+            )
+        self.frcnn_config, self.lxmert_config = fcfg, lcfg
+        self.frcnn = FRCNN(fcfg)
+        self.lxmert = LxmertForVQA(lcfg)
+        self.tokenizer = tokenizer or Tokenizer(
+            name="NativeWordPiece", max_seq_length=max_seq_length
+        )
+        if self.tokenizer.vocab_size > lcfg.vocab_size:
+            # ids past the embedding table NaN-fill via nn.Embed's
+            # jnp.take — fail loudly at build time instead
+            raise ValueError(
+                f"tokenizer vocab ({self.tokenizer.vocab_size}) exceeds "
+                f"LxmertConfig.vocab_size ({lcfg.vocab_size})"
+            )
+
+        ch, cw = self._resized_canvas
+        if frcnn_params is None:
+            frcnn_params = self.frcnn.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, ch, cw, 3), jnp.float32),
+                jnp.asarray([[float(ch), float(cw)]]),
+            )["params"]
+        if lxmert_params is None:
+            lxmert_params = self.lxmert.init(
+                jax.random.PRNGKey(1),
+                np.zeros((1, max_seq_length), np.int32),
+                np.zeros((1, fcfg.max_detections, lcfg.visual_feat_dim), np.float32),
+                np.zeros((1, fcfg.max_detections, 4), np.float32),
+            )["params"]
+        self.frcnn_params = frcnn_params
+        self.lxmert_params = lxmert_params
+
+        frcnn_model, lxmert_model = self.frcnn, self.lxmert
+        canvas, s_, m_ = self._resized_canvas, self._short, self._maximum
+
+        @jax.jit
+        def extract_step(params, raw_images, raw_sizes):
+            pre = preprocess_batch(
+                raw_images, raw_sizes, canvas_hw=canvas, short=s_, maximum=m_
+            )
+            out = frcnn_model.apply(
+                {"params": params},
+                pre["img"],
+                pre["sizes"],
+                scales_yx=pre["scales_yx"],
+            )
+            return {
+                "roi_features": out["roi_features"].astype(jnp.float32),
+                "boxes": out["boxes"].astype(jnp.float32),
+                "mask": out["mask"].astype(jnp.float32),
+                "obj_ids": out["obj_ids"],
+                "obj_probs": out["obj_probs"].astype(jnp.float32),
+            }
+
+        @jax.jit
+        def answer_step(params, ids, feats, boxes, tmask, vmask):
+            logits = lxmert_model.apply(
+                {"params": params}, ids, feats, boxes, tmask, vmask,
+                deterministic=True,
+            )
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        self._extract_step = extract_step
+        self._answer_step = answer_step
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(
+        cls,
+        frcnn_checkpoint: str,
+        lxmert_checkpoint: str,
+        answers: Union[str, Sequence[str]],
+        **kwargs,
+    ) -> "VQAPredictor":
+        """Build from torch checkpoint files via the repo's converters
+        (models/convert.py; reference resolution: frcnn.py:1757-1922)."""
+        import torch
+
+        from vltk_tpu.models import torch_frcnn_to_jax
+        from vltk_tpu.models.convert import torch_lxmert_to_jax
+
+        fsd = torch.load(frcnn_checkpoint, map_location="cpu")
+        fsd = fsd.get("model", fsd) if isinstance(fsd, dict) else fsd
+        lsd = torch.load(lxmert_checkpoint, map_location="cpu")
+        lsd = lsd.get("model", lsd) if isinstance(lsd, dict) else lsd
+        return cls(
+            answers,
+            frcnn_params=torch_frcnn_to_jax(fsd),
+            lxmert_params=torch_lxmert_to_jax(lsd),
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------------
+    # host side
+    # ------------------------------------------------------------------
+    def _entries(self, images: Sequence[ImageLike]) -> List[Dict[str, Any]]:
+        from PIL import Image
+
+        entries = []
+        for i, img in enumerate(images):
+            if isinstance(img, str):
+                arr = np.asarray(Image.open(img).convert("RGB"))
+            else:
+                arr = np.asarray(img)
+                if arr.ndim != 3 or arr.shape[-1] != 3:
+                    raise ValueError(
+                        f"image {i}: expected (H, W, 3) RGB, got {arr.shape}"
+                    )
+            entries.append({V.img: arr, V.imgid: str(i)})
+        return entries
+
+    def _pad_chunk(self, arr: np.ndarray) -> np.ndarray:
+        n = arr.shape[0]
+        if n == self.batch_size:
+            return arr
+        pad = np.zeros((self.batch_size - n, *arr.shape[1:]), arr.dtype)
+        return np.concatenate([arr, pad], axis=0)
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        images: Sequence[ImageLike],
+        questions: Sequence[str],
+        top_k: int = 5,
+    ) -> List[Dict[str, Any]]:
+        """Returns one dict per (image, question) pair:
+
+        ``answer`` (top-1 string), ``score`` (its sigmoid score),
+        ``topk`` ([(answer, score)] ranked), ``boxes`` ((D, 4) raw-pixel
+        xyxy), ``objects`` ((D,) VG class ids), ``object_probs``,
+        ``num_boxes``.
+        """
+        if len(images) != len(questions):
+            raise ValueError(
+                f"{len(images)} images vs {len(questions)} questions"
+            )
+        n = len(images)
+        if n == 0:
+            return []
+        top_k = max(1, min(int(top_k), len(self.answers)))
+
+        # host: decode + pad to the static raw canvas (adapter collate)
+        collated = self._adapter.collate(self._entries(images))
+        raw_images = collated[V.img]
+        raw_sizes = collated[V.rawsize].astype(np.float32)
+
+        # host: tokenize questions at the fixed token budget
+        enc = self.tokenizer.encode_batch([str(q) for q in questions])
+        ids = np.stack([e[V.input_ids] for e in enc]).astype(np.int32)
+        tmask = np.stack(
+            [e[V.text_attention_mask] for e in enc]
+        ).astype(np.float32)
+
+        results: List[Dict[str, Any]] = []
+        for lo in range(0, n, self.batch_size):
+            hi = min(lo + self.batch_size, n)
+            out = self._extract_step(
+                self.frcnn_params,
+                self._pad_chunk(raw_images[lo:hi]),
+                self._pad_chunk(raw_sizes[lo:hi]),
+            )
+            feats = np.asarray(out["roi_features"])
+            boxes = np.asarray(out["boxes"])
+            vmask = np.asarray(out["mask"])
+            obj_ids = np.asarray(out["obj_ids"])
+            obj_probs = np.asarray(out["obj_probs"])
+
+            # normalize boxes to [0, 1] by the raw image extent (the
+            # LXMERT position-feature convention; invalid slots zeroed)
+            sizes = self._pad_chunk(raw_sizes[lo:hi])
+            wh = np.maximum(sizes[:, [1, 0, 1, 0]], 1.0)  # (B, 4) w h w h
+            norm_boxes = np.clip(boxes / wh[:, None, :], 0.0, 1.0)
+            norm_boxes *= vmask[..., None]
+
+            scores = np.asarray(
+                self._answer_step(
+                    self.lxmert_params,
+                    self._pad_chunk(ids[lo:hi]),
+                    feats,
+                    norm_boxes.astype(np.float32),
+                    self._pad_chunk(tmask[lo:hi]),
+                    vmask,
+                )
+            )
+            for j in range(hi - lo):
+                order = np.argsort(-scores[j])[:top_k]
+                ranked = [(self.answers[a], float(scores[j, a])) for a in order]
+                results.append(
+                    {
+                        "answer": ranked[0][0],
+                        "score": ranked[0][1],
+                        "topk": ranked,
+                        "boxes": boxes[j],
+                        "objects": obj_ids[j],
+                        "object_probs": obj_probs[j],
+                        "num_boxes": int(vmask[j].sum()),
+                    }
+                )
+        return results
