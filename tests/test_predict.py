@@ -206,3 +206,154 @@ class TestPredictCLI:
         assert out["answer"] == "yes"
         assert out["question"] == "is it a cat"
         assert out["num_boxes"] == 4
+
+
+# ---------------------------------------------------------------------------
+# DocTokenClassifier (LayoutLM per-word labeling)
+# ---------------------------------------------------------------------------
+
+DOC_LABELS = ["other", "question", "answer", "header"]
+
+
+@pytest.fixture(scope="module")
+def doc_classifier(tiny_vocab):
+    from vltk_tpu.data.tokenizer import Tokenizer
+    from vltk_tpu.models.layoutlm import LayoutLMConfig
+    from vltk_tpu.predict import DocTokenClassifier
+
+    cfg = LayoutLMConfig(
+        vocab_size=64,
+        hidden_size=24,
+        num_heads=2,
+        intermediate_size=48,
+        l_layers=2,
+        max_position_embeddings=16,
+        coord_vocab=1024,
+    )
+    tok = Tokenizer(
+        name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=16
+    )
+    return DocTokenClassifier(
+        DOC_LABELS, config=cfg, tokenizer=tok, batch_size=2, max_seq_length=16
+    )
+
+
+class TestDocTokenClassifier:
+    def test_per_word_labels(self, doc_classifier):
+        docs = [
+            {
+                "words": ["what", "is", "cats"],  # "cats" -> 2 sub-tokens
+                "boxes": [[10, 10, 50, 20], [60, 10, 80, 20], [10, 30, 90, 40]],
+                "size": (200, 300),
+            },
+            {
+                # 20 one-piece words vs a 15-sub-token budget -> truncation
+                "words": ["box"] * 20,
+                "boxes": [[i, i, i + 5, i + 5] for i in range(20)],
+            },
+        ]
+        out = doc_classifier(docs)
+        assert len(out) == 2
+        assert [r["word"] for r in out[0]] == ["what", "is", "cats"]
+        for r in out[0]:
+            assert r["label"] in DOC_LABELS
+            assert 0.0 <= r["score"] <= 1.0
+        assert len(out[1]) == 15  # max_seq_length-1 budget, 1 piece/word
+
+    def test_deterministic_and_empty(self, doc_classifier):
+        doc = {"words": ["what"], "boxes": [[0, 0, 10, 10]]}
+        a = doc_classifier([doc])
+        b = doc_classifier([doc])
+        assert a == b
+        assert doc_classifier([]) == []
+
+    def test_word_box_mismatch_raises(self, doc_classifier):
+        with pytest.raises(ValueError):
+            doc_classifier([{"words": ["a", "b"], "boxes": [[0, 0, 1, 1]]}])
+
+    def test_position_budget_guard(self, tiny_vocab):
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.models.layoutlm import LayoutLMConfig
+        from vltk_tpu.predict import DocTokenClassifier
+
+        cfg = LayoutLMConfig(vocab_size=64, max_position_embeddings=8)
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=16
+        )
+        with pytest.raises(ValueError, match="position"):
+            DocTokenClassifier(
+                DOC_LABELS, config=cfg, tokenizer=tok, max_seq_length=16
+            )
+
+    def test_from_pretrained_head_and_encoder(self, tiny_vocab, tmp_path):
+        """A torch ForTokenClassification checkpoint loads end-to-end:
+        encoder through torch_layoutlm_to_jax, classifier head mapped,
+        and the jitted step matches the torch forward numerically."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.models.layoutlm import LayoutLMConfig
+        from vltk_tpu.predict import DocTokenClassifier
+
+        hf_cfg = transformers.LayoutLMConfig(
+            vocab_size=99,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=64,
+            max_position_embeddings=64,
+            max_2d_position_embeddings=128,
+            type_vocab_size=2,
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+            num_labels=len(DOC_LABELS),
+        )
+        torch.manual_seed(0)
+        tmodel = transformers.LayoutLMForTokenClassification(hf_cfg)
+        tmodel.eval()
+        ckpt = str(tmp_path / "layoutlm.pt")
+        torch.save(tmodel.state_dict(), ckpt)
+
+        jcfg = LayoutLMConfig(
+            vocab_size=99,
+            hidden_size=32,
+            num_heads=4,
+            intermediate_size=64,
+            l_layers=2,
+            max_position_embeddings=64,
+            coord_vocab=128,
+            type_vocab_size=2,
+            hidden_dropout=0.0,
+            attention_dropout=0.0,
+        )
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=16
+        )
+        clf = DocTokenClassifier.from_pretrained(
+            ckpt, DOC_LABELS, config=jcfg, tokenizer=tok,
+            batch_size=1, max_seq_length=16,
+        )
+        # head actually mapped (not random)
+        np.testing.assert_allclose(
+            np.asarray(clf.params["classifier"]["bias"]),
+            tmodel.classifier.bias.detach().numpy(),
+        )
+
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 99, (1, 16)).astype(np.int32)
+        boxes = np.sort(
+            rng.integers(0, 120, (1, 16, 2, 2)), axis=2
+        ).reshape(1, 16, 4).astype(np.int32)
+        mask = np.ones((1, 16), np.float32)
+        got = np.asarray(clf._step(clf.params, ids, boxes, mask))
+        with torch.no_grad():
+            ref = torch.softmax(
+                tmodel(
+                    input_ids=torch.tensor(ids, dtype=torch.long),
+                    bbox=torch.tensor(boxes, dtype=torch.long),
+                    attention_mask=torch.tensor(mask),
+                ).logits,
+                dim=-1,
+            ).numpy()
+        np.testing.assert_allclose(got, ref, atol=2e-5)

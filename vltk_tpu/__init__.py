@@ -62,4 +62,8 @@ def __getattr__(name):
         from vltk_tpu.predict import VQAPredictor
 
         return VQAPredictor
+    if name == "DocTokenClassifier":
+        from vltk_tpu.predict import DocTokenClassifier
+
+        return DocTokenClassifier
     raise AttributeError(f"module 'vltk_tpu' has no attribute {name!r}")

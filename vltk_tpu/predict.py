@@ -1,4 +1,4 @@
-"""End-to-end VQA inference: raw images + questions -> ranked answers.
+"""End-to-end inference compositions: VQA and OCR-document labeling.
 
 The reference never shipped this composition — its demo path was manual:
 extract FRCNN features (reference: tests/frcnn_test.py:11-31, one image
@@ -16,10 +16,17 @@ object, built from the framework's own pieces:
 * answering — LxmertForVQA, sigmoid scores (the head is trained with
   the BCE soft loss, models/lxmert.py:vqa_soft_loss).
 
+:class:`DocTokenClassifier` is the document-modality counterpart: OCR
+words + boxes -> per-word labels through the OCR processing chain
+(processing/visn.py AuxTokenize/OCRBoxFixed, reference:
+vltk/processing/visn.py:59-195) and LayoutLMForTokenClassification —
+the FUNSD form-understanding path the reference prepared data for but
+never shipped a model or predict step for.
+
 Everything runs at fixed shapes: images ride a static raw canvas,
-questions pad to ``max_seq_length``, and requests are chunked into
-``batch_size`` buckets so every call after the first reuses the same two
-compiled XLA programs.
+questions/documents pad to ``max_seq_length``, and requests are chunked
+into ``batch_size`` buckets so every call after the first reuses the
+same compiled XLA programs.
 """
 
 from __future__ import annotations
@@ -316,4 +323,189 @@ class VQAPredictor:
                         "num_boxes": int(vmask[j].sum()),
                     }
                 )
+        return results
+
+
+class DocTokenClassifier:
+    """OCR documents (words + boxes) -> per-word labels via LayoutLM.
+
+    The FUNSD/form-understanding predict path: the reference built the
+    data side (OCR token/box/label processors, FUNSD adapter) but shipped
+    no model or inference step. Host prep reuses the framework's own OCR
+    chain — ``AuxTokenize`` (word -> sub-token ids + tokenmap) and
+    ``OCRBoxFixed`` (0-1000 normalized sub-token boxes) — so predict-time
+    inputs are bit-identical to training-time loader entries.
+
+    Args:
+      labels: label vocabulary (list of strings, or a json list /
+        {label: id} map path).
+      params: flax param tree for LayoutLMForTokenClassification; ``None``
+        = random init (smoke/shape tests).
+      config: LayoutLMConfig override; ``num_labels`` is auto-sized and
+        ``max_position_embeddings`` must cover ``max_seq_length``.
+      batch_size / max_seq_length: static request bucket and sub-token
+        budget (documents are truncated, the adapter convention).
+    """
+
+    def __init__(
+        self,
+        labels,
+        *,
+        params=None,
+        config=None,
+        batch_size: int = 4,
+        max_seq_length: int = 512,
+        tokenizer=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.models.layoutlm import (
+            LayoutLMConfig,
+            LayoutLMForTokenClassification,
+        )
+        from vltk_tpu.processing.visn import AuxTokenize, OCRBoxFixed
+
+        self.labels = _load_answer_list(labels)
+        self.batch_size = int(batch_size)
+        self.max_seq_length = int(max_seq_length)
+
+        cfg = config or LayoutLMConfig(dtype="bfloat16")
+        if cfg.num_labels != len(self.labels):
+            cfg = dataclasses.replace(cfg, num_labels=len(self.labels))
+        if cfg.max_position_embeddings < self.max_seq_length:
+            raise ValueError(
+                f"max_seq_length {self.max_seq_length} exceeds the position "
+                f"table ({cfg.max_position_embeddings}); raise "
+                "max_position_embeddings or lower max_seq_length"
+            )
+        self.config = cfg
+        self.model = LayoutLMForTokenClassification(cfg)
+        self.tokenizer = tokenizer or Tokenizer(
+            name="NativeWordPiece", max_seq_length=self.max_seq_length
+        )
+        if self.tokenizer.vocab_size > cfg.vocab_size:
+            raise ValueError(
+                f"tokenizer vocab ({self.tokenizer.vocab_size}) exceeds "
+                f"LayoutLMConfig.vocab_size ({cfg.vocab_size})"
+            )
+        self._aux = AuxTokenize(
+            tokenizer=self.tokenizer, max_visual_seq_length=self.max_seq_length
+        )
+        self._boxfix = OCRBoxFixed(max_visual_seq_length=self.max_seq_length)
+
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, self.max_seq_length), np.int32),
+                np.zeros((1, self.max_seq_length, 4), np.int32),
+            )["params"]
+        self.params = params
+
+        model = self.model
+
+        @jax.jit
+        def step(p, ids, boxes, mask):
+            logits = model.apply(
+                {"params": p}, ids, boxes, mask, deterministic=True
+            )
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._step = step
+
+    @classmethod
+    def from_pretrained(cls, checkpoint: str, labels, **kwargs):
+        """torch LayoutLM(-ForTokenClassification) checkpoint -> predictor.
+        Encoder converts via ``torch_layoutlm_to_jax``; a ``classifier.*``
+        head in the state_dict is mapped too, else the head stays random
+        (and the caller should fine-tune before trusting outputs)."""
+        import torch
+
+        from vltk_tpu.models.convert import torch_layoutlm_to_jax
+
+        sd = torch.load(checkpoint, map_location="cpu")
+        sd = sd.get("model", sd) if isinstance(sd, dict) else sd
+        self = cls(labels, **kwargs)
+        params = dict(self.params)
+        params["layoutlm"] = torch_layoutlm_to_jax(sd)
+        if "classifier.weight" in sd:
+            params["classifier"] = {
+                "kernel": np.asarray(sd["classifier.weight"]).T,
+                "bias": np.asarray(sd["classifier.bias"]),
+            }
+        self.params = params
+        return self
+
+    # ------------------------------------------------------------------
+    def _prep(self, doc: Dict[str, Any]) -> Dict[str, Any]:
+        words = [str(w) for w in doc["words"]]
+        boxes = [list(map(float, b)) for b in doc["boxes"]]
+        if len(words) != len(boxes):
+            raise ValueError(
+                f"{len(words)} words vs {len(boxes)} boxes in document"
+            )
+        entry: Dict[str, Any] = {V.text: words, V.tokenbox: boxes}
+        if doc.get("size") is not None:
+            entry[V.rawsize] = tuple(doc["size"])
+        entry = self._aux(entry)
+        entry = self._boxfix(entry)
+        return entry
+
+    def __call__(
+        self, documents: Sequence[Dict[str, Any]]
+    ) -> List[List[Dict[str, Any]]]:
+        """Each document: ``{"words": [...], "boxes": [[x0,y0,x1,y1]...],
+        "size": (h, w)}`` (boxes in raw page pixels; ``size`` defaults to
+        a 1000x1000 page). Returns, per document, one dict per word that
+        fit the token budget: ``{"word", "label", "score"}`` — the label
+        read at the word's first sub-token (the standard WordPiece
+        token-classification convention)."""
+        if not documents:
+            return []
+        entries = [self._prep(doc) for doc in documents]
+        ids = np.stack([e[V.text] for e in entries]).astype(np.int32)
+        boxes = np.stack([e[V.tokenbox] for e in entries]).astype(np.int32)
+        mask = np.stack(
+            [e[V.visual_attention_mask] for e in entries]
+        ).astype(np.float32)
+
+        def pad(a):
+            n = a.shape[0]
+            if n == self.batch_size:
+                return a
+            return np.concatenate(
+                [a, np.zeros((self.batch_size - n, *a.shape[1:]), a.dtype)]
+            )
+
+        results: List[List[Dict[str, Any]]] = []
+        n = len(documents)
+        for lo in range(0, n, self.batch_size):
+            hi = min(lo + self.batch_size, n)
+            probs = np.asarray(
+                self._step(
+                    self.params, pad(ids[lo:hi]), pad(boxes[lo:hi]),
+                    pad(mask[lo:hi]),
+                )
+            )
+            for j in range(hi - lo):
+                tokenmap = np.asarray(entries[lo + j][V.tokenmap])
+                counts = tokenmap[tokenmap > 0]
+                starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                words = [str(w) for w in documents[lo + j]["words"]]
+                per_word = []
+                budget = self.max_seq_length - 1  # last slot is [SEP]
+                for w, (word, start) in enumerate(zip(words, starts)):
+                    if start >= budget:
+                        break  # truncated past the token budget
+                    p = probs[j, int(start)]
+                    lab = int(np.argmax(p))
+                    per_word.append(
+                        {
+                            "word": word,
+                            "label": self.labels[lab],
+                            "score": float(p[lab]),
+                        }
+                    )
+                results.append(per_word)
         return results
