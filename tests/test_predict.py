@@ -357,3 +357,148 @@ class TestDocTokenClassifier:
                 dim=-1,
             ).numpy()
         np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# DocSpanQA (DocVQA extractive span QA)
+# ---------------------------------------------------------------------------
+
+
+class TestSpanDecodeHelpers:
+    def test_best_span_rigged(self):
+        from vltk_tpu.predict import _best_span
+
+        start = np.full(10, -5.0)
+        end = np.full(10, -5.0)
+        start[4], end[6] = 3.0, 2.0
+        s, e, score = _best_span(start, end, lo=2, hi=10, max_span=8)
+        assert (s, e) == (4, 6)
+        assert score == pytest.approx(5.0)
+        # end before start can't win even if its sum is higher
+        start[:] = -5.0
+        end[:] = -5.0
+        start[7], end[3] = 10.0, 10.0
+        s, e, _ = _best_span(start, end, lo=2, hi=10, max_span=8)
+        assert s <= e
+        # max_span caps the pair distance
+        start[:] = -5.0
+        end[:] = -5.0
+        start[2], end[9] = 4.0, 4.0
+        s, e, _ = _best_span(start, end, lo=2, hi=10, max_span=3)
+        assert e - s < 3
+
+    def test_subtoken_word_index(self):
+        from vltk_tpu.predict import _subtoken_word_index
+
+        tokenmap = np.asarray([1, 3, 2, -100, -100], np.int32)
+        got = _subtoken_word_index(tokenmap, budget=8)
+        np.testing.assert_array_equal(
+            got, [0, 1, 1, 1, 2, 2, -1, -1]
+        )
+        # budget truncation mid-word
+        got = _subtoken_word_index(tokenmap, budget=3)
+        np.testing.assert_array_equal(got, [0, 1, 1])
+
+
+@pytest.fixture(scope="module")
+def span_qa(tiny_vocab):
+    from vltk_tpu.data.tokenizer import Tokenizer
+    from vltk_tpu.models.layoutlm import LayoutLMConfig
+    from vltk_tpu.predict import DocSpanQA
+
+    cfg = LayoutLMConfig(
+        vocab_size=64,
+        hidden_size=24,
+        num_heads=2,
+        intermediate_size=48,
+        l_layers=2,
+        max_position_embeddings=32,
+        coord_vocab=1024,
+    )
+    tok = Tokenizer(
+        name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=8
+    )
+    return DocSpanQA(
+        config=cfg, tokenizer=tok, batch_size=2,
+        question_len=8, doc_len=16, max_span=6,
+    )
+
+
+class TestDocSpanQA:
+    DOCS = [
+        {
+            "words": ["the", "cat", "is", "on", "the", "box"],
+            "boxes": [[i * 10, 5, i * 10 + 8, 15] for i in range(6)],
+            "size": (100, 200),
+        },
+        {
+            "words": ["cats", "on", "boxes"],  # multi-sub-token words
+            "boxes": [[0, 0, 20, 10], [25, 0, 40, 10], [45, 0, 70, 10]],
+        },
+        {"words": ["what"], "boxes": [[0, 0, 10, 10]]},
+    ]
+
+    def test_span_extraction_structure(self, span_qa):
+        questions = ["what is on the box", "what is on", "what"]
+        out = span_qa(self.DOCS, questions)  # 3 pairs, batch 2: padded chunk
+        assert len(out) == 3
+        for res, doc in zip(out, self.DOCS):
+            words = doc["words"]
+            assert 0 <= res["start_word"] <= res["end_word"] < len(words)
+            assert res["answer"] == " ".join(
+                words[res["start_word"]:res["end_word"] + 1]
+            )
+            assert np.isfinite(res["score"])
+
+    def test_deterministic(self, span_qa):
+        a = span_qa(self.DOCS[:1], ["what is the cat on"])
+        b = span_qa(self.DOCS[:1], ["what is the cat on"])
+        assert a == b
+
+    def test_mismatch_and_empty(self, span_qa):
+        with pytest.raises(ValueError):
+            span_qa(self.DOCS[:2], ["only one"])
+        assert span_qa([], []) == []
+
+    def test_rigged_head_finds_the_span(self, tiny_vocab):
+        """With a QA head rigged to fire on specific sub-token positions,
+        the decode must return exactly the corresponding words — pinning
+        the q_len offset and tokenmap word-mapping arithmetic."""
+        import jax
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.models.layoutlm import LayoutLMConfig
+        from vltk_tpu.predict import DocSpanQA
+
+        cfg = LayoutLMConfig(
+            vocab_size=64, hidden_size=24, num_heads=2, intermediate_size=48,
+            l_layers=2, max_position_embeddings=32, coord_vocab=1024,
+        )
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=8
+        )
+        qa = DocSpanQA(
+            config=cfg, tokenizer=tok, batch_size=1,
+            question_len=8, doc_len=16, max_span=6,
+        )
+        doc = self.DOCS[1]  # ["cats", "on", "boxes"]
+        # target words 1..2 ("on boxes"): compute their sub-token range
+        # from the tokenizer (e.g. "cats" -> ["cat", "##s"])
+        counts = [len(p) or 1 for p in tok.encode_words(doc["words"])]
+        sub_s = sum(counts[:1])            # first sub-token of word 1
+        sub_e = sum(counts[:3]) - 1        # last sub-token of word 2
+        target_s, target_e = qa.q_len + sub_s, qa.q_len + sub_e
+
+        orig_step = qa._step
+
+        def rigged(p, ids, boxes, mask):
+            s_lp, e_lp = orig_step(p, ids, boxes, mask)
+            s = np.full(np.asarray(s_lp).shape, -100.0, np.float32)
+            e = np.full(np.asarray(e_lp).shape, -100.0, np.float32)
+            s[:, target_s] = 0.0
+            e[:, target_e] = 0.0
+            return s, e
+
+        qa._step = rigged
+        (res,) = qa([doc], ["what is on"])
+        assert (res["start_word"], res["end_word"]) == (1, 2)
+        assert res["answer"] == "on boxes"

@@ -66,4 +66,8 @@ def __getattr__(name):
         from vltk_tpu.predict import DocTokenClassifier
 
         return DocTokenClassifier
+    if name == "DocSpanQA":
+        from vltk_tpu.predict import DocSpanQA
+
+        return DocSpanQA
     raise AttributeError(f"module 'vltk_tpu' has no attribute {name!r}")

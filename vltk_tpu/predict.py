@@ -509,3 +509,222 @@ class DocTokenClassifier:
                     )
                 results.append(per_word)
         return results
+
+
+def _best_span(
+    start_scores: np.ndarray,
+    end_scores: np.ndarray,
+    lo: int,
+    hi: int,
+    max_span: int = 32,
+):
+    """Highest-scoring (start <= end < start+max_span) pair within
+    [lo, hi) — the standard extractive-QA decode, host-side numpy (the
+    logits are tiny next to the encoder forward)."""
+    s = np.asarray(start_scores[lo:hi], np.float32)
+    e = np.asarray(end_scores[lo:hi], np.float32)
+    n = s.shape[0]
+    if n == 0:
+        return lo, lo, 0.0
+    pair = s[:, None] + e[None, :]
+    keep = np.triu(np.ones((n, n), bool)) & ~np.triu(
+        np.ones((n, n), bool), k=max_span
+    )
+    pair = np.where(keep, pair, -np.inf)
+    idx = int(np.argmax(pair))
+    si, ei = divmod(idx, n)
+    return lo + si, lo + ei, float(pair[si, ei])
+
+
+def _subtoken_word_index(tokenmap: np.ndarray, budget: int) -> np.ndarray:
+    """(L,) array mapping each sub-token position to its word index
+    (-1 past the real tokens), from AuxTokenize's per-word counts."""
+    counts = tokenmap[tokenmap > 0]
+    out = np.full((budget,), -1, np.int32)
+    pos = 0
+    for w, c in enumerate(counts):
+        for _ in range(int(c)):
+            if pos >= budget:
+                return out
+            out[pos] = w
+            pos += 1
+    return out
+
+
+class DocSpanQA:
+    """DocVQA extractive QA: document (words + boxes) + question -> the
+    answer span, read back as words.
+
+    Mirrors the training layout of ``experiments/docvqa_span.py`` exactly:
+    one LayoutLM stream of ``[question sub-tokens | OCR sub-tokens]``,
+    question positions carrying the full-page box, answer spans indexing
+    the concatenated stream. Host prep reuses AuxTokenize/OCRBoxFixed so
+    predict-time inputs match loader entries bit-for-bit.
+    """
+
+    def __init__(
+        self,
+        *,
+        params=None,
+        config=None,
+        batch_size: int = 4,
+        question_len: int = 20,
+        doc_len: int = 128,
+        max_span: int = 32,
+        tokenizer=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.models.layoutlm import LayoutLMConfig, LayoutLMForSpanQA
+        from vltk_tpu.processing.visn import AuxTokenize, OCRBoxFixed
+
+        self.batch_size = int(batch_size)
+        self.q_len = int(question_len)
+        self.doc_len = int(doc_len)
+        self.max_span = int(max_span)
+        seq = self.q_len + self.doc_len
+
+        cfg = config or LayoutLMConfig(dtype="bfloat16")
+        if cfg.max_position_embeddings < seq:
+            raise ValueError(
+                f"question_len + doc_len = {seq} exceeds the position "
+                f"table ({cfg.max_position_embeddings})"
+            )
+        self.config = cfg
+        self.model = LayoutLMForSpanQA(cfg)
+        self.tokenizer = tokenizer or Tokenizer(
+            name="NativeWordPiece", max_seq_length=self.q_len
+        )
+        if self.tokenizer.vocab_size > cfg.vocab_size:
+            raise ValueError(
+                f"tokenizer vocab ({self.tokenizer.vocab_size}) exceeds "
+                f"LayoutLMConfig.vocab_size ({cfg.vocab_size})"
+            )
+        if self.tokenizer.max_seq_length != self.q_len:
+            raise ValueError(
+                f"tokenizer.max_seq_length ({self.tokenizer.max_seq_length}) "
+                f"must equal question_len ({self.q_len})"
+            )
+        self._aux = AuxTokenize(
+            tokenizer=self.tokenizer, max_visual_seq_length=self.doc_len
+        )
+        self._boxfix = OCRBoxFixed(max_visual_seq_length=self.doc_len)
+
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, seq), np.int32),
+                np.zeros((1, seq, 4), np.int32),
+            )["params"]
+        self.params = params
+
+        model = self.model
+
+        @jax.jit
+        def step(p, ids, boxes, mask):
+            start, end = model.apply(
+                {"params": p}, ids, boxes, mask, deterministic=True
+            )
+            return (
+                jax.nn.log_softmax(start.astype(jnp.float32), axis=-1),
+                jax.nn.log_softmax(end.astype(jnp.float32), axis=-1),
+            )
+
+        self._step = step
+
+    def __call__(
+        self,
+        documents: Sequence[Dict[str, Any]],
+        questions: Sequence[str],
+    ) -> List[Dict[str, Any]]:
+        """Each document as in :class:`DocTokenClassifier`. Returns per
+        pair: ``answer`` (the span's words joined), ``start_word`` /
+        ``end_word`` (word indices into the input), ``score`` (joint
+        log-probability of the span endpoints)."""
+        if len(documents) != len(questions):
+            raise ValueError(
+                f"{len(documents)} documents vs {len(questions)} questions"
+            )
+        if not documents:
+            return []
+        n = len(documents)
+
+        entries, word_maps, word_lists = [], [], []
+        budget = self.doc_len - 1  # AuxTokenize reserves the last slot: SEP
+        for doc in documents:
+            words = [str(w) for w in doc["words"]]
+            boxes = [list(map(float, b)) for b in doc["boxes"]]
+            if len(words) != len(boxes):
+                raise ValueError(
+                    f"{len(words)} words vs {len(boxes)} boxes in document"
+                )
+            entry: Dict[str, Any] = {V.text: words, V.tokenbox: boxes}
+            if doc.get("size") is not None:
+                entry[V.rawsize] = tuple(doc["size"])
+            entry = self._aux(entry)
+            entry = self._boxfix(entry)
+            entries.append(entry)
+            word_maps.append(
+                _subtoken_word_index(np.asarray(entry[V.tokenmap]), budget)
+            )
+            word_lists.append(words)
+
+        q_enc = self.tokenizer.encode_batch([str(q) for q in questions])
+        q_ids = np.stack([e[V.input_ids] for e in q_enc]).astype(np.int32)
+        q_mask = np.stack(
+            [e[V.text_attention_mask] for e in q_enc]
+        ).astype(np.int32)
+        d_ids = np.stack([e[V.text] for e in entries]).astype(np.int32)
+        d_boxes = np.stack([e[V.tokenbox] for e in entries])
+        d_mask = np.stack(
+            [e[V.visual_attention_mask] for e in entries]
+        ).astype(np.int32)
+
+        ids = np.concatenate([q_ids, d_ids], axis=1)
+        q_boxes = np.zeros((n, self.q_len, 4), np.float32)
+        q_boxes[..., 2:] = 1000.0  # full-page box, the training convention
+        boxes = np.concatenate([q_boxes, d_boxes], axis=1).astype(np.int32)
+        mask = np.concatenate([q_mask, d_mask], axis=1).astype(np.float32)
+
+        def pad(a):
+            m = a.shape[0]
+            if m == self.batch_size:
+                return a
+            return np.concatenate(
+                [a, np.zeros((self.batch_size - m, *a.shape[1:]), a.dtype)]
+            )
+
+        results: List[Dict[str, Any]] = []
+        for lo in range(0, n, self.batch_size):
+            hi = min(lo + self.batch_size, n)
+            s_lp, e_lp = self._step(
+                self.params, pad(ids[lo:hi]), pad(boxes[lo:hi]),
+                pad(mask[lo:hi]),
+            )
+            s_lp, e_lp = np.asarray(s_lp), np.asarray(e_lp)
+            for j in range(hi - lo):
+                k = lo + j
+                n_real = int(d_mask[k].sum())
+                region_hi = self.q_len + max(min(n_real, budget), 1)
+                si, ei, score = _best_span(
+                    s_lp[j], e_lp[j], self.q_len, region_hi, self.max_span
+                )
+                wmap = word_maps[k]
+                sw = int(wmap[si - self.q_len])
+                ew = int(wmap[ei - self.q_len])
+                if sw < 0:
+                    sw = ew = 0
+                elif ew < sw:
+                    ew = sw
+                words = word_lists[k]
+                results.append(
+                    {
+                        "answer": " ".join(words[sw:ew + 1]),
+                        "start_word": sw,
+                        "end_word": ew,
+                        "score": score,
+                    }
+                )
+        return results
