@@ -43,6 +43,31 @@ from vltk_tpu import vars as V
 ImageLike = Union[str, np.ndarray]
 
 
+def _pad_to(arr: np.ndarray, batch: int) -> np.ndarray:
+    """Zero-pad the leading dim up to the static request bucket."""
+    n = arr.shape[0]
+    if n == batch:
+        return arr
+    return np.concatenate(
+        [arr, np.zeros((batch - n, *arr.shape[1:]), arr.dtype)]
+    )
+
+
+def _prep_ocr_entry(aux, boxfix, doc: Dict[str, Any]) -> Dict[str, Any]:
+    """{"words", "boxes", "size"?} -> loader-identical OCR entry via the
+    AuxTokenize + OCRBoxFixed processors."""
+    words = [str(w) for w in doc["words"]]
+    boxes = [list(map(float, b)) for b in doc["boxes"]]
+    if len(words) != len(boxes):
+        raise ValueError(
+            f"{len(words)} words vs {len(boxes)} boxes in document"
+        )
+    entry: Dict[str, Any] = {V.text: words, V.tokenbox: boxes}
+    if doc.get("size") is not None:
+        entry[V.rawsize] = tuple(doc["size"])
+    return boxfix(aux(entry))
+
+
 def _load_answer_list(answers: Union[str, Sequence[str]]) -> List[str]:
     """Answer vocabulary: a list of strings, or a path to a json list /
     {answer: id} map (the ``labels.json`` shape the reference's
@@ -235,11 +260,7 @@ class VQAPredictor:
         return entries
 
     def _pad_chunk(self, arr: np.ndarray) -> np.ndarray:
-        n = arr.shape[0]
-        if n == self.batch_size:
-            return arr
-        pad = np.zeros((self.batch_size - n, *arr.shape[1:]), arr.dtype)
-        return np.concatenate([arr, pad], axis=0)
+        return _pad_to(arr, self.batch_size)
 
     # ------------------------------------------------------------------
     # inference
@@ -439,18 +460,7 @@ class DocTokenClassifier:
 
     # ------------------------------------------------------------------
     def _prep(self, doc: Dict[str, Any]) -> Dict[str, Any]:
-        words = [str(w) for w in doc["words"]]
-        boxes = [list(map(float, b)) for b in doc["boxes"]]
-        if len(words) != len(boxes):
-            raise ValueError(
-                f"{len(words)} words vs {len(boxes)} boxes in document"
-            )
-        entry: Dict[str, Any] = {V.text: words, V.tokenbox: boxes}
-        if doc.get("size") is not None:
-            entry[V.rawsize] = tuple(doc["size"])
-        entry = self._aux(entry)
-        entry = self._boxfix(entry)
-        return entry
+        return _prep_ocr_entry(self._aux, self._boxfix, doc)
 
     def __call__(
         self, documents: Sequence[Dict[str, Any]]
@@ -470,13 +480,7 @@ class DocTokenClassifier:
             [e[V.visual_attention_mask] for e in entries]
         ).astype(np.float32)
 
-        def pad(a):
-            n = a.shape[0]
-            if n == self.batch_size:
-                return a
-            return np.concatenate(
-                [a, np.zeros((self.batch_size - n, *a.shape[1:]), a.dtype)]
-            )
+        pad = lambda a: _pad_to(a, self.batch_size)  # noqa: E731
 
         results: List[List[Dict[str, Any]]] = []
         n = len(documents)
@@ -654,22 +658,12 @@ class DocSpanQA:
         entries, word_maps, word_lists = [], [], []
         budget = self.doc_len - 1  # AuxTokenize reserves the last slot: SEP
         for doc in documents:
-            words = [str(w) for w in doc["words"]]
-            boxes = [list(map(float, b)) for b in doc["boxes"]]
-            if len(words) != len(boxes):
-                raise ValueError(
-                    f"{len(words)} words vs {len(boxes)} boxes in document"
-                )
-            entry: Dict[str, Any] = {V.text: words, V.tokenbox: boxes}
-            if doc.get("size") is not None:
-                entry[V.rawsize] = tuple(doc["size"])
-            entry = self._aux(entry)
-            entry = self._boxfix(entry)
+            entry = _prep_ocr_entry(self._aux, self._boxfix, doc)
             entries.append(entry)
             word_maps.append(
                 _subtoken_word_index(np.asarray(entry[V.tokenmap]), budget)
             )
-            word_lists.append(words)
+            word_lists.append([str(w) for w in doc["words"]])
 
         q_enc = self.tokenizer.encode_batch([str(q) for q in questions])
         q_ids = np.stack([e[V.input_ids] for e in q_enc]).astype(np.int32)
@@ -688,13 +682,7 @@ class DocSpanQA:
         boxes = np.concatenate([q_boxes, d_boxes], axis=1).astype(np.int32)
         mask = np.concatenate([q_mask, d_mask], axis=1).astype(np.float32)
 
-        def pad(a):
-            m = a.shape[0]
-            if m == self.batch_size:
-                return a
-            return np.concatenate(
-                [a, np.zeros((self.batch_size - m, *a.shape[1:]), a.dtype)]
-            )
+        pad = lambda a: _pad_to(a, self.batch_size)  # noqa: E731
 
         results: List[Dict[str, Any]] = []
         for lo in range(0, n, self.batch_size):
