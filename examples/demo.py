@@ -8,8 +8,10 @@ synthetic COCO+VQA corpus so it runs anywhere, no downloads:
   2. adapter ETL: raw json -> arrow tables with metadata
   3. vltk.build(config) -> loaders; iterate a fixed-shape batch
   4. (optional, --train) finetune the LXMERT VQA head a few steps
+  5. (optional, --predict) composed VQA inference at tiny geometry
+     (vltk_tpu/predict.py: decode -> FRCNN -> WordPiece -> LXMERT)
 
-Run: ``python examples/demo.py [--train]``
+Run: ``python examples/demo.py [--train] [--predict]``
 """
 
 import argparse
@@ -85,6 +87,8 @@ def make_raw_corpus(datadir: str, n_images: int = 8, n_questions: int = 48):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true", help="run a few finetune steps")
+    ap.add_argument("--predict", action="store_true",
+                    help="run composed VQA inference at tiny geometry")
     ap.add_argument("--datadir", default=None)
     ap.add_argument("--tpu", action="store_true", help="use the default device "
                     "instead of CPU (first compile on a tunneled TPU is slow)")
@@ -131,6 +135,37 @@ def main():
     for key, value in sorted(batch.items()):
         shape = getattr(value, "shape", f"list[{len(value)}]")
         print(f"    {key}: {shape}")
+
+    if args.predict:
+        print("[predict] composed VQA inference (tiny geometry, random init)")
+        from vltk_tpu.models import FRCNNConfig, LxmertConfig
+        from vltk_tpu.predict import VQAPredictor
+
+        predictor = VQAPredictor(
+            ["red", "blue", "two", "yes"],
+            frcnn_config=FRCNNConfig(
+                depth=50, stem_out_channels=8, res2_out_channels=16,
+                width_per_group=4, rpn_hidden_channels=16,
+                anchor_sizes=(16, 32), aspect_ratios=(0.5, 1.0, 2.0),
+                pre_nms_topk=64, post_nms_topk=16, num_classes=7,
+                num_attrs=5, pooler_resolution=7, min_detections=4,
+                max_detections=4,
+            ),
+            lxmert_config=LxmertConfig(
+                hidden_size=32, num_heads=2, intermediate_size=64,
+                l_layers=1, x_layers=1, r_layers=1, visual_feat_dim=128,
+                max_position_embeddings=32,
+            ),
+            batch_size=1, raw_canvas=(64, 64), resized_canvas=(64, 64),
+            short=32.0, maximum=64.0,
+        )
+        img = os.path.join(
+            datadir, "coco2014", "train", "COCO_train2014_000000000000.jpg"
+        )
+        (res,) = predictor([img], ["what color is the thing"], top_k=3)
+        print(f"    answer: {res['answer']!r} (random weights) "
+              f"topk: {[(a, round(s, 3)) for a, s in res['topk']]} "
+              f"boxes: {res['num_boxes']}")
 
     if not args.train:
         print("[4/4] done (pass --train to finetune the VQA head)")
