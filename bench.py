@@ -754,6 +754,96 @@ def run_infer_bench(args):
         emit_train("lxmert_vqa_infer_step_bf16", dt, b)
         return
 
+    if which == "vqa":
+        # End-to-end VQA inference (BASELINE.json's second metric clause
+        # "VQA samples/sec end-to-end", configs[3]): ONE jitted program
+        # chaining fused preprocess -> FRCNN 36-box extraction -> box
+        # normalization -> LXMERT answer head — the device side of
+        # predict.VQAPredictor with no host hop between the two models.
+        from vltk_tpu.models import FRCNN as FRCNNModel
+        from vltk_tpu.models import LxmertConfig, LxmertForVQA
+        from vltk_tpu.ops.image_ops import preprocess_batch
+
+        smoke = bool(getattr(args, "smoke", False))
+        fcfg = make_config(args, smoke=smoke)
+        raw_canvas, canvas, short, maximum, raw_hw = (
+            GEOM["smoke" if smoke else "full"]
+        )
+        if smoke:
+            lcfg = LxmertConfig(
+                hidden_size=24, num_heads=2, intermediate_size=48,
+                l_layers=1, x_layers=1, r_layers=1,
+                visual_feat_dim=fcfg.res2_out_channels * 8,
+                max_position_embeddings=32, num_answers=8,
+            )
+            b = args.batch if args.batch_explicit else 2
+            iters = max(args.steps, 3)
+        else:
+            lcfg = LxmertConfig(dtype="bfloat16")  # base, 3129 answers
+            b = args.batch if args.batch_explicit else 8
+        s = 20  # VQA question budget
+        frcnn = FRCNNModel(cfg=fcfg)
+        lxm = LxmertForVQA(lcfg)
+        rng = np.random.default_rng(0)
+        raws = jnp.asarray(
+            rng.integers(0, 256, (b, *raw_canvas, 3)), jnp.uint8
+        )
+        raw_sizes = jnp.asarray([raw_hw] * b, jnp.int32)
+        ids = jnp.asarray(rng.integers(0, lcfg.vocab_size, (b, s)), jnp.int32)
+        tmask = jnp.ones((b, s), jnp.float32)
+        fparams = frcnn.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *canvas, 3), jnp.float32),
+            jnp.asarray([[float(canvas[0]), float(canvas[1])]]),
+        )["params"]
+        lparams = lxm.init(
+            jax.random.PRNGKey(1),
+            np.zeros((1, s), np.int32),
+            np.zeros((1, fcfg.max_detections, lcfg.visual_feat_dim),
+                     np.float32),
+            np.zeros((1, fcfg.max_detections, 4), np.float32),
+        )["params"]
+        # all bench images share raw_hw; LXMERT positions are [0,1]-normed
+        wh = jnp.asarray(
+            [[raw_hw[1], raw_hw[0], raw_hw[1], raw_hw[0]]], jnp.float32
+        )
+
+        @jax.jit
+        def run_k(carry, n):
+            fp, lp, raw, sizes, q_ids, q_mask = carry
+
+            def body(i, acc):
+                pre = preprocess_batch(
+                    raw.astype(jnp.float32) + i * 1e-9, sizes,
+                    canvas_hw=canvas, short=short, maximum=maximum,
+                )
+                out = frcnn.apply(
+                    {"params": fp}, pre["img"], pre["sizes"],
+                    scales_yx=pre["scales_yx"],
+                )
+                vmask = out["mask"].astype(jnp.float32)
+                boxes = jnp.clip(
+                    out["boxes"].astype(jnp.float32) / wh[:, None, :],
+                    0.0, 1.0,
+                ) * vmask[..., None]
+                logits = lxm.apply(
+                    {"params": lp}, q_ids,
+                    out["roi_features"].astype(jnp.float32), boxes,
+                    q_mask, vmask,
+                )
+                return acc + jnp.max(logits).astype(jnp.float32)
+
+            return carry, jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
+
+        dt, val = _timed_fori_steps(
+            run_k, (fparams, lparams, raws, raw_sizes, ids, tmask), iters
+        )
+        assert np.isfinite(val)
+        emit_train(
+            "vqa_e2e_infer_step_bf16" + ("_smoke" if smoke else ""), dt, b
+        )
+        return
+
     if which == "layoutlm":
         # long-OCR document geometry (SURVEY §5.7): seq-1024 token stream
         # through the LayoutLM encoder — the workload the seq-parallel
@@ -1051,8 +1141,12 @@ def main():
              "layer",
     )
     ap.add_argument(
-        "--infer", choices=("lxmert", "vit", "layoutlm"), default=None,
-        help="time a TPU serving forward step instead of extraction",
+        "--infer", choices=("lxmert", "vit", "layoutlm", "vqa"), default=None,
+        help="time a TPU serving forward step instead of extraction; "
+             "'vqa' is the fully composed image+question->answer program "
+             "(FRCNN extraction + LXMERT head in ONE jit — BASELINE.json's "
+             "'VQA samples/sec end-to-end'); combine with --smoke for a "
+             "tiny-geometry CPU sanity run",
     )
     ap.add_argument(
         "--attn", choices=("xla", "flash"), default="xla",
@@ -1091,7 +1185,12 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     if args.smoke:
-        run_device_bench(args, "frcnn_extraction_throughput_smoke", smoke=True)
+        if args.infer == "vqa":
+            run_infer_bench(args)
+        else:
+            run_device_bench(
+                args, "frcnn_extraction_throughput_smoke", smoke=True
+            )
     elif args.host:
         run_host_bench(args)
     elif args.train:

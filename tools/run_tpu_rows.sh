@@ -22,6 +22,7 @@ run() {
 }
 
 run python bench.py
+run python bench.py --infer vqa
 run python bench.py --infer layoutlm
 run python bench.py --infer layoutlm --attn flash
 run python bench.py --train layoutlm
