@@ -502,3 +502,58 @@ class TestDocSpanQA:
         (res,) = qa([doc], ["what is on"])
         assert (res["start_word"], res["end_word"]) == (1, 2)
         assert res["answer"] == "on boxes"
+
+
+class TestPredictCLIDocTasks:
+    def test_doc_task_with_stub(self, monkeypatch, capsys, tmp_path):
+        import vltk_tpu.predict as P
+        from vltk_tpu.cli import main
+
+        doc = tmp_path / "doc.json"
+        doc.write_text(json.dumps(
+            {"words": ["a", "b"], "boxes": [[0, 0, 1, 1], [2, 2, 3, 3]],
+             "size": [100, 100]}
+        ))
+
+        class StubClf:
+            def __init__(self, labels, **kw):
+                pass
+
+            def __call__(self, docs):
+                return [[{"word": "a", "label": "header", "score": 0.7}]]
+
+        monkeypatch.setattr(P, "DocTokenClassifier", StubClf)
+        rc = main(["predict", str(doc), "--task=doc"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out == [{"word": "a", "label": "header", "score": 0.7}]
+
+    def test_span_task_with_stub(self, monkeypatch, capsys, tmp_path):
+        import vltk_tpu.predict as P
+        from vltk_tpu.cli import main
+
+        doc = tmp_path / "doc.json"
+        doc.write_text(json.dumps(
+            {"words": ["a", "b"], "boxes": [[0, 0, 1, 1], [2, 2, 3, 3]]}
+        ))
+
+        class StubQA:
+            def __init__(self, **kw):
+                pass
+
+            def __call__(self, docs, questions):
+                return [{"answer": "a b", "start_word": 0, "end_word": 1,
+                         "score": -1.25}]
+
+        monkeypatch.setattr(P, "DocSpanQA", StubQA)
+        rc = main(["predict", str(doc), "what", "is", "b", "--task=span"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["answer"] == "a b" and out["end_word"] == 1
+
+    def test_task_usage_errors(self, capsys, tmp_path):
+        from vltk_tpu.cli import main
+
+        assert main(["predict", "--task=doc"]) == 2         # no doc
+        assert main(["predict", "x.json", "--task=span"]) == 2  # no question
+        assert main(["predict", "x.jpg", "q", "--task=nope"]) == 2

@@ -100,12 +100,85 @@ def cmd_extract(positional: List[str], cfg: Config, flags_extra: Dict) -> int:
     return 0
 
 
+def _random_init_note(what: str) -> None:
+    print(
+        f"[predict] no checkpoint given: RANDOM-INIT {what} — output "
+        "exercises the pipeline, not a trained model",
+        file=sys.stderr,
+    )
+
+
+def _load_doc(path: str) -> Dict:
+    with open(path) as f:
+        doc = json.load(f)
+    if "words" not in doc or "boxes" not in doc:
+        raise ValueError(f"{path}: expected a json object with "
+                         "'words' and 'boxes' (optional 'size': [h, w])")
+    return doc
+
+
+def _predict_doc(positional: List[str], flags: Dict[str, str]) -> int:
+    """``vltk predict --task=doc <doc.json>`` — per-word document labels
+    via DocTokenClassifier (FUNSD path)."""
+    if len(positional) != 1:
+        print("usage: vltk predict --task=doc <doc.json> "
+              "[--labels=labels.json --ckpt=layoutlm.pt]", file=sys.stderr)
+        return 2
+    from vltk_tpu.predict import DocTokenClassifier, _load_answer_list
+
+    labels = flags.get("labels")
+    labels = _load_answer_list(labels) if labels else [
+        "other", "question", "answer", "header"]  # FUNSD defaults
+    ckpt = flags.get("ckpt")
+    if ckpt is not None:
+        clf = DocTokenClassifier.from_pretrained(ckpt, labels, batch_size=1)
+    else:
+        _random_init_note("LayoutLM weights")
+        clf = DocTokenClassifier(labels, batch_size=1)
+    (res,) = clf([_load_doc(positional[0])])
+    print(json.dumps([
+        {"word": r["word"], "label": r["label"],
+         "score": round(r["score"], 4)} for r in res
+    ]))
+    return 0
+
+
+def _predict_span(positional: List[str], flags: Dict[str, str]) -> int:
+    """``vltk predict --task=span <doc.json> <question...>`` — extractive
+    document QA via DocSpanQA (DocVQA path; random init unless params are
+    supplied through the python API)."""
+    if len(positional) < 2:
+        print("usage: vltk predict --task=span <doc.json> <question...>",
+              file=sys.stderr)
+        return 2
+    from vltk_tpu.predict import DocSpanQA
+
+    _random_init_note("LayoutLM span-QA weights")
+    qa = DocSpanQA(batch_size=1)
+    (res,) = qa([_load_doc(positional[0])], [" ".join(positional[1:])])
+    print(json.dumps(
+        {"answer": res["answer"], "start_word": res["start_word"],
+         "end_word": res["end_word"], "score": round(res["score"], 4)}
+    ))
+    return 0
+
+
 def cmd_predict(positional: List[str], flags: Dict[str, str]) -> int:
     """``vltk predict <image> <question words...>`` — composed VQA
     inference (vltk_tpu/predict.py). With ``--frcnn=`` + ``--lxmert=``
     torch checkpoints and an ``--answers=`` vocabulary it answers for
     real; without them it runs the full pipeline at random init (loudly
-    labeled) so the path is exercisable anywhere."""
+    labeled) so the path is exercisable anywhere. ``--task=doc`` labels
+    an OCR document's words; ``--task=span`` extracts a document answer
+    span."""
+    task = flags.get("task", "vqa")
+    if task == "doc":
+        return _predict_doc(positional, flags)
+    if task == "span":
+        return _predict_span(positional, flags)
+    if task != "vqa":
+        print(f"unknown --task={task!r} (vqa|doc|span)", file=sys.stderr)
+        return 2
     if len(positional) < 2:
         print(
             "usage: vltk predict <image> <question...> "
