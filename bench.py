@@ -77,8 +77,8 @@ def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
         return FRCNNConfig.fast_extraction(roi_chunk=roi_chunk, int8=int8)
     if roi_chunk is None:
         roi_chunk = 2400
-    return FRCNNConfig(
-        post_nms_topk=300, dtype=dtype, roi_chunk=roi_chunk, int8=int8
+    return FRCNNConfig.vg_extraction(
+        dtype=dtype, roi_chunk=roi_chunk, int8=int8
     )
 
 
@@ -1187,6 +1187,12 @@ def main():
     if args.smoke:
         if args.infer == "vqa":
             run_infer_bench(args)
+        elif args.infer or args.train:
+            raise SystemExit(
+                "--smoke only composes with --infer vqa (tiny-geometry CPU "
+                "sanity); other --infer/--train modes have no smoke "
+                "geometry — run them without --smoke"
+            )
         else:
             run_device_bench(
                 args, "frcnn_extraction_throughput_smoke", smoke=True

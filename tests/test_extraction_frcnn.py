@@ -130,6 +130,10 @@ class TestFRCNNExtraction:
         # boxes are in raw-image coordinates: within the raw canvas bounds
         assert (boxes <= 64).all() and (boxes >= 0).all()
         assert len(entry["object_ids"]) == 4
+        # raw extent rides with every row so consumers can normalize the
+        # raw-coordinate boxes (experiments/lxmert_vqa.prepare_batch)
+        rawsize = [int(x) for x in entry[V.rawsize]]
+        assert len(rawsize) == 2 and all(0 < x <= 64 for x in rawsize)
         # metadata captured the model config
         assert adapter.metadata["model_config"]["max_detections"] == 4
 

@@ -557,3 +557,67 @@ class TestPredictCLIDocTasks:
         assert main(["predict", "--task=doc"]) == 2         # no doc
         assert main(["predict", "x.json", "--task=span"]) == 2  # no question
         assert main(["predict", "x.jpg", "q", "--task=nope"]) == 2
+
+
+class TestDocSpanQAFromPretrained:
+    def test_encoder_and_qa_head_load(self, tiny_vocab, tmp_path):
+        """A torch LayoutLMForQuestionAnswering checkpoint loads: encoder
+        via torch_layoutlm_to_jax + qa_outputs head mapped; the jitted
+        step matches the torch start/end logits (log-softmaxed)."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.models.layoutlm import LayoutLMConfig
+        from vltk_tpu.predict import DocSpanQA
+
+        hf_cfg = transformers.LayoutLMConfig(
+            vocab_size=99, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=64, max_2d_position_embeddings=128,
+            type_vocab_size=2, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+        torch.manual_seed(1)
+        tmodel = transformers.LayoutLMForQuestionAnswering(hf_cfg)
+        tmodel.eval()
+        ckpt = str(tmp_path / "layoutlm_qa.pt")
+        torch.save(tmodel.state_dict(), ckpt)
+
+        jcfg = LayoutLMConfig(
+            vocab_size=99, hidden_size=32, num_heads=4,
+            intermediate_size=64, l_layers=2, max_position_embeddings=64,
+            coord_vocab=128, type_vocab_size=2, hidden_dropout=0.0,
+            attention_dropout=0.0,
+        )
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=8
+        )
+        qa = DocSpanQA.from_pretrained(
+            ckpt, config=jcfg, tokenizer=tok, batch_size=1,
+            question_len=8, doc_len=16,
+        )
+        np.testing.assert_allclose(
+            np.asarray(qa.params["qa_outputs"]["bias"]),
+            tmodel.qa_outputs.bias.detach().numpy(),
+        )
+
+        rng = np.random.default_rng(1)
+        seq = 24
+        ids = rng.integers(0, 99, (1, seq)).astype(np.int32)
+        boxes = np.sort(
+            rng.integers(0, 120, (1, seq, 2, 2)), axis=2
+        ).reshape(1, seq, 4).astype(np.int32)
+        mask = np.ones((1, seq), np.float32)
+        got_s, got_e = (np.asarray(x) for x in qa._step(
+            qa.params, ids, boxes, mask))
+        with torch.no_grad():
+            out = tmodel(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                bbox=torch.tensor(boxes, dtype=torch.long),
+                attention_mask=torch.tensor(mask),
+            )
+            ref_s = torch.log_softmax(out.start_logits, -1).numpy()
+            ref_e = torch.log_softmax(out.end_logits, -1).numpy()
+        np.testing.assert_allclose(got_s, ref_s, atol=3e-5)
+        np.testing.assert_allclose(got_e, ref_e, atol=3e-5)

@@ -434,3 +434,34 @@ def test_remat_matches_baseline():
     hlo0 = jax.jit(jax.grad(loss(model))).lower(params).compile().as_text()
     hlo1 = jax.jit(jax.grad(loss(r_model))).lower(params).compile().as_text()
     assert hlo1.count("fusion") >= hlo0.count("fusion")
+
+
+def test_vqa_prepare_batch_normalizes_boxes_with_rawsize():
+    """Extraction rows store RAW-pixel boxes + their rawsize extent; the
+    VQA experiment must normalize positions to [0, 1] (the convention
+    HF-compatible heads and predict.VQAPredictor use). Legacy tables
+    without the rawsize column keep raw coordinates."""
+    from vltk_tpu import vars as V
+    from vltk_tpu.experiments.lxmert_vqa import LxmertVQAExperiment
+
+    exp = object.__new__(LxmertVQAExperiment)  # prepare_batch is pure
+    boxes = np.asarray(
+        [[[0.0, 0.0, 32.0, 24.0], [16.0, 12.0, 64.0, 48.0]]], np.float32
+    )
+    batch = {
+        V.input_ids: np.zeros((1, 4), np.int32),
+        V.features: np.zeros((1, 2, 8), np.float32),
+        V.boxes: boxes.copy(),
+        V.rawsize: np.asarray([[48.0, 64.0]], np.float32),  # (h, w)
+    }
+    out = exp.prepare_batch(batch)
+    np.testing.assert_allclose(
+        out[V.boxes],
+        [[[0.0, 0.0, 0.5, 0.5], [0.25, 0.25, 1.0, 1.0]]],
+        atol=1e-6,
+    )
+    # no rawsize -> raw boxes pass through untouched (legacy tables)
+    legacy = {k: v for k, v in batch.items() if k != V.rawsize}
+    legacy[V.boxes] = boxes.copy()
+    out2 = exp.prepare_batch(legacy)
+    np.testing.assert_array_equal(out2[V.boxes], boxes)

@@ -15,10 +15,12 @@ out=tools/tpu_rows.jsonl
 ts=$(date -Is)
 echo "# tpu session $ts" >> "$out"
 
+log=tools/tpu_rows.log
 run() {
   echo "== $*" >&2
-  timeout 1800 "$@" 2>/dev/null | grep -E '^\{' >> "$out" || \
-    echo "{\"failed\": \"$*\"}" >> "$out"
+  echo "== $ts $*" >> "$log"
+  timeout 1800 "$@" 2>> "$log" | grep -E '^\{' >> "$out" || \
+    echo "{\"failed\": \"$*\", \"stderr\": \"$log\"}" >> "$out"
 }
 
 run python bench.py
@@ -29,6 +31,7 @@ run python bench.py --train layoutlm
 run python bench.py --train layoutlm --attn flash
 run python bench.py --train layoutlm --remat
 run python bench.py --train layoutlm --attn flash --remat
+# probe output is free-form text — keep it OUT of the jsonl
 echo "== probe_flash" >&2
-timeout 1800 python tools/probe_flash.py >> "$out" 2>&1 || true
-echo "done -> $out" >&2
+timeout 1800 python tools/probe_flash.py > tools/probe_flash_out.txt 2>&1 || true
+echo "done -> $out (probe: tools/probe_flash_out.txt; stderr: $log)" >&2

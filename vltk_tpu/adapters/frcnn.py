@@ -153,6 +153,10 @@ class FRCNN(VisnExtraction):
             "object_ids": Features.Ids(),
             V.features: Features.FeaturesMatrix(max_detections, visual_dim),
             V.boxes: Features.Boxtensor(max_detections),
+            # raw (h, w): boxes are stored in raw-pixel coords (the
+            # reference fixture convention) — consumers need the extent
+            # to normalize positions for LXMERT-style heads
+            V.rawsize: Features.IntList(),
         }
 
     @classmethod
@@ -207,11 +211,11 @@ class FRCNN(VisnExtraction):
                 [(pre["img"], pre["sizes"], pre["scales_yx"])],
             )
         packed = model["step"](variables, batch[V.img], batch[V.rawsize])
-        return (packed, list(batch[V.imgid]))
+        return (packed, list(batch[V.imgid]), np.asarray(batch[V.rawsize]))
 
     @classmethod
     def forward_collect(cls, model, state) -> List[Dict[str, Any]]:
-        packed, imgids = state
+        packed, imgids, raw_sizes = state
         packed = np.asarray(packed)  # the ONE device->host fetch
         dim = packed.shape[-1] - 6
         feats = packed[..., :dim]
@@ -229,6 +233,7 @@ class FRCNN(VisnExtraction):
                     # boxes already rescaled to raw coords by scales_yx;
                     # round like the reference (adapters/frcnn.py:58)
                     V.boxes: np.round(boxes[i]).tolist(),
+                    V.rawsize: [int(x) for x in raw_sizes[i]],
                 }
             )
         return entries

@@ -145,16 +145,20 @@ def _predict_doc(positional: List[str], flags: Dict[str, str]) -> int:
 
 def _predict_span(positional: List[str], flags: Dict[str, str]) -> int:
     """``vltk predict --task=span <doc.json> <question...>`` — extractive
-    document QA via DocSpanQA (DocVQA path; random init unless params are
-    supplied through the python API)."""
+    document QA via DocSpanQA (DocVQA path; ``--ckpt=`` loads a torch
+    LayoutLM checkpoint, qa_outputs head included when present)."""
     if len(positional) < 2:
-        print("usage: vltk predict --task=span <doc.json> <question...>",
-              file=sys.stderr)
+        print("usage: vltk predict --task=span <doc.json> <question...> "
+              "[--ckpt=layoutlm_qa.pt]", file=sys.stderr)
         return 2
     from vltk_tpu.predict import DocSpanQA
 
-    _random_init_note("LayoutLM span-QA weights")
-    qa = DocSpanQA(batch_size=1)
+    ckpt = flags.get("ckpt")
+    if ckpt is not None:
+        qa = DocSpanQA.from_pretrained(ckpt, batch_size=1)
+    else:
+        _random_init_note("LayoutLM span-QA weights")
+        qa = DocSpanQA(batch_size=1)
     (res,) = qa([_load_doc(positional[0])], [" ".join(positional[1:])])
     print(json.dumps(
         {"answer": res["answer"], "start_word": res["start_word"],

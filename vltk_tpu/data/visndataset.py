@@ -87,6 +87,10 @@ class VisnHandler:
         if V.boxes in row and row[V.boxes] is not None:
             boxes = np.asarray(row[V.boxes], np.float32)
             entry[V.boxes] = pad_tensor(boxes, d)
+        if V.rawsize in row and row[V.rawsize] is not None:
+            # raw (h, w) written by the extraction adapter: lets consumers
+            # normalize the raw-coordinate boxes (experiments/lxmert_vqa)
+            entry[V.rawsize] = np.asarray(row[V.rawsize], np.float32)
         mask = np.zeros((d,), np.int32)
         mask[: min(n_valid, d)] = 1
         entry[V.boxes_mask] = mask

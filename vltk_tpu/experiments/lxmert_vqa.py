@@ -3,9 +3,12 @@ with an LXMERT-style encoder over precomputed FRCNN features).
 
 Consumes the canonical loader batch keys (vars.py): ``input_ids``,
 ``text_attention_mask``, ``features`` (N, D, 2048), ``boxes`` (N, D, 4 —
-xyxy, normalized here), ``boxes_mask``/``visual_attention_mask``, and the
-VQA soft ``scores`` written by the VQA adapter (soft_score semantics,
-reference: vltk/utils/adapters.py:285-295).
+xyxy raw pixels from the extraction rows, normalized to [0, 1] in
+``prepare_batch`` when the row carries its ``rawsize`` extent — the same
+convention predict.VQAPredictor serves), ``boxes_mask`` /
+``visual_attention_mask``, and the VQA soft ``scores`` written by the
+VQA adapter (soft_score semantics, reference:
+vltk/utils/adapters.py:285-295).
 """
 
 from __future__ import annotations
@@ -63,6 +66,20 @@ class LxmertVQAExperiment(SimpleExperiment):
         for key in wanted:
             if key in batch and hasattr(batch[key], "dtype"):
                 out[key] = batch[key]
+        # extraction rows store boxes in RAW pixel coords (the reference
+        # fixture convention); LXMERT position features are [0, 1]-
+        # normalized (the HF convention predict.VQAPredictor serves).
+        # Normalize when the row carries its raw extent; legacy tables
+        # without the rawsize column keep the raw-coordinate behavior.
+        if V.boxes in out and V.rawsize in batch and hasattr(
+            batch[V.rawsize], "dtype"
+        ):
+            hw = np.asarray(batch[V.rawsize], np.float32)
+            wh = np.maximum(hw[:, [1, 0, 1, 0]], 1.0)
+            out[V.boxes] = np.clip(
+                np.asarray(out[V.boxes], np.float32) / wh[:, None, :],
+                0.0, 1.0,
+            )
         # loader batches carry sparse (label-id, soft-score) pairs padded
         # with ignore_id (langdataset._attach_labels); the BCE objective
         # needs them dense over the answer vocabulary

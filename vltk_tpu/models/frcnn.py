@@ -98,6 +98,21 @@ class FRCNNConfig:
     roi_chunk: Optional[int] = 2400
 
     @classmethod
+    def vg_extraction(cls, **overrides) -> "FRCNNConfig":
+        """The VG 36-box extraction parity geometry (reference
+        tests/frcnn_test.py:16-19 / adapters/frcnn.py:30-41): 300
+        post-NMS proposals, bf16 compute — the configuration the
+        unc-nlp/frcnn-vg-finetuned checkpoint was validated at and the
+        bench.py parity rows time. Use this (not the 1000-proposal
+        detectron default) when serving that checkpoint
+        (predict.VQAPredictor does)."""
+        kwargs = dict(
+            pre_nms_topk=6000, post_nms_topk=300, dtype="bfloat16",
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    @classmethod
     def fast_extraction(cls, **overrides) -> "FRCNNConfig":
         """Throughput preset (NOT detection-parity with the reference):
         100 proposals instead of 300 cut the res5 stage — the FLOPs-

@@ -44,13 +44,11 @@ ImageLike = Union[str, np.ndarray]
 
 
 def _pad_to(arr: np.ndarray, batch: int) -> np.ndarray:
-    """Zero-pad the leading dim up to the static request bucket."""
-    n = arr.shape[0]
-    if n == batch:
-        return arr
-    return np.concatenate(
-        [arr, np.zeros((batch - n, *arr.shape[1:]), arr.dtype)]
-    )
+    """Zero-pad the leading dim up to the static request bucket (the
+    canonical fixed-shape pad, utils/adapters.py:pad_tensor)."""
+    from vltk_tpu.utils.adapters import pad_tensor
+
+    return pad_tensor(np.asarray(arr), batch)
 
 
 def _prep_ocr_entry(aux, boxfix, doc: Dict[str, Any]) -> Dict[str, Any]:
@@ -131,15 +129,23 @@ class VQAPredictor:
 
         self.answers = _load_answer_list(answers)
         self.batch_size = int(batch_size)
-        self._adapter = FRCNNAdapter
         self.raw_canvas = tuple(raw_canvas or FRCNNAdapter.raw_canvas)
+        # the adapter's collate pads to ITS class raw_canvas — honor the
+        # override (tiny geometries must not allocate 1344x1344 buffers)
+        self._adapter = type(
+            "_SizedFRCNNAdapter", (FRCNNAdapter,),
+            {"raw_canvas": self.raw_canvas},
+        )
         self._resized_canvas = tuple(resized_canvas or FRCNNAdapter.resized_canvas)
         self._short = float(short if short is not None else FRCNNAdapter.short)
         self._maximum = float(
             maximum if maximum is not None else FRCNNAdapter.maximum
         )
 
-        fcfg = frcnn_config or FRCNNConfig(dtype="bfloat16")
+        # the VG extraction parity geometry (300 proposals), NOT the
+        # 1000-proposal detectron default: it's what the unc-nlp VG
+        # checkpoint was validated at and what bench.py times
+        fcfg = frcnn_config or FRCNNConfig.vg_extraction()
         lcfg = lxmert_config or LxmertConfig(dtype="bfloat16")
         if lcfg.num_answers != len(self.answers):
             lcfg = dataclasses.replace(lcfg, num_answers=len(self.answers))
@@ -243,7 +249,9 @@ class VQAPredictor:
     # ------------------------------------------------------------------
     # host side
     # ------------------------------------------------------------------
-    def _entries(self, images: Sequence[ImageLike]) -> List[Dict[str, Any]]:
+    def _entries(
+        self, images: Sequence[ImageLike], offset: int = 0
+    ) -> List[Dict[str, Any]]:
         from PIL import Image
 
         entries = []
@@ -254,9 +262,10 @@ class VQAPredictor:
                 arr = np.asarray(img)
                 if arr.ndim != 3 or arr.shape[-1] != 3:
                     raise ValueError(
-                        f"image {i}: expected (H, W, 3) RGB, got {arr.shape}"
+                        f"image {offset + i}: expected (H, W, 3) RGB, "
+                        f"got {arr.shape}"
                     )
-            entries.append({V.img: arr, V.imgid: str(i)})
+            entries.append({V.img: arr, V.imgid: str(offset + i)})
         return entries
 
     def _pad_chunk(self, arr: np.ndarray) -> np.ndarray:
@@ -287,11 +296,6 @@ class VQAPredictor:
             return []
         top_k = max(1, min(int(top_k), len(self.answers)))
 
-        # host: decode + pad to the static raw canvas (adapter collate)
-        collated = self._adapter.collate(self._entries(images))
-        raw_images = collated[V.img]
-        raw_sizes = collated[V.rawsize].astype(np.float32)
-
         # host: tokenize questions at the fixed token budget
         enc = self.tokenizer.encode_batch([str(q) for q in questions])
         ids = np.stack([e[V.input_ids] for e in enc]).astype(np.int32)
@@ -302,10 +306,16 @@ class VQAPredictor:
         results: List[Dict[str, Any]] = []
         for lo in range(0, n, self.batch_size):
             hi = min(lo + self.batch_size, n)
+            # host: decode + pad ONLY this chunk onto the raw canvas —
+            # host memory stays O(batch_size), not O(request)
+            collated = self._adapter.collate(
+                self._entries(images[lo:hi], offset=lo)
+            )
+            sizes = self._pad_chunk(collated[V.rawsize].astype(np.float32))
             out = self._extract_step(
                 self.frcnn_params,
-                self._pad_chunk(raw_images[lo:hi]),
-                self._pad_chunk(raw_sizes[lo:hi]),
+                self._pad_chunk(collated[V.img]),
+                sizes,
             )
             feats = np.asarray(out["roi_features"])
             boxes = np.asarray(out["boxes"])
@@ -315,7 +325,6 @@ class VQAPredictor:
 
             # normalize boxes to [0, 1] by the raw image extent (the
             # LXMERT position-feature convention; invalid slots zeroed)
-            sizes = self._pad_chunk(raw_sizes[lo:hi])
             wh = np.maximum(sizes[:, [1, 0, 1, 0]], 1.0)  # (B, 4) w h w h
             norm_boxes = np.clip(boxes / wh[:, None, :], 0.0, 1.0)
             norm_boxes *= vmask[..., None]
@@ -637,6 +646,29 @@ class DocSpanQA:
             )
 
         self._step = step
+
+    @classmethod
+    def from_pretrained(cls, checkpoint: str, **kwargs):
+        """torch LayoutLM(-ForQuestionAnswering) checkpoint -> predictor.
+        Encoder via ``torch_layoutlm_to_jax``; a ``qa_outputs.*`` span
+        head in the state_dict is mapped too, else the head stays random
+        (fine-tune before trusting outputs)."""
+        import torch
+
+        from vltk_tpu.models.convert import torch_layoutlm_to_jax
+
+        sd = torch.load(checkpoint, map_location="cpu")
+        sd = sd.get("model", sd) if isinstance(sd, dict) else sd
+        self = cls(**kwargs)
+        params = dict(self.params)
+        params["layoutlm"] = torch_layoutlm_to_jax(sd)
+        if "qa_outputs.weight" in sd:
+            params["qa_outputs"] = {
+                "kernel": np.asarray(sd["qa_outputs.weight"]).T,
+                "bias": np.asarray(sd["qa_outputs.bias"]),
+            }
+        self.params = params
+        return self
 
     def __call__(
         self,
