@@ -61,6 +61,14 @@ class LxmertPretrainExperiment(SimpleExperiment):
         mask = np.asarray(batch.get(V.text_attention_mask, np.ones_like(ids)))
         feats = np.asarray(batch[V.features], np.float32)
         out[V.boxes] = np.asarray(batch[V.boxes], np.float32)
+        if V.rawsize in batch and hasattr(batch[V.rawsize], "dtype"):
+            # extraction rows carry raw-pixel boxes + their extent:
+            # normalize to the LXMERT [0,1] convention (see lxmert_vqa)
+            from vltk_tpu.utils.adapters import normalize_boxes_xyxy
+
+            out[V.boxes] = normalize_boxes_xyxy(
+                out[V.boxes], batch[V.rawsize]
+            )
         out[V.text_attention_mask] = mask
         vmask = batch.get(V.boxes_mask)
         if vmask is not None:

@@ -74,11 +74,10 @@ class LxmertVQAExperiment(SimpleExperiment):
         if V.boxes in out and V.rawsize in batch and hasattr(
             batch[V.rawsize], "dtype"
         ):
-            hw = np.asarray(batch[V.rawsize], np.float32)
-            wh = np.maximum(hw[:, [1, 0, 1, 0]], 1.0)
-            out[V.boxes] = np.clip(
-                np.asarray(out[V.boxes], np.float32) / wh[:, None, :],
-                0.0, 1.0,
+            from vltk_tpu.utils.adapters import normalize_boxes_xyxy
+
+            out[V.boxes] = normalize_boxes_xyxy(
+                out[V.boxes], batch[V.rawsize]
             )
         # loader batches carry sparse (label-id, soft-score) pairs padded
         # with ignore_id (langdataset._attach_labels); the BCE objective

@@ -325,8 +325,9 @@ class VQAPredictor:
 
             # normalize boxes to [0, 1] by the raw image extent (the
             # LXMERT position-feature convention; invalid slots zeroed)
-            wh = np.maximum(sizes[:, [1, 0, 1, 0]], 1.0)  # (B, 4) w h w h
-            norm_boxes = np.clip(boxes / wh[:, None, :], 0.0, 1.0)
+            from vltk_tpu.utils.adapters import normalize_boxes_xyxy
+
+            norm_boxes = normalize_boxes_xyxy(boxes, sizes)
             norm_boxes *= vmask[..., None]
 
             scores = np.asarray(

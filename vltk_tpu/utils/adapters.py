@@ -159,6 +159,17 @@ def resize_binary_mask(mask: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def normalize_boxes_xyxy(boxes, rawsize_hw) -> np.ndarray:
+    """Raw-pixel xyxy boxes -> [0, 1] by each row's raw (h, w) extent —
+    the LXMERT position-feature convention. ``boxes`` (N, D, 4),
+    ``rawsize_hw`` (N, 2) as (h, w)."""
+    hw = np.asarray(rawsize_hw, np.float32)
+    wh = np.maximum(hw[:, [1, 0, 1, 0]], 1.0)
+    return np.clip(
+        np.asarray(boxes, np.float32) / wh[:, None, :], 0.0, 1.0
+    )
+
+
 def rescale_box(boxes: np.ndarray, wh_scale: Sequence[float]) -> np.ndarray:
     """Scale (x, y, w, h) boxes by per-axis (w_scale, h_scale)
     (reference: utils/adapters.py:205-216)."""
