@@ -1160,6 +1160,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 32 (extraction modes), mode-specific otherwise")
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--profile", metavar="LOGDIR", default=None,
+                    help="capture a JAX/XLA profiler trace of the benched "
+                         "region into LOGDIR (view with xprof/TensorBoard; "
+                         "utils/profiling.trace — SURVEY §5.1)")
     ap.add_argument("--roi-chunk", type=int, default=None)
     args = ap.parse_args()
     args.batch_explicit = args.batch is not None
@@ -1184,7 +1188,57 @@ def main():
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-    if args.smoke:
+    def dispatch():
+        if args.smoke:
+            _dispatch_smoke(args)
+        elif args.host:
+            run_host_bench(args)
+        elif args.train:
+            run_train_bench(args)
+        elif args.infer:
+            run_infer_bench(args)
+        elif args.injit:
+            run_injit_bench(args)
+        elif args.preset_drift:
+            run_preset_drift(args)
+        elif args.e2e:
+            run_e2e_bench(args)
+        elif args.drift:
+            run_drift_report(args)
+        elif args.fast:
+            run_device_bench(
+                args,
+                "frcnn_extraction_throughput_fast"
+                + ("_int8" if args.int8 else ""),
+                fast=True,
+            )
+        elif args.int8:
+            run_device_bench(
+                args, "frcnn_extraction_throughput_int8", dtype="bfloat16"
+            )
+        elif args.f32:
+            run_device_bench(
+                args, "frcnn_extraction_throughput_f32_parity", dtype=None
+            )
+        else:
+            run_device_bench(
+                args, "frcnn_extraction_throughput_bf16", dtype="bfloat16"
+            )
+
+    if args.profile:
+        # wrap the whole benched region in a JAX profiler trace (SURVEY
+        # §5.1); the JSON row still prints — the trace is a side artifact
+        from vltk_tpu.utils.profiling import trace
+
+        print(f"# profiler trace -> {args.profile}", file=sys.stderr)
+        with trace(args.profile):
+            dispatch()
+    else:
+        dispatch()
+
+
+def _dispatch_smoke(args):
+    if True:
         if args.infer == "vqa":
             run_infer_bench(args)
         elif args.infer or args.train:
@@ -1197,39 +1251,6 @@ def main():
             run_device_bench(
                 args, "frcnn_extraction_throughput_smoke", smoke=True
             )
-    elif args.host:
-        run_host_bench(args)
-    elif args.train:
-        run_train_bench(args)
-    elif args.infer:
-        run_infer_bench(args)
-    elif args.injit:
-        run_injit_bench(args)
-    elif args.preset_drift:
-        run_preset_drift(args)
-    elif args.e2e:
-        run_e2e_bench(args)
-    elif args.drift:
-        run_drift_report(args)
-    elif args.fast:
-        run_device_bench(
-            args,
-            "frcnn_extraction_throughput_fast"
-            + ("_int8" if args.int8 else ""),
-            fast=True,
-        )
-    elif args.int8:
-        run_device_bench(
-            args, "frcnn_extraction_throughput_int8", dtype="bfloat16"
-        )
-    elif args.f32:
-        run_device_bench(
-            args, "frcnn_extraction_throughput_f32_parity", dtype=None
-        )
-    else:
-        run_device_bench(
-            args, "frcnn_extraction_throughput_bf16", dtype="bfloat16"
-        )
 
 
 if __name__ == "__main__":
