@@ -764,6 +764,9 @@ def run_infer_bench(args):
         from vltk_tpu.models import LxmertConfig, LxmertForVQA
         from vltk_tpu.ops.image_ops import preprocess_batch
 
+        # VQA geometry is seq 20 + 36 boxes — the fused flash kernel can
+        # never engage, so refuse --attn flash instead of mislabeling
+        _require_flash_geometry(args, (20, 36), "--infer vqa")
         smoke = bool(getattr(args, "smoke", False))
         fcfg = make_config(args, smoke=smoke)
         raw_canvas, canvas, short, maximum, raw_hw = (
@@ -775,11 +778,13 @@ def run_infer_bench(args):
                 l_layers=1, x_layers=1, r_layers=1,
                 visual_feat_dim=fcfg.res2_out_channels * 8,
                 max_position_embeddings=32, num_answers=8,
+                attention_impl=args.attn,
             )
             b = args.batch if args.batch_explicit else 2
             iters = max(args.steps, 3)
         else:
-            lcfg = LxmertConfig(dtype="bfloat16")  # base, 3129 answers
+            # base, 3129 answers
+            lcfg = LxmertConfig(dtype="bfloat16", attention_impl=args.attn)
             b = args.batch if args.batch_explicit else 8
         s = 20  # VQA question budget
         frcnn = FRCNNModel(cfg=fcfg)
@@ -1238,19 +1243,18 @@ def main():
 
 
 def _dispatch_smoke(args):
-    if True:
-        if args.infer == "vqa":
-            run_infer_bench(args)
-        elif args.infer or args.train:
-            raise SystemExit(
-                "--smoke only composes with --infer vqa (tiny-geometry CPU "
-                "sanity); other --infer/--train modes have no smoke "
-                "geometry — run them without --smoke"
-            )
-        else:
-            run_device_bench(
-                args, "frcnn_extraction_throughput_smoke", smoke=True
-            )
+    if args.infer == "vqa":
+        run_infer_bench(args)
+    elif args.infer or args.train:
+        raise SystemExit(
+            "--smoke only composes with --infer vqa (tiny-geometry CPU "
+            "sanity); other --infer/--train modes have no smoke "
+            "geometry — run them without --smoke"
+        )
+    else:
+        run_device_bench(
+            args, "frcnn_extraction_throughput_smoke", smoke=True
+        )
 
 
 if __name__ == "__main__":

@@ -124,6 +124,44 @@ class TestVQAPredictor:
         with pytest.raises(ValueError):
             predictor([np.zeros((8, 8), np.uint8)], ["q"])
 
+    def test_oversized_image_boxes_in_original_frame(self, predictor):
+        # collate host pre-shrinks raws past raw_canvas (64x64 here); the
+        # returned boxes must be mapped BACK to the caller's pixel frame —
+        # identical to predicting on the pre-shrunk image, scaled 2x
+        rng = np.random.default_rng(3)
+        big = rng.integers(0, 255, (128, 96, 3)).astype(np.uint8)
+        small = np.asarray(
+            Image.fromarray(big).resize((48, 64))  # PIL takes (w, h)
+        )
+        q = ["what is the color"]
+        res_big = predictor([big], q)[0]
+        res_small = predictor([small], q)[0]
+        assert res_big["answer"] == res_small["answer"]
+        assert res_big["num_boxes"] == res_small["num_boxes"]
+        np.testing.assert_allclose(
+            res_big["boxes"], res_small["boxes"] * 2.0, rtol=1e-5, atol=1e-3
+        )
+
+    def test_mismatched_head_width_raises(self, predictor, tiny_vocab):
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.predict import VQAPredictor
+
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=12
+        )
+        with pytest.raises(ValueError, match="head is"):
+            VQAPredictor(
+                ANSWERS + ["extra"],  # 6 labels vs the 5-wide trained head
+                frcnn_config=TINY_FRCNN,
+                lxmert_config=TINY_LXMERT,
+                lxmert_params=predictor.lxmert_params,
+                tokenizer=tok,
+                raw_canvas=(64, 64),
+                resized_canvas=(64, 64),
+                short=32.0,
+                maximum=64.0,
+            )
+
     def test_vocab_overflow_raises(self, tiny_vocab):
         from vltk_tpu.data.tokenizer import Tokenizer
         from vltk_tpu.predict import VQAPredictor
@@ -159,6 +197,32 @@ class TestAnswerLoading:
         mp.write_text(json.dumps({"b": 1, "a": 0, "c": 2}))
         assert _load_answer_list(str(mp)) == ["a", "b", "c"]
         assert _load_answer_list(("x", "y")) == ["x", "y"]
+
+    def test_sparse_or_duplicate_map_raises(self, tmp_path):
+        # ids index head logits directly: a pruned map would silently
+        # misalign every returned answer string
+        from vltk_tpu.predict import _load_answer_list
+
+        sparse = tmp_path / "sparse.json"
+        sparse.write_text(json.dumps({"yes": 0, "maybe": 3, "no": 5}))
+        with pytest.raises(ValueError, match="0..2"):
+            _load_answer_list(str(sparse))
+        dup = tmp_path / "dup.json"
+        dup.write_text(json.dumps({"yes": 0, "no": 0, "cat": 1}))
+        with pytest.raises(ValueError):
+            _load_answer_list(str(dup))
+
+    def test_head_width_check(self):
+        from vltk_tpu.predict import _check_head_width
+
+        tree = {"answer_head": {"logit": {"kernel": np.zeros((4, 7))}}}
+        _check_head_width(tree, ("answer_head", "logit", "kernel"), 7, "answer")
+        with pytest.raises(ValueError, match="7-wide but 5"):
+            _check_head_width(
+                tree, ("answer_head", "logit", "kernel"), 5, "answer"
+            )
+        # unexpected tree shapes defer to flax's own structure check
+        _check_head_width({}, ("answer_head", "logit", "kernel"), 5, "answer")
 
 
 class TestPredictCLI:

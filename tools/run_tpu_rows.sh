@@ -9,7 +9,7 @@
 #   - layoutlm seq-1024 serving: xla vs flash
 #   - layoutlm seq-1024 fine-tune step: xla vs flash (+ remat variants)
 #   - per-layer flash kernel probe (tools/probe_flash.py)
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 out=tools/tpu_rows.jsonl
 ts=$(date -Is)

@@ -74,10 +74,40 @@ def _load_answer_list(answers: Union[str, Sequence[str]]) -> List[str]:
         with open(answers) as f:
             data = json.load(f)
         if isinstance(data, dict):
-            pairs = sorted(data.items(), key=lambda kv: kv[1])
-            return [k for k, _ in pairs]
+            # ids index head logits directly — a pruned/sparse map would
+            # silently misalign every prediction, so demand a bijection
+            # onto 0..n-1
+            ids = sorted(int(v) for v in data.values())
+            if ids != list(range(len(data))):
+                raise ValueError(
+                    f"label map ids must be exactly 0..{len(data) - 1} "
+                    f"(one per head logit); got {ids[:8]}..."
+                )
+            out = [None] * len(data)
+            for k, v in data.items():
+                out[int(v)] = k
+            return out
         return list(data)
     return list(answers)
+
+
+def _check_head_width(params, path: Sequence[str], n: int, what: str) -> None:
+    """Loaded checkpoints must agree with the label vocabulary — a silent
+    mismatch returns wrong strings (or IndexErrors) at predict time."""
+    node = params
+    for key in path:
+        if not isinstance(node, (dict,)) and not hasattr(node, "__getitem__"):
+            return
+        try:
+            node = node[key]
+        except (KeyError, TypeError):
+            return  # unexpected tree shape: leave it to flax's apply check
+    width = getattr(node, "shape", (None,))[-1]
+    if width is not None and width != n:
+        raise ValueError(
+            f"{what} head is {width}-wide but {n} labels were given; "
+            "pass the label vocabulary the checkpoint was trained over"
+        )
 
 
 class VQAPredictor:
@@ -165,6 +195,12 @@ class VQAPredictor:
             raise ValueError(
                 f"tokenizer vocab ({self.tokenizer.vocab_size}) exceeds "
                 f"LxmertConfig.vocab_size ({lcfg.vocab_size})"
+            )
+
+        if lxmert_params is not None:
+            _check_head_width(
+                lxmert_params, ("answer_head", "logit", "kernel"),
+                len(self.answers), "answer",
             )
 
         ch, cw = self._resized_canvas
@@ -308,10 +344,20 @@ class VQAPredictor:
             hi = min(lo + self.batch_size, n)
             # host: decode + pad ONLY this chunk onto the raw canvas —
             # host memory stays O(batch_size), not O(request)
-            collated = self._adapter.collate(
-                self._entries(images[lo:hi], offset=lo)
+            entries = self._entries(images[lo:hi], offset=lo)
+            orig_hw = np.array(
+                [(e[V.img].shape[0], e[V.img].shape[1]) for e in entries],
+                np.float32,
             )
+            collated = self._adapter.collate(entries)
             sizes = self._pad_chunk(collated[V.rawsize].astype(np.float32))
+            # collate pre-shrinks raws larger than raw_canvas; this maps
+            # boxes back so the returned "raw-pixel xyxy" really is the
+            # caller's original pixel frame (identity when nothing shrank)
+            unshrink = (
+                orig_hw[:, [1, 0, 1, 0]]
+                / np.maximum(collated[V.rawsize][:, [1, 0, 1, 0]], 1.0)
+            )[:, None, :]
             out = self._extract_step(
                 self.frcnn_params,
                 self._pad_chunk(collated[V.img]),
@@ -348,7 +394,7 @@ class VQAPredictor:
                         "answer": ranked[0][0],
                         "score": ranked[0][1],
                         "topk": ranked,
-                        "boxes": boxes[j],
+                        "boxes": boxes[j] * unshrink[j],
                         "objects": obj_ids[j],
                         "object_probs": obj_probs[j],
                         "num_boxes": int(vmask[j].sum()),
@@ -432,6 +478,10 @@ class DocTokenClassifier:
                 np.zeros((1, self.max_seq_length), np.int32),
                 np.zeros((1, self.max_seq_length, 4), np.int32),
             )["params"]
+        else:
+            _check_head_width(
+                params, ("classifier", "kernel"), len(self.labels), "label"
+            )
         self.params = params
 
         model = self.model
@@ -465,6 +515,9 @@ class DocTokenClassifier:
                 "kernel": np.asarray(sd["classifier.weight"]).T,
                 "bias": np.asarray(sd["classifier.bias"]),
             }
+            _check_head_width(
+                params, ("classifier", "kernel"), len(self.labels), "label"
+            )
         self.params = params
         return self
 
