@@ -161,6 +161,119 @@ def test_experiment_resume(tmp_path, rng):
     assert out == {}  # nothing left to train
 
 
+def _final_params(tmp_path, batches, **train_kw):
+    """Uninterrupted run -> host param tree (the exactness ground truth)."""
+    cfg = _mk_config(tmp_path, **train_kw)
+    exp = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    exp()
+    return jax.device_get(exp.state.params)
+
+
+def _preempt_after(exp, n_steps, action=None):
+    """Wrap exp.train_step to fire ``action`` after the n-th step (default:
+    deliver a real SIGTERM to this process — the TPU preemption notice)."""
+    import signal
+
+    orig = exp.train_step
+    calls = {"n": 0}
+
+    def wrapped(state, batch, step_rng):
+        out = orig(state, batch, step_rng)
+        calls["n"] += 1
+        if calls["n"] == n_steps:
+            if action is None:
+                signal.raise_signal(signal.SIGTERM)
+            else:
+                action()
+        return out
+
+    exp.train_step = wrapped
+
+
+def test_sigterm_mid_epoch_saves_and_resume_is_exact(tmp_path, rng):
+    """A SIGTERM mid-epoch checkpoints at the step boundary; a fresh
+    experiment resumes into that epoch, replay-skips the trained batches,
+    restores the PRNG stream, and finishes numerically identical to the
+    uninterrupted run (6 batches/epoch x 3 epochs; preempt at step 9 =
+    step 3 of epoch 1)."""
+    batches = _regression_batches(rng)
+    truth = _final_params(tmp_path / "truth", batches)
+
+    cfg = _mk_config(tmp_path / "run")
+    exp = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    _preempt_after(exp, 9)
+    res = exp()
+    assert res.get("preempted") is True
+    assert res["epoch"] == 1
+
+    resumed = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    assert resumed.start_epoch == 1
+    assert resumed._skip_steps == 3
+    assert resumed.global_step == 9
+    out = resumed()
+    assert out["epoch"] == 2 and "preempted" not in out
+    got = jax.device_get(resumed.state.params)
+    np.testing.assert_allclose(got["kernel"], truth["kernel"], rtol=1e-6)
+    np.testing.assert_allclose(got["bias"], truth["bias"], rtol=1e-6)
+    # the resumed run trained exactly the remaining 9 steps
+    assert resumed.global_step == 18
+    # and its PRNG stream sits exactly where 18 uninterrupted splits land
+    key = jax.random.PRNGKey(cfg.train.seed)
+    for _ in range(18):
+        key, _ = jax.random.split(key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(resumed.rng)), np.asarray(key)
+    )
+
+
+def test_periodic_save_survives_hard_kill(tmp_path, rng):
+    """save_every_steps checkpoints mid-epoch; after an abrupt death (no
+    SIGTERM, nothing flushed beyond the periodic save) a fresh experiment
+    resumes from the last periodic save and the lost step is replayed —
+    final params match the uninterrupted run exactly."""
+    batches = _regression_batches(rng)
+    truth = _final_params(tmp_path / "truth", batches, save_every_steps=2)
+
+    cfg = _mk_config(tmp_path / "run", save_every_steps=2)
+    cfg.save_on_crash = False  # simulate a kill -9: no crash handler ran
+    exp = _Regression(cfg, loaders=(_ListLoader(batches), None))
+
+    def die():
+        raise RuntimeError("simulated hard kill")
+
+    _preempt_after(exp, 5, action=die)
+    with pytest.raises(RuntimeError):
+        exp()
+
+    resumed = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    assert resumed.start_epoch == 0
+    assert resumed._skip_steps == 4  # last periodic save; step 5 was lost
+    assert resumed.global_step == 4
+    out = resumed()
+    assert out["epoch"] == 2
+    got = jax.device_get(resumed.state.params)
+    np.testing.assert_allclose(got["kernel"], truth["kernel"], rtol=1e-6)
+    np.testing.assert_allclose(got["bias"], truth["bias"], rtol=1e-6)
+
+
+def test_keep_checkpoints_prunes_old_epochs(tmp_path, rng):
+    from vltk_tpu.train.checkpoint import latest_epoch as _latest
+
+    batches = _regression_batches(rng)
+    cfg = _mk_config(tmp_path, keep_checkpoints=2)
+    exp = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    exp()
+    files = sorted(os.listdir(exp.ckpt_dir))
+    assert "regression_epoch_0.msgpack" not in files  # pruned
+    assert "regression_epoch_1.msgpack" in files
+    assert "regression_epoch_2.msgpack" in files
+    assert "optim_epoch_0.msgpack" not in files
+    assert _latest(exp.ckpt_dir, "regression") == 2
+    # a fresh experiment still resumes from the retained latest
+    exp2 = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    assert exp2.start_epoch == 3
+
+
 def test_experiment_test_run_single_batch(tmp_path, rng):
     batches = _regression_batches(rng)
     cfg = _mk_config(tmp_path)

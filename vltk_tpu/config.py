@@ -343,6 +343,12 @@ class TrainConfig(BaseConfig):
     epochs: int = 4
     clip_grad_norm: float = 1.0
     seed: int = 9595
+    # mid-epoch checkpoint cadence (0 = end-of-epoch only). Enables
+    # step-granular resume: the loader's deterministic per-epoch shuffle
+    # is replayed and the first step_in_epoch batches skipped.
+    save_every_steps: int = 0
+    # retain only the K highest-epoch checkpoints (0 = keep all)
+    keep_checkpoints: int = 0
     half_precision: bool = True  # bf16 on TPU (replaces CUDA GradScaler)
     task_matched: bool = False
     task_mask_lm: bool = False

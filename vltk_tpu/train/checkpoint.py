@@ -43,11 +43,37 @@ def save_checkpoint(
     full_info = {"epoch": epoch, "name": name}
     if info:
         full_info.update(info)
-    with open(os.path.join(ckpt_dir, info_filename), "w") as f:
+    # atomic: a crash between truncate and write must not leave a torn
+    # info.json (it pairs the params file with the resume step/rng)
+    info_path = os.path.join(ckpt_dir, info_filename)
+    tmp_path = info_path + ".tmp"
+    with open(tmp_path, "w") as f:
         json.dump(full_info, f, indent=2, default=str)
+    os.replace(tmp_path, info_path)
     if config is not None and hasattr(config, "dump_yaml"):
         config.dump_yaml(os.path.join(ckpt_dir, "config.yaml"))
     return path
+
+
+def prune_checkpoints(ckpt_dir: str, name: str, keep: int) -> None:
+    """Delete all but the ``keep`` highest-epoch checkpoints for ``name``
+    (params + paired optim files). ``keep <= 0`` keeps everything — the
+    reference's behavior (it never pruned, simple.py:496-529)."""
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
+        return
+    pat = re.compile(re.escape(name) + r"_epoch_(\d+)\.msgpack$")
+    epochs = sorted(
+        int(m.group(1)) for fn in os.listdir(ckpt_dir) if (m := pat.match(fn))
+    )
+    for epoch in epochs[:-keep]:
+        for path in (
+            _epoch_file(ckpt_dir, name, epoch),
+            os.path.join(ckpt_dir, f"optim_epoch_{epoch}.msgpack"),
+        ):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
 
 
 def latest_epoch(ckpt_dir: str, name: str) -> Optional[int]:

@@ -33,6 +33,7 @@ import numpy as np
 from vltk_tpu.train.checkpoint import (
     latest_epoch,
     load_checkpoint,
+    prune_checkpoints,
     save_checkpoint,
 )
 from vltk_tpu.train.optim import make_optimizer
@@ -91,6 +92,8 @@ class SimpleExperiment(abc.ABC):
         self.eval_step = make_eval_step(self._eval_metric_fn, self.mesh)
         self.start_epoch = 0
         self.global_step = 0
+        self._skip_steps = 0  # batches to replay-skip on a mid-epoch resume
+        self._preempted = False
 
     def _init_checkpoint(self) -> None:
         """Resume from the highest saved epoch, if any (simple.py:89-124)."""
@@ -121,8 +124,20 @@ class SimpleExperiment(abc.ABC):
             replace["opt_state"] = replace_like(opt_state, self.state.opt_state)
         step = int(info.get("step", 0))
         self.state = self.state.replace(step=step, **replace)
-        self.start_epoch = epoch + 1
         self.global_step = step
+        if info.get("mid_epoch") and int(info.get("epoch", -1)) == epoch:
+            # preemption/periodic save landed mid-epoch: re-enter that
+            # epoch and replay-skip the batches already trained (the
+            # loader's shuffle is a pure function of seed+epoch)
+            self.start_epoch = epoch
+            self._skip_steps = int(info.get("step_in_epoch", 0))
+        else:
+            self.start_epoch = epoch + 1
+        rng = info.get("rng")
+        if rng is not None:
+            # restore the exact PRNG stream so resumed steps draw the
+            # same dropout/masking randomness the uninterrupted run would
+            self.rng = jax.numpy.asarray(np.asarray(rng, dtype=np.uint32))
 
     # -- user surface --------------------------------------------------------
 
@@ -159,12 +174,30 @@ class SimpleExperiment(abc.ABC):
 
     def __call__(self) -> Dict[str, Any]:
         self._current_epoch = self.start_epoch
+        restore = self._install_preemption_handler()
         try:
             return self.outer_loop()
         except BaseException:
             if self.config.save_on_crash:
                 self.save(epoch=self._current_epoch, crash=True)
             raise
+        finally:
+            restore()
+
+    def _install_preemption_handler(self):
+        """SIGTERM (the TPU-pod preemption notice) sets a flag; the inner
+        loop checkpoints at the next step boundary and stops cleanly so
+        the rescheduled job resumes mid-epoch. Returns a restore thunk."""
+        import signal
+
+        def _on_term(signum, frame):
+            self._preempted = True
+
+        try:
+            prev = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not the main thread: flag can be set directly
+            return lambda: None
+        return lambda: signal.signal(signal.SIGTERM, prev)
 
     def outer_loop(self) -> Dict[str, Any]:
         last: Dict[str, Any] = {}
@@ -173,6 +206,10 @@ class SimpleExperiment(abc.ABC):
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
             train_m = self.inner_loop(epoch)
+            if self._preempted:
+                # the mid-epoch checkpoint is already on disk; report and
+                # stop so the scheduler's restart resumes from it
+                return {"epoch": epoch, "train": train_m, "preempted": True}
             eval_m = self.eval_loop()
             self.save(epoch)
             self.write_epoch(self.epoch_logstr(epoch, train_m, eval_m))
@@ -184,9 +221,11 @@ class SimpleExperiment(abc.ABC):
     def inner_loop(self, epoch: int) -> Dict[str, float]:
         totals: Dict[str, float] = {}
         count = 0
+        skip, self._skip_steps = self._skip_steps, 0
+        save_every = int(getattr(self.config.train, "save_every_steps", 0))
         t0 = time.perf_counter()
         with open(os.path.join(self.logdir, "steps_log.json"), "a") as log:
-            for batch in self._device_batches(self.train_loader):
+            for batch in self._device_batches(self.train_loader, skip=skip):
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
                 self.global_step += 1
@@ -207,7 +246,9 @@ class SimpleExperiment(abc.ABC):
                 )
                 if count % 16 == 0:
                     log.flush()
-                if self.config.test_run:
+                if self._preempted or (save_every and count % save_every == 0):
+                    self.save(epoch, mid_epoch=True, step_in_epoch=skip + count)
+                if self._preempted or self.config.test_run:
                     break
         return {k: v / max(count, 1) for k, v in totals.items()}
 
@@ -228,8 +269,10 @@ class SimpleExperiment(abc.ABC):
     def _eval_metric_fn(self, params, batch):
         return self.eval_metrics(params, batch)
 
-    def _device_batches(self, loader) -> Iterable[Dict[str, Any]]:
-        for batch in loader:
+    def _device_batches(self, loader, skip: int = 0) -> Iterable[Dict[str, Any]]:
+        for i, batch in enumerate(loader):
+            if i < skip:  # mid-epoch resume: replay the deterministic
+                continue  # order, skip already-trained batches cheaply
             prepared = self.prepare_batch(batch)
             if self.mesh is not None:
                 from vltk_tpu.parallel import shard_batch
@@ -239,19 +282,39 @@ class SimpleExperiment(abc.ABC):
 
     # -- persistence / logging (reference: simple.py:446-529) ----------------
 
-    def save(self, epoch: int, crash: bool = False) -> None:
+    def save(
+        self,
+        epoch: int,
+        crash: bool = False,
+        mid_epoch: bool = False,
+        step_in_epoch: int = 0,
+    ) -> None:
         # crash saves get their own info file: clobbering info.json would
         # make the next resume pair pre-crash params with the crash step
+        info: Dict[str, Any] = {
+            "step": self.global_step,
+            # the PRNG stream position: restoring it makes a resumed run
+            # draw the same per-step randomness as the uninterrupted one
+            "rng": [int(x) for x in np.ravel(jax.device_get(self.rng))],
+        }
+        if mid_epoch:
+            info.update(mid_epoch=True, step_in_epoch=int(step_in_epoch))
         save_checkpoint(
             self.ckpt_dir,
             self.name if not crash else f"{self.name}_crash",
             epoch,
             self.state.params,
             self.state.opt_state,
-            info={"step": self.global_step},
+            info=info,
             config=self.config,
             info_filename="crash_info.json" if crash else "info.json",
         )
+        if not crash:
+            prune_checkpoints(
+                self.ckpt_dir,
+                self.name,
+                int(getattr(self.config.train, "keep_checkpoints", 0)),
+            )
 
     def write_epoch(self, line: str) -> None:
         with open(os.path.join(self.logdir, "epoch_log.txt"), "a") as f:
