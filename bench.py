@@ -458,15 +458,17 @@ def _timed_fori_steps(run_k, init_carry, iters):
 
 def _require_flash_geometry(args, seq_lens, mode):
     """Refuse ``--attn flash`` when no self-attention in this bench can
-    pass the ``_flash_eligible`` gate (seq % 128 == 0): a "_flash"-labeled
+    pass the ``_flash_applicable`` gate (seq >= the 128 kernel block;
+    shorter streams are padded-ineligible by design): a "_flash"-labeled
     row must measure the fused kernel, not the silent XLA fallback."""
-    if args.attn == "flash" and not any(s % 128 == 0 for s in seq_lens):
+    if args.attn == "flash" and not any(s >= 128 for s in seq_lens):
         raise SystemExit(
             f"--attn flash with {mode}: no self-attention geometry "
-            f"(seq lens {tuple(seq_lens)}) is a multiple of the fused "
-            "kernel's 128 block, so the flash path would never engage "
-            "and the emitted row would mislabel the XLA fallback. Use "
-            "--infer/--train layoutlm (seq 1024) or drop --attn flash."
+            f"(seq lens {tuple(seq_lens)}) reaches the fused kernel's "
+            "128 block, so the flash path would never engage and the "
+            "emitted row would mislabel the XLA fallback. Use "
+            "--infer/--train layoutlm (seq 1024), --infer vit (seq 197, "
+            "padded), or drop --attn flash."
         )
 
 
@@ -900,7 +902,7 @@ def run_infer_bench(args):
     from vltk_tpu.models.vit import ViT, ViTConfig
 
     _require_flash_geometry(args, (197,), "--infer vit")  # 14*14 + CLS
-    cfg = ViTConfig(dtype="bfloat16")
+    cfg = ViTConfig(dtype="bfloat16", attention_impl=args.attn)
     model = ViT(cfg)
     b = args.batch if args.batch_explicit else 64
     rng = np.random.default_rng(0)
@@ -921,7 +923,8 @@ def run_infer_bench(args):
 
     dt, val = _timed_fori_steps(run_k, (params, imgs), iters)
     assert np.isfinite(val)
-    emit_train("vit_base224_infer_step_bf16", dt, b)
+    suffix = "_flash" if args.attn == "flash" else ""
+    emit_train("vit_base224_infer_step_bf16" + suffix, dt, b)
 
 
 def emit_train(metric, step_seconds, batch):

@@ -341,15 +341,58 @@ class TestFlashAttention:
             # softmax on the XLA side and exactly 0 via segment ids
             assert d.max() < 5e-4, (name, d.max())
 
+    def test_interpret_forward_parity_padded_seq(self, rng):
+        """Non-multiple-of-128 lengths (ViT's 197-token patch stream)
+        are padded to the kernel block inside _flash_self_attention and
+        sliced back — parity at real positions, exact output shape."""
+        import jax.experimental.pallas.tpu as pltpu
+
+        q, k, v, mask = self._qkv(rng, s=197, pad=13)
+        with pltpu.force_tpu_interpret_mode():
+            got = L._flash_self_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(mask), 64,
+            )
+        assert got.shape == q.shape
+        ref = self._xla_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask), 64,
+        )
+        real = np.broadcast_to(
+            mask.astype(bool)[:, :, None, None], ref.shape
+        )
+        d = np.abs(np.asarray(got) - np.asarray(ref))[real]
+        assert d.max() < 2e-5, d.max()
+
+    def test_interpret_forward_parity_padded_no_mask(self, rng):
+        """mask=None with an odd length (the ViT call shape): the pad
+        tail must be synthesized as segment-id 0 so real queries never
+        attend into the padding."""
+        import jax.experimental.pallas.tpu as pltpu
+
+        q, k, v, _ = self._qkv(rng, s=197, pad=0)
+        full = jnp.ones((q.shape[0], 197), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = L._flash_self_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), None, 64
+            )
+        ref = self._xla_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), full, 64
+        )
+        d = np.abs(np.asarray(got) - np.asarray(ref))
+        assert d.max() < 2e-5, d.max()
+
     def test_eligibility_gate(self):
         cfg = LxmertConfig(attention_impl="flash")
         x = object()
         other = object()
-        # cross-attention, non-128 seq, active dropout: all ineligible
+        # cross-attention, sub-block seq, active dropout: all ineligible
         assert not L._flash_eligible(x, other, 128, True, cfg)
         assert not L._flash_eligible(x, x, 100, True, cfg)
+        assert not L._flash_applicable(36, True, 0.0)
         # CPU backend (this suite): never eligible even when shapes fit
         assert not L._flash_eligible(x, x, 128, True, cfg)
+        assert not L._flash_applicable(197, True, 0.0)
 
     def test_cpu_fallback_bit_identical(self, rng):
         """attention_impl='flash' must be a no-op where flash does not

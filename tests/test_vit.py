@@ -28,6 +28,21 @@ def test_forward_shapes(rng):
     assert pooled.shape == (2, 24)
 
 
+def test_flash_config_cpu_fallback_bit_identical(rng):
+    """attention_impl='flash' must be a transparent no-op where the fused
+    kernel does not apply (CPU backend here): same param tree,
+    bit-identical outputs to the XLA formulation."""
+    import dataclasses
+
+    imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    cfg_f = dataclasses.replace(TINY, attention_impl="flash")
+    params = ViT(TINY).init(jax.random.PRNGKey(0), imgs)["params"]
+    seq_x, pooled_x = ViT(TINY).apply({"params": params}, imgs)
+    seq_f, pooled_f = ViT(cfg_f).apply({"params": params}, imgs)
+    np.testing.assert_array_equal(np.asarray(seq_x), np.asarray(seq_f))
+    np.testing.assert_array_equal(np.asarray(pooled_x), np.asarray(pooled_f))
+
+
 def test_parity_vs_hf_torch(rng):
     torch = pytest.importorskip("torch")
     transformers = pytest.importorskip("transformers")

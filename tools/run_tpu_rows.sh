@@ -27,6 +27,8 @@ run python bench.py
 run python bench.py --infer vqa
 run python bench.py --infer layoutlm
 run python bench.py --infer layoutlm --attn flash
+run python bench.py --infer vit
+run python bench.py --infer vit --attn flash
 run python bench.py --train layoutlm
 run python bench.py --train layoutlm --attn flash
 run python bench.py --train layoutlm --remat

@@ -134,18 +134,35 @@ def _constrain(x: jnp.ndarray, cfg: LxmertConfig, spec: Tuple) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
+def _flash_applicable(s: int, deterministic: bool, attention_dropout) -> bool:
+    """Shape/mode gate shared by every model that can route self-attention
+    through the fused kernel (LXMERT/LayoutLM/VisualBERT here, ViT in
+    models/vit.py). True iff ALL of:
+
+    * sequence length >= one 128 Mosaic block — shorter streams (VQA's
+      20 tokens, the 36-region visual stream) would spend more on pad
+      compute than the fusion saves; non-multiples of 128 at or above a
+      block are padded inside ``_flash_self_attention``,
+    * attention dropout is inactive (the kernel has none; train with
+      ``attention_dropout=0.0`` to keep flash in the backward too),
+    * running on TPU (Mosaic kernels don't lower elsewhere).
+    """
+    import jax as _jax
+
+    return (
+        s >= 128
+        and (deterministic or attention_dropout == 0.0)
+        and _jax.default_backend() == "tpu"
+    )
+
+
 def _flash_eligible(x, ctx, s: int, deterministic: bool, cfg) -> bool:
     """Whether the fused flash kernel applies to this attention call.
 
     Falls back to the XLA formulation (transparently — so one config
-    runs on every backend/shape) unless ALL of:
-
-    * self-attention (``ctx is x``; cross-attention's KV side is the
-      36-region visual stream, far below the kernel's 128 block),
-    * sequence length is a multiple of the 128 Mosaic block,
-    * attention dropout is inactive (the kernel has none; train with
-      ``attention_dropout=0.0`` to keep flash in the backward too),
-    * running on TPU (Mosaic kernels don't lower elsewhere).
+    runs on every backend/shape) unless it is self-attention (``ctx is
+    x``; cross-attention's KV side is the 36-region visual stream, far
+    below the kernel's 128 block) and ``_flash_applicable`` holds.
 
     Note one deliberate semantic difference from the XLA path: padding
     is enforced via segment ids, which *also* stops pad queries from
@@ -153,13 +170,8 @@ def _flash_eligible(x, ctx, s: int, deterministic: bool, cfg) -> bool:
     they are don't-care downstream (pooling reads CLS, losses mask) but
     comparisons must restrict to real positions.
     """
-    import jax as _jax
-
-    return (
-        ctx is x
-        and s % 128 == 0
-        and (deterministic or cfg.attention_dropout == 0.0)
-        and _jax.default_backend() == "tpu"
+    return ctx is x and _flash_applicable(
+        s, deterministic, cfg.attention_dropout
     )
 
 
@@ -175,6 +187,13 @@ def _flash_self_attention(q, k, v, mask, dh: int):
     """
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
+    n, s = q.shape[0], q.shape[1]
+    pad = (-s) % 128  # kernel blocks are 128-wide; pad odd lengths up
+    if pad and mask is None:
+        mask = jnp.ones((n, s), jnp.float32)
+    if pad:
+        grow = lambda a: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))  # noqa: E731
+        q, k, v, mask = grow(q), grow(k), grow(v), grow(mask)
     qt = jnp.transpose(q, (0, 2, 1, 3))  # (n, nh, s, dh)
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
@@ -185,7 +204,7 @@ def _flash_self_attention(q, k, v, mask, dh: int):
     out = _fa.flash_attention(
         qt, kt, vt, segment_ids=seg, sm_scale=1.0 / float(dh) ** 0.5
     )
-    return jnp.transpose(out, (0, 2, 1, 3))
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :s]
 
 
 class MultiHeadAttention(nn.Module):

@@ -37,6 +37,12 @@ class ViTConfig:
     attention_dropout: float = 0.0
     initializer_range: float = 0.02
     dtype: Optional[str] = None
+    # "flash" routes self-attention through the fused Pallas kernel when
+    # eligible (seq >= 128, no active attention dropout, TPU backend);
+    # the 197-token patch stream is padded to the kernel's 128 block
+    # inside _flash_self_attention. Falls back to the XLA formulation
+    # bit-identically otherwise.
+    attention_impl: str = "xla"
 
     @property
     def num_patches(self) -> int:
@@ -67,14 +73,26 @@ class _PreLNAttention(nn.Module):
         q = q.reshape(n, s, nh, dh)
         k = k.reshape(n, s, nh, dh)
         v = v.reshape(n, s, nh, dh)
-        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(
-            jnp.asarray(dh, dt)
+        from vltk_tpu.models.lxmert import (
+            _flash_applicable,
+            _flash_self_attention,
         )
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
-        probs = nn.Dropout(cfg.attention_dropout, name="att_drop")(
-            probs, deterministic=deterministic
-        )
-        out = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, s, hd)
+
+        if cfg.attention_impl == "flash" and _flash_applicable(
+            s, deterministic, cfg.attention_dropout
+        ):
+            out = _flash_self_attention(q, k, v, None, dh).reshape(n, s, hd)
+        else:
+            scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(
+                jnp.asarray(dh, dt)
+            )
+            probs = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(dt)
+            probs = nn.Dropout(cfg.attention_dropout, name="att_drop")(
+                probs, deterministic=deterministic
+            )
+            out = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, s, hd)
         out = nn.Dense(hd, kernel_init=init, dtype=dt, name="att_out")(out)
         out = nn.Dropout(cfg.hidden_dropout, name="out_drop")(
             out, deterministic=deterministic
