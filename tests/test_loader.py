@@ -263,6 +263,52 @@ class TestHostSharding:
                 seen.extend(int(v) for v in batch["i"])
         assert sorted(seen) == list(range(20))
 
+    def test_iter_from_skips_without_fetching(self):
+        """Mid-epoch resume: iter_from(k) yields exactly the tail of the
+        epoch's deterministic order and never touches (fetches/decodes)
+        the skipped entries — the skip is index-level."""
+        from vltk_tpu.data.loader import _BaseLoader
+
+        class _Recording:
+            def __init__(self):
+                self.fetched = []
+
+            def __len__(self):
+                return 12
+
+            def __getitem__(self, i):
+                self.fetched.append(int(i))
+                return {"i": np.int32(i)}
+
+        full_ds, tail_ds = _Recording(), _Recording()
+        full = _BaseLoader(full_ds, 3, True, seed=5)
+        tail = _BaseLoader(tail_ds, 3, True, seed=5)
+        full.set_epoch(2)
+        tail.set_epoch(2)
+        full_batches = [list(b["i"]) for b in full]
+        tail_batches = [list(b["i"]) for b in tail.iter_from(2)]
+        assert tail_batches == full_batches[2:]
+        skipped = {i for b in full_batches[:2] for i in b}
+        assert not skipped & set(tail_ds.fetched)
+        # one-shot: the next plain iteration starts from the top again
+        assert [list(b["i"]) for b in tail] == full_batches
+
+    def test_iter_from_threaded(self):
+        from vltk_tpu.data.loader import _BaseLoader
+
+        class _Range:
+            def __len__(self):
+                return 12
+
+            def __getitem__(self, i):
+                return {"i": np.int32(i)}
+
+        plain = _BaseLoader(_Range(), 3, True, seed=5)
+        thr = _BaseLoader(_Range(), 3, True, seed=5, num_workers=2)
+        want = [list(b["i"]) for b in plain][1:]
+        got = [list(b["i"]) for b in thr.iter_from(1)]
+        assert got == want
+
     def test_same_seed_same_global_order(self):
         from vltk_tpu.data.loader import _BaseLoader
 

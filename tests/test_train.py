@@ -256,6 +256,57 @@ def test_periodic_save_survives_hard_kill(tmp_path, rng):
     np.testing.assert_allclose(got["bias"], truth["bias"], rtol=1e-6)
 
 
+def test_crash_save_does_not_clobber_periodic_state(tmp_path, rng):
+    """The crash handler writes name-scoped files (regression_crash_*);
+    it must never overwrite the periodic checkpoint's params/optimizer
+    pair, or resume would mix step-k params with crash-time Adam state."""
+    batches = _regression_batches(rng)
+    truth = _final_params(tmp_path / "truth", batches, save_every_steps=2)
+
+    class _Bomb(_ListLoader):
+        """Raises once, from the data side (state intact — the realistic
+        crash; a post-step raise leaves donated state buffers deleted and
+        the crash save degrades to a logged warning)."""
+
+        def __init__(self, batches, at):
+            super().__init__(batches)
+            self.at, self.armed = at, True
+
+        def __iter__(self):
+            for i, b in enumerate(self.batches):
+                if self.armed and i == self.at:
+                    self.armed = False
+                    raise RuntimeError("simulated data corruption")
+                yield b
+
+    cfg = _mk_config(tmp_path / "run", save_every_steps=2)
+    cfg.save_on_crash = True
+    exp = _Regression(cfg, loaders=(_Bomb(batches, at=5), None))
+    with pytest.raises(RuntimeError):
+        exp()
+    files = os.listdir(exp.ckpt_dir)
+    assert any(f.startswith("regression_crash_epoch_") for f in files)
+
+    resumed = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    assert resumed._skip_steps == 4  # the periodic save, not the crash one
+    assert resumed.global_step == 4
+    resumed()
+    got = jax.device_get(resumed.state.params)
+    np.testing.assert_allclose(got["kernel"], truth["kernel"], rtol=1e-6)
+    np.testing.assert_allclose(got["bias"], truth["bias"], rtol=1e-6)
+
+
+def test_completed_epoch_clears_mid_checkpoints(tmp_path, rng):
+    batches = _regression_batches(rng)
+    cfg = _mk_config(tmp_path, save_every_steps=2)
+    exp = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    exp()
+    files = os.listdir(exp.ckpt_dir)
+    assert not any("_mid.msgpack" in f for f in files)  # all superseded
+    # and no stray .tmp from the atomic writes
+    assert not any(f.endswith(".tmp") for f in files)
+
+
 def test_keep_checkpoints_prunes_old_epochs(tmp_path, rng):
     from vltk_tpu.train.checkpoint import latest_epoch as _latest
 
@@ -267,7 +318,7 @@ def test_keep_checkpoints_prunes_old_epochs(tmp_path, rng):
     assert "regression_epoch_0.msgpack" not in files  # pruned
     assert "regression_epoch_1.msgpack" in files
     assert "regression_epoch_2.msgpack" in files
-    assert "optim_epoch_0.msgpack" not in files
+    assert "regression_optim_epoch_0.msgpack" not in files
     assert _latest(exp.ckpt_dir, "regression") == 2
     # a fresh experiment still resumes from the retained latest
     exp2 = _Regression(cfg, loaders=(_ListLoader(batches), None))

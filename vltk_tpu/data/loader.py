@@ -152,9 +152,20 @@ class _BaseLoader:
         # had a single-process torch DataLoader only)
         self.shard = shard
         self._epoch = 0
+        self._start_batch = 0  # one-shot resume offset (iter_from)
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
+
+    def iter_from(self, skip_batches: int) -> Iterator[Dict[str, Any]]:
+        """Resume this epoch's deterministic order at batch index
+        ``skip_batches`` WITHOUT fetching/decoding the skipped entries —
+        mid-epoch resume must not replay the host decode cost of
+        everything already trained (the skip happens at the index level,
+        before any ``dataset[i]`` access). One-shot: applies to the next
+        iteration only."""
+        self._start_batch = int(skip_batches)
+        return iter(self)
 
     def _shard_size(self) -> int:
         n = len(self.dataset)
@@ -185,18 +196,20 @@ class _BaseLoader:
             order = order[rank::world]
         return order
 
-    def _batches(self) -> Iterator[List[int]]:
+    def _batches(self, start_batch: int = 0) -> Iterator[List[int]]:
         order = self._order()
         bs = self.batch_size
         end = len(order) - (len(order) % bs) if self.drop_last else len(order)
-        for i in range(0, end, bs):
+        for i in range(start_batch * bs, end, bs):
             chunk = order[i : i + bs]
             if len(chunk):
                 yield list(chunk)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        # consume the one-shot iter_from offset at generator start
+        start, self._start_batch = self._start_batch, 0
         if self.num_workers <= 0:
-            for chunk in self._batches():
+            for chunk in self._batches(start):
                 yield collate([self.dataset[i] for i in chunk])
             return
         # threaded fetch with bounded prefetch; the stop event + put
@@ -217,7 +230,7 @@ class _BaseLoader:
 
         def producer():
             try:
-                for chunk in self._batches():
+                for chunk in self._batches(start):
                     if stop.is_set():
                         return
                     entries = list(pool.map(self.dataset.__getitem__, chunk))

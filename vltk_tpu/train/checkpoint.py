@@ -1,7 +1,7 @@
 """Checkpoint save/resume with the reference's on-disk semantics.
 
 Reference (vltk/abc/simple.py:496-529 save, 89-124 resume):
-``{model}_epoch_{n}.pt`` + ``optim_epoch_{n}.pt`` + ``info.json`` (epoch,
+``{model}_epoch_{n}.pt`` + ``{model}_optim_epoch_{n}.pt`` + ``info.json`` (epoch,
 step, scheduler state) + ``config.yaml``; resume picks the highest epoch.
 Here the tensors are flax msgpack trees; the surrounding layout and resume
 rule are the same.
@@ -22,6 +22,32 @@ def _epoch_file(ckpt_dir: str, name: str, epoch: int) -> str:
     return os.path.join(ckpt_dir, f"{name}_epoch_{epoch}.msgpack")
 
 
+def _optim_file(ckpt_dir: str, name: str, epoch: int) -> str:
+    # name-scoped: a crash save (name + "_crash") must never clobber the
+    # periodic checkpoint's paired optimizer state
+    return os.path.join(ckpt_dir, f"{name}_optim_epoch_{epoch}.msgpack")
+
+
+def _saved_epochs(ckpt_dir: str, name: str):
+    """Sorted epoch numbers with a params file for ``name``."""
+    if not os.path.isdir(ckpt_dir):
+        return []
+    pat = re.compile(re.escape(name) + r"_epoch_(\d+)\.msgpack$")
+    return sorted(
+        int(m.group(1)) for fn in os.listdir(ckpt_dir) if (m := pat.match(fn))
+    )
+
+
+def _atomic_write_bytes(path: str, data: bytes) -> None:
+    """tmp + rename so a kill mid-write can never leave a truncated file
+    where the previous good checkpoint used to be (periodic saves rewrite
+    the SAME epoch file — in-place truncation would lose both)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(
     ckpt_dir: str,
     name: str,
@@ -35,11 +61,12 @@ def save_checkpoint(
     os.makedirs(ckpt_dir, exist_ok=True)
     host_params = jax.device_get(params)
     path = _epoch_file(ckpt_dir, name, epoch)
-    with open(path, "wb") as f:
-        f.write(fser.to_bytes(host_params))
+    _atomic_write_bytes(path, fser.to_bytes(host_params))
     if opt_state is not None:
-        with open(os.path.join(ckpt_dir, f"optim_epoch_{epoch}.msgpack"), "wb") as f:
-            f.write(fser.to_bytes(jax.device_get(opt_state)))
+        _atomic_write_bytes(
+            _optim_file(ckpt_dir, name, epoch),
+            fser.to_bytes(jax.device_get(opt_state)),
+        )
     full_info = {"epoch": epoch, "name": name}
     if info:
         full_info.update(info)
@@ -55,20 +82,85 @@ def save_checkpoint(
     return path
 
 
+def _mid_file(ckpt_dir: str, name: str, epoch: int) -> str:
+    return os.path.join(ckpt_dir, f"{name}_epoch_{epoch}_mid.msgpack")
+
+
+def save_mid_checkpoint(
+    ckpt_dir: str, name: str, epoch: int, params, opt_state, info: Dict
+) -> str:
+    """Mid-epoch (periodic / preemption) checkpoint as ONE atomic file.
+
+    The end-of-epoch layout writes params, optim, and info.json as three
+    files; a kill between any two renames pairs new params with a stale
+    resume record (step/rng), silently re- or under-training batches on
+    resume. Mid-epoch saves happen every few steps under
+    ``save_every_steps`` — orders of magnitude more kill exposure — so
+    they bundle {params, opt_state, info} into one msgpack replaced with
+    one rename: the checkpoint is internally consistent at ANY kill
+    instant. The file is deleted once its epoch completes (the
+    end-of-epoch save supersedes it).
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+        "info_json": json.dumps({"epoch": epoch, "name": name, **info},
+                                default=str),
+    }
+    path = _mid_file(ckpt_dir, name, epoch)
+    _atomic_write_bytes(path, fser.to_bytes(payload))
+    return path
+
+
+def latest_mid_epoch(ckpt_dir: str, name: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    pat = re.compile(re.escape(name) + r"_epoch_(\d+)_mid\.msgpack$")
+    epochs = [
+        int(m.group(1)) for fn in os.listdir(ckpt_dir) if (m := pat.match(fn))
+    ]
+    return max(epochs) if epochs else None
+
+
+def load_mid_checkpoint(
+    ckpt_dir: str, name: str, params_template, opt_state_template, epoch: int
+):
+    """-> (params, opt_state, info dict) from a single-file mid checkpoint."""
+    template = {
+        "params": params_template,
+        "opt_state": opt_state_template,
+        "info_json": "",
+    }
+    with open(_mid_file(ckpt_dir, name, epoch), "rb") as f:
+        payload = fser.from_bytes(template, f.read())
+    return payload["params"], payload["opt_state"], json.loads(payload["info_json"])
+
+
+def clear_mid_checkpoints(ckpt_dir: str, name: str, upto_epoch: int) -> None:
+    """Remove mid-epoch files superseded by a completed epoch save."""
+    if not os.path.isdir(ckpt_dir):
+        return
+    pat = re.compile(re.escape(name) + r"_epoch_(\d+)_mid\.msgpack$")
+    for fn in os.listdir(ckpt_dir):
+        m = pat.match(fn)
+        if m and int(m.group(1)) <= upto_epoch:
+            try:
+                os.remove(os.path.join(ckpt_dir, fn))
+            except FileNotFoundError:
+                pass
+
+
 def prune_checkpoints(ckpt_dir: str, name: str, keep: int) -> None:
     """Delete all but the ``keep`` highest-epoch checkpoints for ``name``
     (params + paired optim files). ``keep <= 0`` keeps everything — the
     reference's behavior (it never pruned, simple.py:496-529)."""
-    if keep <= 0 or not os.path.isdir(ckpt_dir):
+    if keep <= 0:
         return
-    pat = re.compile(re.escape(name) + r"_epoch_(\d+)\.msgpack$")
-    epochs = sorted(
-        int(m.group(1)) for fn in os.listdir(ckpt_dir) if (m := pat.match(fn))
-    )
-    for epoch in epochs[:-keep]:
+    for epoch in _saved_epochs(ckpt_dir, name)[:-keep]:
         for path in (
             _epoch_file(ckpt_dir, name, epoch),
-            os.path.join(ckpt_dir, f"optim_epoch_{epoch}.msgpack"),
+            _optim_file(ckpt_dir, name, epoch),
         ):
             try:
                 os.remove(path)
@@ -78,15 +170,8 @@ def prune_checkpoints(ckpt_dir: str, name: str, keep: int) -> None:
 
 def latest_epoch(ckpt_dir: str, name: str) -> Optional[int]:
     """Highest saved epoch for ``name`` (resume rule, simple.py:89-124)."""
-    if not os.path.isdir(ckpt_dir):
-        return None
-    pat = re.compile(re.escape(name) + r"_epoch_(\d+)\.msgpack$")
-    epochs = [
-        int(m.group(1))
-        for fn in os.listdir(ckpt_dir)
-        if (m := pat.match(fn))
-    ]
-    return max(epochs) if epochs else None
+    epochs = _saved_epochs(ckpt_dir, name)
+    return epochs[-1] if epochs else None
 
 
 def load_checkpoint(
@@ -105,7 +190,7 @@ def load_checkpoint(
     with open(_epoch_file(ckpt_dir, name, epoch), "rb") as f:
         params = fser.from_bytes(params_template, f.read())
     opt_state = None
-    opt_path = os.path.join(ckpt_dir, f"optim_epoch_{epoch}.msgpack")
+    opt_path = _optim_file(ckpt_dir, name, epoch)
     if opt_state_template is not None and os.path.exists(opt_path):
         with open(opt_path, "rb") as f:
             opt_state = fser.from_bytes(opt_state_template, f.read())

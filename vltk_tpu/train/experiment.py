@@ -31,10 +31,14 @@ import jax
 import numpy as np
 
 from vltk_tpu.train.checkpoint import (
+    clear_mid_checkpoints,
     latest_epoch,
+    latest_mid_epoch,
     load_checkpoint,
+    load_mid_checkpoint,
     prune_checkpoints,
     save_checkpoint,
+    save_mid_checkpoint,
 )
 from vltk_tpu.train.optim import make_optimizer
 from vltk_tpu.train.steps import create_state, make_eval_step, make_train_step
@@ -96,16 +100,34 @@ class SimpleExperiment(abc.ABC):
         self._preempted = False
 
     def _init_checkpoint(self) -> None:
-        """Resume from the highest saved epoch, if any (simple.py:89-124)."""
-        epoch = latest_epoch(self.ckpt_dir, self.name)
+        """Resume from the newest checkpoint, if any: the highest
+        completed epoch (reference rule, simple.py:89-124), unless a
+        LATER epoch has a mid-epoch (periodic/preemption) save — then
+        re-enter that epoch step-granularly."""
+        full = latest_epoch(self.ckpt_dir, self.name)
+        mid = latest_mid_epoch(self.ckpt_dir, self.name)
+        # a mid file for an epoch <= full is a stale leftover (the epoch
+        # completed; its end-of-epoch save supersedes the partial state)
+        use_mid = mid is not None and (full is None or mid > full)
+        epoch = mid if use_mid else full
         if epoch is None:
             return
-        params, opt_state, info = load_checkpoint(
-            self.ckpt_dir,
-            self.name,
-            jax.device_get(self.state.params),
-            jax.device_get(self.state.opt_state),
-        )
+        if use_mid:
+            params, opt_state, info = load_mid_checkpoint(
+                self.ckpt_dir,
+                self.name,
+                jax.device_get(self.state.params),
+                jax.device_get(self.state.opt_state),
+                epoch,
+            )
+        else:
+            params, opt_state, info = load_checkpoint(
+                self.ckpt_dir,
+                self.name,
+                jax.device_get(self.state.params),
+                jax.device_get(self.state.opt_state),
+                epoch=epoch,
+            )
 
         def replace_like(host_tree, live_tree):
             """Restore host arrays onto the live tree's device placement —
@@ -125,10 +147,10 @@ class SimpleExperiment(abc.ABC):
         step = int(info.get("step", 0))
         self.state = self.state.replace(step=step, **replace)
         self.global_step = step
-        if info.get("mid_epoch") and int(info.get("epoch", -1)) == epoch:
-            # preemption/periodic save landed mid-epoch: re-enter that
-            # epoch and replay-skip the batches already trained (the
-            # loader's shuffle is a pure function of seed+epoch)
+        if use_mid:
+            # re-enter the interrupted epoch and replay-skip the batches
+            # already trained (the loader's shuffle is a pure function of
+            # seed+epoch, so the order replays exactly)
             self.start_epoch = epoch
             self._skip_steps = int(info.get("step_in_epoch", 0))
         else:
@@ -179,7 +201,16 @@ class SimpleExperiment(abc.ABC):
             return self.outer_loop()
         except BaseException:
             if self.config.save_on_crash:
-                self.save(epoch=self._current_epoch, crash=True)
+                # best-effort: the train step donates the state, so an
+                # exception landing between the step call and the
+                # self.state reassignment leaves deleted buffers — a
+                # failing crash save must not mask the real exception
+                try:
+                    self.save(epoch=self._current_epoch, crash=True)
+                except Exception as exc:
+                    import sys
+
+                    print(f"crash save failed: {exc!r}", file=sys.stderr)
             raise
         finally:
             restore()
@@ -197,7 +228,14 @@ class SimpleExperiment(abc.ABC):
             prev = signal.signal(signal.SIGTERM, _on_term)
         except ValueError:  # not the main thread: flag can be set directly
             return lambda: None
-        return lambda: signal.signal(signal.SIGTERM, prev)
+
+        def restore():
+            # prev is None when a non-Python (C-level) handler was
+            # installed; signal.signal refuses None — leave ours in place
+            if prev is not None:
+                signal.signal(signal.SIGTERM, prev)
+
+        return restore
 
     def outer_loop(self) -> Dict[str, Any]:
         last: Dict[str, Any] = {}
@@ -205,10 +243,14 @@ class SimpleExperiment(abc.ABC):
             self._current_epoch = epoch
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
+            self._steps_done_in_epoch = 0
             train_m = self.inner_loop(epoch)
             if self._preempted:
-                # the mid-epoch checkpoint is already on disk; report and
+                # write the authoritative preemption checkpoint, then
                 # stop so the scheduler's restart resumes from it
+                self.save_mid(
+                    epoch, step_in_epoch=self._steps_done_in_epoch
+                )
                 return {"epoch": epoch, "train": train_m, "preempted": True}
             eval_m = self.eval_loop()
             self.save(epoch)
@@ -222,6 +264,9 @@ class SimpleExperiment(abc.ABC):
         totals: Dict[str, float] = {}
         count = 0
         skip, self._skip_steps = self._skip_steps, 0
+        # position within this epoch (in batches consumed, incl. the
+        # replay-skipped prefix) — outer_loop's preemption save reads it
+        self._steps_done_in_epoch = skip
         save_every = int(getattr(self.config.train, "save_every_steps", 0))
         t0 = time.perf_counter()
         with open(os.path.join(self.logdir, "steps_log.json"), "a") as log:
@@ -246,8 +291,13 @@ class SimpleExperiment(abc.ABC):
                 )
                 if count % 16 == 0:
                     log.flush()
-                if self._preempted or (save_every and count % save_every == 0):
-                    self.save(epoch, mid_epoch=True, step_in_epoch=skip + count)
+                self._steps_done_in_epoch = skip + count
+                if save_every and count % save_every == 0:
+                    self.save_mid(epoch, step_in_epoch=skip + count)
+                # the flag is only ever read here for flow control; the
+                # authoritative preemption checkpoint is written by
+                # outer_loop (covers a signal landing during the last
+                # batch, where this loop ends by exhaustion instead)
                 if self._preempted or self.config.test_run:
                     break
         return {k: v / max(count, 1) for k, v in totals.items()}
@@ -270,9 +320,17 @@ class SimpleExperiment(abc.ABC):
         return self.eval_metrics(params, batch)
 
     def _device_batches(self, loader, skip: int = 0) -> Iterable[Dict[str, Any]]:
-        for i, batch in enumerate(loader):
-            if i < skip:  # mid-epoch resume: replay the deterministic
-                continue  # order, skip already-trained batches cheaply
+        # mid-epoch resume: replay the deterministic order without the
+        # already-trained batches. Framework loaders skip at the INDEX
+        # level (no fetch/decode of skipped entries, loader.iter_from);
+        # minimal loaders fall back to consume-and-discard.
+        if skip and hasattr(loader, "iter_from"):
+            it, skip = loader.iter_from(skip), 0
+        else:
+            it = loader
+        for i, batch in enumerate(it):
+            if i < skip:
+                continue
             prepared = self.prepare_batch(batch)
             if self.mesh is not None:
                 from vltk_tpu.parallel import shard_batch
@@ -282,39 +340,50 @@ class SimpleExperiment(abc.ABC):
 
     # -- persistence / logging (reference: simple.py:446-529) ----------------
 
-    def save(
-        self,
-        epoch: int,
-        crash: bool = False,
-        mid_epoch: bool = False,
-        step_in_epoch: int = 0,
-    ) -> None:
-        # crash saves get their own info file: clobbering info.json would
-        # make the next resume pair pre-crash params with the crash step
-        info: Dict[str, Any] = {
+    def _resume_info(self) -> Dict[str, Any]:
+        return {
             "step": self.global_step,
             # the PRNG stream position: restoring it makes a resumed run
             # draw the same per-step randomness as the uninterrupted one
             "rng": [int(x) for x in np.ravel(jax.device_get(self.rng))],
         }
-        if mid_epoch:
-            info.update(mid_epoch=True, step_in_epoch=int(step_in_epoch))
+
+    def save(self, epoch: int, crash: bool = False) -> None:
+        # crash saves get their own name + info file: clobbering the main
+        # files would pair pre-crash params with the crash step
         save_checkpoint(
             self.ckpt_dir,
             self.name if not crash else f"{self.name}_crash",
             epoch,
             self.state.params,
             self.state.opt_state,
-            info=info,
+            info=self._resume_info(),
             config=self.config,
             info_filename="crash_info.json" if crash else "info.json",
         )
         if not crash:
+            # the completed-epoch save supersedes any partial state
+            clear_mid_checkpoints(self.ckpt_dir, self.name, epoch)
             prune_checkpoints(
                 self.ckpt_dir,
                 self.name,
                 int(getattr(self.config.train, "keep_checkpoints", 0)),
             )
+
+    def save_mid(self, epoch: int, step_in_epoch: int) -> None:
+        """Periodic/preemption checkpoint: one atomic file, consistent at
+        any kill instant (see checkpoint.save_mid_checkpoint)."""
+        save_mid_checkpoint(
+            self.ckpt_dir,
+            self.name,
+            epoch,
+            self.state.params,
+            self.state.opt_state,
+            info={
+                **self._resume_info(),
+                "step_in_epoch": int(step_in_epoch),
+            },
+        )
 
     def write_epoch(self, line: str) -> None:
         with open(os.path.join(self.logdir, "epoch_log.txt"), "a") as f:
