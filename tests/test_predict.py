@@ -162,6 +162,29 @@ class TestVQAPredictor:
                 maximum=64.0,
             )
 
+    def test_conflicting_seq_budget_raises(self, tiny_vocab):
+        """tokenizer=12 + an explicit max_seq_length=20 is a geometry the
+        checkpoint never saw — refuse; omitting max_seq_length adopts the
+        tokenizer's budget (every other test here relies on that)."""
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.predict import VQAPredictor
+
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=12
+        )
+        with pytest.raises(ValueError, match="max_seq_length"):
+            VQAPredictor(
+                ANSWERS,
+                frcnn_config=TINY_FRCNN,
+                lxmert_config=TINY_LXMERT,
+                tokenizer=tok,
+                max_seq_length=20,
+                raw_canvas=(64, 64),
+                resized_canvas=(64, 64),
+                short=32.0,
+                maximum=64.0,
+            )
+
     def test_vocab_overflow_raises(self, tiny_vocab):
         from vltk_tpu.data.tokenizer import Tokenizer
         from vltk_tpu.predict import VQAPredictor

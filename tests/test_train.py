@@ -70,6 +70,24 @@ def test_checkpoint_roundtrip(tmp_path):
     assert json.load(open(os.path.join(ckpt, "info.json")))["epoch"] == 2
 
 
+def test_checkpoint_legacy_unscoped_optim_file(tmp_path):
+    """Dirs written before the name-scoping (and the reference layout,
+    simple.py:496-529) pair ``m_epoch_n`` with plain ``optim_epoch_n``;
+    resuming from them must load — not silently drop — that Adam state."""
+    ckpt = str(tmp_path / "ck")
+    params = {"w": np.arange(4, dtype=np.float32)}
+    opt = {"mu": np.full(4, 3.0, np.float32)}
+    save_checkpoint(ckpt, "m", 1, params, opt)
+    os.rename(
+        os.path.join(ckpt, "m_optim_epoch_1.msgpack"),
+        os.path.join(ckpt, "optim_epoch_1.msgpack"),
+    )
+    _, got_opt, _ = load_checkpoint(
+        ckpt, "m", {"w": np.zeros(4, np.float32)}, {"mu": np.zeros(4, np.float32)}
+    )
+    np.testing.assert_array_equal(got_opt["mu"], opt["mu"])
+
+
 # ------------------------------------------------------------ experiment ----
 
 

@@ -124,10 +124,10 @@ def _predict_doc(positional: List[str], flags: Dict[str, str]) -> int:
         print("usage: vltk predict --task=doc <doc.json> "
               "[--labels=labels.json --ckpt=layoutlm.pt]", file=sys.stderr)
         return 2
-    from vltk_tpu.predict import DocTokenClassifier, _load_answer_list
+    from vltk_tpu.predict import DocTokenClassifier
 
-    labels = flags.get("labels")
-    labels = _load_answer_list(labels) if labels else [
+    # DocTokenClassifier resolves a path/list/map itself (_load_answer_list)
+    labels = flags.get("labels") or [
         "other", "question", "answer", "header"]  # FUNSD defaults
     ckpt = flags.get("ckpt")
     if ckpt is not None:
@@ -209,11 +209,7 @@ def cmd_predict(positional: List[str], flags: Dict[str, str]) -> int:
         )
     else:
         answers = answers or ["yes", "no", "unknown"]
-        print(
-            "[predict] no checkpoints given: RANDOM-INIT weights — output "
-            "exercises the pipeline, not a trained model",
-            file=sys.stderr,
-        )
+        _random_init_note("weights")
         predictor = VQAPredictor(answers, batch_size=1)
     (res,) = predictor([image], [question], top_k=top_k)
     print(json.dumps(

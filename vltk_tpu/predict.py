@@ -100,8 +100,11 @@ def _check_head_width(params, path: Sequence[str], n: int, what: str) -> None:
             return
         try:
             node = node[key]
-        except (KeyError, TypeError):
-            return  # unexpected tree shape: leave it to flax's apply check
+        except (KeyError, TypeError, IndexError):
+            # IndexError: an ndarray at an intermediate path rejects the
+            # string key this way. Unexpected tree shape either way —
+            # leave it to flax's apply check
+            return
     width = getattr(node, "shape", (None,))[-1]
     if width is not None and width != n:
         raise ValueError(
@@ -123,7 +126,9 @@ class VQAPredictor:
         answer head is auto-sized to ``len(answers)``.
       batch_size: static request bucket; inputs are padded up to it so
         every call reuses one compiled program per model.
-      max_seq_length: static question token budget (VQA geometry: 20).
+      max_seq_length: static question token budget (default: the supplied
+        tokenizer's budget, else the VQA geometry's 20; giving both this
+        and ``tokenizer`` requires them to agree).
       raw_canvas / resized_canvas / short / maximum: detector input
         geometry; default to the extraction adapter's production values.
     """
@@ -137,7 +142,7 @@ class VQAPredictor:
         frcnn_config=None,
         lxmert_config=None,
         batch_size: int = 8,
-        max_seq_length: int = 20,
+        max_seq_length: Optional[int] = None,
         tokenizer=None,
         raw_canvas=None,
         resized_canvas=None,
@@ -186,9 +191,23 @@ class VQAPredictor:
         self.frcnn_config, self.lxmert_config = fcfg, lcfg
         self.frcnn = FRCNN(fcfg)
         self.lxmert = LxmertForVQA(lcfg)
-        self.tokenizer = tokenizer or Tokenizer(
-            name="NativeWordPiece", max_seq_length=max_seq_length
-        )
+        if tokenizer is None:
+            tokenizer = Tokenizer(
+                name="NativeWordPiece",
+                max_seq_length=20 if max_seq_length is None else max_seq_length,
+            )
+        elif (
+            max_seq_length is not None
+            and tokenizer.max_seq_length != max_seq_length
+        ):
+            # a conflicting explicit budget would emit a question geometry
+            # the checkpoint never saw — refuse instead of padding one way
+            raise ValueError(
+                f"tokenizer.max_seq_length ({tokenizer.max_seq_length}) "
+                f"must equal max_seq_length ({max_seq_length})"
+            )
+        self.tokenizer = tokenizer
+        max_seq_length = tokenizer.max_seq_length
         if self.tokenizer.vocab_size > lcfg.vocab_size:
             # ids past the embedding table NaN-fill via nn.Embed's
             # jnp.take — fail loudly at build time instead

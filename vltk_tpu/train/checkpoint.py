@@ -1,8 +1,11 @@
 """Checkpoint save/resume with the reference's on-disk semantics.
 
 Reference (vltk/abc/simple.py:496-529 save, 89-124 resume):
-``{model}_epoch_{n}.pt`` + ``{model}_optim_epoch_{n}.pt`` + ``info.json`` (epoch,
+``{model}_epoch_{n}.pt`` + ``optim_epoch_{n}.pt`` + ``info.json`` (epoch,
 step, scheduler state) + ``config.yaml``; resume picks the highest epoch.
+(We name-scope the optimizer file — ``{model}_optim_epoch_{n}`` — so a
+crash save cannot clobber the periodic pair; loads fall back to the
+reference-style unscoped name for pre-existing checkpoint dirs.)
 Here the tensors are flax msgpack trees; the surrounding layout and resume
 rule are the same.
 """
@@ -191,6 +194,13 @@ def load_checkpoint(
         params = fser.from_bytes(params_template, f.read())
     opt_state = None
     opt_path = _optim_file(ckpt_dir, name, epoch)
+    if not os.path.exists(opt_path):
+        # checkpoint dirs written before the name-scoping (and the
+        # reference layout itself, simple.py:496-529) use the unscoped
+        # file — resuming from them must not silently drop Adam state
+        legacy = os.path.join(ckpt_dir, f"optim_epoch_{epoch}.msgpack")
+        if os.path.exists(legacy):
+            opt_path = legacy
     if opt_state_template is not None and os.path.exists(opt_path):
         with open(opt_path, "rb") as f:
             opt_state = fser.from_bytes(opt_state_template, f.read())
