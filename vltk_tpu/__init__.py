@@ -70,4 +70,8 @@ def __getattr__(name):
         from vltk_tpu.predict import DocSpanQA
 
         return DocSpanQA
+    if name == "aot":
+        import vltk_tpu.aot as aot
+
+        return aot
     raise AttributeError(f"module 'vltk_tpu' has no attribute {name!r}")

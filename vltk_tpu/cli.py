@@ -36,7 +36,7 @@ def _parse_flags(argv: List[str]) -> Tuple[List[str], Dict[str, str]]:
                 key, value = body.split("=", 1)
             else:
                 key, value = body, "true"
-            flags[key] = value
+            flags[key.replace("-", "_")] = value
         else:
             positional.append(arg)
     return positional, flags
@@ -172,9 +172,11 @@ def cmd_predict(positional: List[str], flags: Dict[str, str]) -> int:
     inference (vltk_tpu/predict.py). With ``--frcnn=`` + ``--lxmert=``
     torch checkpoints and an ``--answers=`` vocabulary it answers for
     real; without them it runs the full pipeline at random init (loudly
-    labeled) so the path is exercisable anywhere. ``--task=doc`` labels
-    an OCR document's words; ``--task=span`` extracts a document answer
-    span."""
+    labeled) so the path is exercisable anywhere. ``--bundle=vqa.zip``
+    serves from an AOT export instead (no model code or weights needed);
+    ``--export-bundle=vqa.zip`` writes one after building the predictor.
+    ``--task=doc`` labels an OCR document's words; ``--task=span``
+    extracts a document answer span."""
     task = flags.get("task", "vqa")
     if task == "doc":
         return _predict_doc(positional, flags)
@@ -197,10 +199,14 @@ def cmd_predict(positional: List[str], flags: Dict[str, str]) -> int:
     frcnn, lxmert = flags.get("frcnn"), flags.get("lxmert")
     answers = flags.get("answers")
     top_k = int(flags.get("top_k", "5"))
-    if (frcnn is None) != (lxmert is None):
+    if "bundle" in flags:
+        # serve from an AOT export (vltk_tpu/aot.py): answers, vocab and
+        # compiled steps all come from the artifact file
+        predictor = VQAPredictor.from_bundle(flags["bundle"])
+    elif (frcnn is None) != (lxmert is None):
         print("--frcnn and --lxmert must be given together", file=sys.stderr)
         return 2
-    if frcnn is not None:
+    elif frcnn is not None:
         if answers is None:
             print("--answers is required with checkpoints", file=sys.stderr)
             return 2
@@ -211,6 +217,9 @@ def cmd_predict(positional: List[str], flags: Dict[str, str]) -> int:
         answers = answers or ["yes", "no", "unknown"]
         _random_init_note("weights")
         predictor = VQAPredictor(answers, batch_size=1)
+    if "export_bundle" in flags:
+        out = predictor.export_bundle(flags["export_bundle"])
+        print(f"[predict] wrote AOT serving bundle: {out}", file=sys.stderr)
     (res,) = predictor([image], [question], top_k=top_k)
     print(json.dumps(
         {

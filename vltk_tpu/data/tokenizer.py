@@ -34,6 +34,7 @@ class Tokenizer:
     ):
         self.name = name
         self.from_transformers = from_transformers
+        self.lowercase = bool(lowercase)
         self.max_seq_length = int(max_seq_length)
         vocab_path = vocab_path or V.VOCABPATH
         self._vocab_path = vocab_path

@@ -91,6 +91,48 @@ def _load_answer_list(answers: Union[str, Sequence[str]]) -> List[str]:
     return list(answers)
 
 
+def _tokenizer_bundle_parts(tok):
+    """(meta dict, vocab bytes) for shipping a tokenizer inside an AOT
+    serving bundle (vltk_tpu/aot.py)."""
+    with open(tok._vocab_path, "rb") as f:
+        vocab = f.read()
+    meta = {
+        "name": tok.name,
+        "lowercase": bool(getattr(tok, "lowercase", True)),
+        "max_seq_length": int(tok.max_seq_length),
+    }
+    return meta, vocab
+
+
+def _tokenizer_from_bundle(meta: Dict[str, Any], vocab: bytes):
+    """-> (Tokenizer, TemporaryDirectory). Keep the directory object alive
+    as long as the tokenizer: NativeWordPiece re-reads the vocab file
+    lazily (decode)."""
+    import tempfile
+
+    from vltk_tpu.data.tokenizer import Tokenizer
+
+    tmpdir = tempfile.TemporaryDirectory(prefix="vltk_aot_")
+    path = os.path.join(tmpdir.name, "vocab.txt")
+    with open(path, "wb") as f:
+        f.write(vocab)
+    tok = Tokenizer(
+        name=meta["name"],
+        vocab_path=path,
+        lowercase=bool(meta.get("lowercase", True)),
+        max_seq_length=int(meta["max_seq_length"]),
+    )
+    return tok, tmpdir
+
+
+def _check_bundle_kind(path: str, meta: Dict[str, Any], want: str) -> None:
+    if meta.get("kind") != want:
+        raise ValueError(
+            f"{path}: bundle kind {meta.get('kind')!r} is not a "
+            f"{want} export"
+        )
+
+
 def _check_head_width(params, path: Sequence[str], n: int, what: str) -> None:
     """Loaded checkpoints must agree with the label vocabulary — a silent
     mismatch returns wrong strings (or IndexErrors) at predict time."""
@@ -302,6 +344,73 @@ class VQAPredictor:
         )
 
     # ------------------------------------------------------------------
+    # AOT serving bundle (vltk_tpu/aot.py)
+    # ------------------------------------------------------------------
+    def export_bundle(
+        self, path: str, *, platforms: Optional[Sequence[str]] = None
+    ) -> str:
+        """Lower both jitted steps with the params baked in as constants
+        and write one self-contained serving file (StableHLO artifacts +
+        tokenizer vocab + geometry/answers metadata — see vltk_tpu/aot.py
+        for why this replaces the reference's model-code-plus-checkpoint
+        deployment). ``platforms=("cpu", "tpu")`` cross-lowers so one
+        artifact serves on either backend."""
+        import jax
+
+        from vltk_tpu.aot import export_jitted, save_bundle
+
+        fcfg, lcfg = self.frcnn_config, self.lxmert_config
+        B = self.batch_size
+        ch, cw = self.raw_canvas
+        L = self.tokenizer.max_seq_length
+        D = fcfg.max_detections
+        F = lcfg.visual_feat_dim
+        fparams = jax.device_get(self.frcnn_params)
+        lparams = jax.device_get(self.lxmert_params)
+        extract = export_jitted(
+            lambda img, sz: self._extract_step(fparams, img, sz),
+            (
+                np.zeros((B, ch, cw, 3), np.uint8),
+                np.zeros((B, 2), np.float32),
+            ),
+            platforms=platforms,
+        )
+        answer = export_jitted(
+            lambda ids, feats, boxes, tm, vm: self._answer_step(
+                lparams, ids, feats, boxes, tm, vm
+            ),
+            (
+                np.zeros((B, L), np.int32),
+                np.zeros((B, D, F), np.float32),
+                np.zeros((B, D, 4), np.float32),
+                np.zeros((B, L), np.float32),
+                np.zeros((B, D), np.float32),
+            ),
+            platforms=platforms,
+        )
+        tmeta, vocab = _tokenizer_bundle_parts(self.tokenizer)
+        meta = {
+            "kind": "vqa_predictor",
+            "answers": list(self.answers),
+            "batch_size": B,
+            "raw_canvas": [ch, cw],
+            "tokenizer": tmeta,
+        }
+        return save_bundle(
+            path,
+            {"extract": extract, "answer": answer},
+            meta=meta,
+            files={"vocab.txt": vocab},
+        )
+
+    @classmethod
+    def from_bundle(cls, path: str) -> "VQAPredictor":
+        """Serve from an ``export_bundle`` file: no model construction,
+        no params, no trace — the deserialized artifacts stand in for the
+        jitted steps and the host side is rebuilt from the manifest."""
+        return _BundledVQAPredictor(path)
+
+    # ------------------------------------------------------------------
     # host side
     # ------------------------------------------------------------------
     def _entries(
@@ -420,6 +529,37 @@ class VQAPredictor:
                     }
                 )
         return results
+
+
+class _BundledVQAPredictor(VQAPredictor):
+    """VQAPredictor serving an AOT bundle: inherits the whole host plane
+    (decode, collate, tokenize, rank) but swaps the jitted steps for the
+    bundle's deserialized artifacts — no model code or params on the
+    serving host (vltk_tpu/aot.py)."""
+
+    def __init__(self, path: str):  # deliberately NOT super().__init__
+        from vltk_tpu.adapters.frcnn import FRCNN as FRCNNAdapter
+        from vltk_tpu.aot import load_bundle
+
+        bundle = load_bundle(path)
+        meta = bundle.meta
+        _check_bundle_kind(path, meta, "vqa_predictor")
+        self.answers = list(meta["answers"])
+        self.batch_size = int(meta["batch_size"])
+        self.raw_canvas = tuple(meta["raw_canvas"])
+        self._adapter = type(
+            "_SizedFRCNNAdapter", (FRCNNAdapter,),
+            {"raw_canvas": self.raw_canvas},
+        )
+        self.tokenizer, self._vocab_dir = _tokenizer_from_bundle(
+            meta["tokenizer"], bundle.files["vocab.txt"]
+        )
+        self.frcnn_params = None  # baked into the artifacts
+        self.lxmert_params = None
+        extract, answer = bundle.fns["extract"], bundle.fns["answer"]
+        self._extract_step = lambda _params, img, sz: extract(img, sz)
+        self._answer_step = lambda _params, *args: answer(*args)
+        self.platforms = bundle.platforms
 
 
 class DocTokenClassifier:
@@ -541,6 +681,45 @@ class DocTokenClassifier:
         return self
 
     # ------------------------------------------------------------------
+    # AOT serving bundle (vltk_tpu/aot.py)
+    # ------------------------------------------------------------------
+    def export_bundle(
+        self, path: str, *, platforms: Optional[Sequence[str]] = None
+    ) -> str:
+        """One self-contained serving file: the jitted step lowered with
+        params baked in, plus vocab + labels + geometry."""
+        import jax
+
+        from vltk_tpu.aot import export_jitted, save_bundle
+
+        B, L = self.batch_size, self.max_seq_length
+        p = jax.device_get(self.params)
+        step = export_jitted(
+            lambda ids, boxes, mask: self._step(p, ids, boxes, mask),
+            (
+                np.zeros((B, L), np.int32),
+                np.zeros((B, L, 4), np.int32),
+                np.zeros((B, L), np.float32),
+            ),
+            platforms=platforms,
+        )
+        tmeta, vocab = _tokenizer_bundle_parts(self.tokenizer)
+        meta = {
+            "kind": "doc_token_classifier",
+            "labels": list(self.labels),
+            "batch_size": B,
+            "max_seq_length": L,
+            "tokenizer": tmeta,
+        }
+        return save_bundle(
+            path, {"step": step}, meta=meta, files={"vocab.txt": vocab}
+        )
+
+    @classmethod
+    def from_bundle(cls, path: str) -> "DocTokenClassifier":
+        return _BundledDocTokenClassifier(path)
+
+    # ------------------------------------------------------------------
     def _prep(self, doc: Dict[str, Any]) -> Dict[str, Any]:
         return _prep_ocr_entry(self._aux, self._boxfix, doc)
 
@@ -635,6 +814,34 @@ def _subtoken_word_index(tokenmap: np.ndarray, budget: int) -> np.ndarray:
             out[pos] = w
             pos += 1
     return out
+
+
+class _BundledDocTokenClassifier(DocTokenClassifier):
+    """DocTokenClassifier serving an AOT bundle: host OCR chain rebuilt
+    from the manifest, compiled step from the artifact, no model/params."""
+
+    def __init__(self, path: str):  # deliberately NOT super().__init__
+        from vltk_tpu.aot import load_bundle
+        from vltk_tpu.processing.visn import AuxTokenize, OCRBoxFixed
+
+        bundle = load_bundle(path)
+        meta = bundle.meta
+        _check_bundle_kind(path, meta, "doc_token_classifier")
+        self.labels = list(meta["labels"])
+        self.batch_size = int(meta["batch_size"])
+        self.max_seq_length = int(meta["max_seq_length"])
+        self.tokenizer, self._vocab_dir = _tokenizer_from_bundle(
+            meta["tokenizer"], bundle.files["vocab.txt"]
+        )
+        self._aux = AuxTokenize(
+            tokenizer=self.tokenizer,
+            max_visual_seq_length=self.max_seq_length,
+        )
+        self._boxfix = OCRBoxFixed(max_visual_seq_length=self.max_seq_length)
+        self.params = None  # baked into the artifact
+        step = bundle.fns["step"]
+        self._step = lambda _params, *args: step(*args)
+        self.platforms = bundle.platforms
 
 
 class DocSpanQA:
@@ -743,6 +950,46 @@ class DocSpanQA:
         self.params = params
         return self
 
+    # ------------------------------------------------------------------
+    # AOT serving bundle (vltk_tpu/aot.py)
+    # ------------------------------------------------------------------
+    def export_bundle(
+        self, path: str, *, platforms: Optional[Sequence[str]] = None
+    ) -> str:
+        """One self-contained serving file: the jitted span step lowered
+        with params baked in, plus vocab + the concat-layout geometry."""
+        import jax
+
+        from vltk_tpu.aot import export_jitted, save_bundle
+
+        B, seq = self.batch_size, self.q_len + self.doc_len
+        p = jax.device_get(self.params)
+        step = export_jitted(
+            lambda ids, boxes, mask: self._step(p, ids, boxes, mask),
+            (
+                np.zeros((B, seq), np.int32),
+                np.zeros((B, seq, 4), np.int32),
+                np.zeros((B, seq), np.float32),
+            ),
+            platforms=platforms,
+        )
+        tmeta, vocab = _tokenizer_bundle_parts(self.tokenizer)
+        meta = {
+            "kind": "doc_span_qa",
+            "batch_size": B,
+            "question_len": self.q_len,
+            "doc_len": self.doc_len,
+            "max_span": self.max_span,
+            "tokenizer": tmeta,
+        }
+        return save_bundle(
+            path, {"step": step}, meta=meta, files={"vocab.txt": vocab}
+        )
+
+    @classmethod
+    def from_bundle(cls, path: str) -> "DocSpanQA":
+        return _BundledDocSpanQA(path)
+
     def __call__(
         self,
         documents: Sequence[Dict[str, Any]],
@@ -821,3 +1068,31 @@ class DocSpanQA:
                     }
                 )
         return results
+
+
+class _BundledDocSpanQA(DocSpanQA):
+    """DocSpanQA serving an AOT bundle: concat-layout host prep rebuilt
+    from the manifest, compiled span step from the artifact."""
+
+    def __init__(self, path: str):  # deliberately NOT super().__init__
+        from vltk_tpu.aot import load_bundle
+        from vltk_tpu.processing.visn import AuxTokenize, OCRBoxFixed
+
+        bundle = load_bundle(path)
+        meta = bundle.meta
+        _check_bundle_kind(path, meta, "doc_span_qa")
+        self.batch_size = int(meta["batch_size"])
+        self.q_len = int(meta["question_len"])
+        self.doc_len = int(meta["doc_len"])
+        self.max_span = int(meta["max_span"])
+        self.tokenizer, self._vocab_dir = _tokenizer_from_bundle(
+            meta["tokenizer"], bundle.files["vocab.txt"]
+        )
+        self._aux = AuxTokenize(
+            tokenizer=self.tokenizer, max_visual_seq_length=self.doc_len
+        )
+        self._boxfix = OCRBoxFixed(max_visual_seq_length=self.doc_len)
+        self.params = None  # baked into the artifact
+        step = bundle.fns["step"]
+        self._step = lambda _params, *args: step(*args)
+        self.platforms = bundle.platforms
