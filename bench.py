@@ -148,7 +148,16 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
     import jax
     import jax.numpy as jnp
 
-    batch = 2 if smoke else args.batch
+    # Data-parallel over every attached chip: per-chip batch (args.batch)
+    # is preserved, the global batch scales with the device count, and
+    # the jitted step is SPMD-partitioned by its input shardings — the
+    # per-chip metric keeps its single-chip meaning while the bench
+    # actually uses the machine. (The dev tunnel exposes one chip, so
+    # there this is the identity; on a real v5e-8 host it is the 8-chip
+    # extraction path the dryrun validates.)
+    n_dev = max(jax.local_device_count(), 1)
+    per_chip = 2 if smoke else args.batch
+    batch = per_chip * n_dev
     cfg = make_config(args, fast=fast, smoke=smoke, dtype=dtype)
     step, params, raws, raw_sizes = build_step(cfg, batch, smoke)
     fed = getattr(args, "fed", False)
@@ -158,7 +167,20 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
         # under-reports on the tunneled TPU platform
         return float(jnp.sum(out[0]))
 
-    bufs = [jax.device_put(r) for r in raws]
+    if n_dev > 1:
+        import numpy as _np_
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(_np_.array(jax.devices()[:n_dev]), ("data",))
+        data_sh = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        raw_sizes = jax.device_put(raw_sizes, data_sh)
+        put = lambda r: jax.device_put(r, data_sh)  # noqa: E731
+    else:
+        put = jax.device_put
+
+    bufs = [put(r) for r in raws]
     fetch(step(params, bufs[0], raw_sizes))  # warmup / compile
 
     # dispatch all steps, fetch once at the end: device execution is
@@ -175,7 +197,7 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
         j = i % 2
         out = step(params, bufs[j], raw_sizes)
         if fed:
-            bufs[j] = jax.device_put(raws[j])
+            bufs[j] = put(raws[j])
     fetch(out)
     if fed:
         # fence the trailing re-fed buffers: the last two puts would

@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Poll the axon tunnel; the moment jax.devices() responds, capture every
+# pending TPU row (tools/run_tpu_rows.sh) once and exit. Run detached:
+#   nohup bash tools/wait_and_capture.sh & echo $! > /tmp/tpuwait.pid
+set -u
+cd "$(dirname "$0")/.."
+log=tools/tpu_wait.log
+for i in $(seq 1 100); do
+  if timeout 180 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    echo "tunnel up at $(date -Is) (attempt $i)" >> "$log"
+    touch tools/tpu_capture.running
+    bash tools/run_tpu_rows.sh >> "$log" 2>&1
+    rm -f tools/tpu_capture.running
+    echo "capture done at $(date -Is)" >> "$log"
+    exit 0
+  fi
+  echo "tunnel down at $(date -Is) (attempt $i)" >> "$log"
+  sleep 540
+done
+echo "gave up at $(date -Is)" >> "$log"
