@@ -167,6 +167,17 @@ def main():
               f"topk: {[(a, round(s, 3)) for a, s in res['topk']]} "
               f"boxes: {res['num_boxes']}")
 
+        # deployment: one self-contained AOT file (compiled steps +
+        # vocab + geometry), served back without model code or params
+        bundle = os.path.join(datadir, "vqa_bundle.zip")
+        predictor.export_bundle(bundle)
+        (res2,) = VQAPredictor.from_bundle(bundle)(
+            [img], ["what color is the thing"], top_k=3
+        )
+        assert res2["answer"] == res["answer"]
+        print(f"    AOT bundle round-trip ok: {os.path.basename(bundle)} "
+              f"answer {res2['answer']!r}")
+
     if not args.train:
         print("[4/4] done (pass --train to finetune the VQA head)")
         return 0
