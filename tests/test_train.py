@@ -495,6 +495,54 @@ def test_vqa_experiment_auto_sizes_answer_head(tmp_path, rng):
     assert params["answer_head"]["logit"]["kernel"].shape[-1] == 9
 
 
+def test_mesh_mid_epoch_preemption_resume_exact(tmp_path, rng):
+    """SIGTERM mid-epoch on the SHARDED experiment: the single-file mid
+    checkpoint gathers the dp x tp sharded state, the restart re-enters
+    the epoch step-granularly with TP shardings restored, and the final
+    params match the uninterrupted mesh run exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import PartitionSpec as P
+
+    batches = _vqa_batches(rng, n=6)
+    mesh_cfg = MeshConfig(axes=(("data", 4), ("model", 2)))
+
+    def mk(dirname):
+        cfg = _mk_config(tmp_path / dirname, epochs=2, learning_rate=0.01)
+        return cfg
+
+    truth_exp = _VQAExperiment(
+        mk("truth"), loaders=(_ListLoader(batches), None),
+        mesh=make_mesh(mesh_cfg), rules=LXMERT_RULES,
+    )
+    truth_exp()
+    truth = jax.device_get(truth_exp.state.params)
+
+    cfg = mk("run")
+    exp = _VQAExperiment(
+        cfg, loaders=(_ListLoader(batches), None),
+        mesh=make_mesh(mesh_cfg), rules=LXMERT_RULES,
+    )
+    _preempt_after(exp, 9)  # epoch 1, after 3 of its 6 batches
+    res = exp()
+    assert res.get("preempted") is True
+
+    resumed = _VQAExperiment(
+        cfg, loaders=(_ListLoader(batches), None),
+        mesh=make_mesh(mesh_cfg), rules=LXMERT_RULES,
+    )
+    assert resumed.start_epoch == 1
+    assert resumed._skip_steps == 3
+    q = resumed.state.params["lxmert"]["layer_0"]["att"]["query"]["kernel"]
+    assert q.sharding.spec == P(None, "model"), q.sharding
+    resumed()
+    got = jax.device_get(resumed.state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6),
+        got, truth,
+    )
+
+
 def test_mesh_resume_preserves_shardings(tmp_path, rng):
     """Checkpoint resume under a mesh must restore the TP shardings (a
     plain host-array replace would silently replicate everything)."""
