@@ -1,0 +1,157 @@
+"""Micro-batch serving layer (vltk_tpu/serving.py): coalescing
+correctness, ordering, error fan-out, and the VQA predictor adapter.
+The reference served with a bs=1 Python loop (vltk/abc/simple.py:576-682)
+— this layer is what makes the fixed-shape buckets pay off across
+concurrent callers."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from vltk_tpu.serving import MicroBatchServer, for_vqa
+
+
+class _Recorder:
+    """batch_fn that records call sizes and echoes request -> f(request)."""
+
+    def __init__(self, fn=lambda r: r * 10, delay=0.0):
+        self.sizes = []
+        self.fn = fn
+        self.delay = delay
+        self.lock = threading.Lock()
+
+    def __call__(self, requests):
+        if self.delay:
+            time.sleep(self.delay)
+        with self.lock:
+            self.sizes.append(len(requests))
+        return [self.fn(r) for r in requests]
+
+
+def test_single_request_roundtrip():
+    rec = _Recorder()
+    with MicroBatchServer(rec, batch_size=4, max_delay_ms=1) as srv:
+        assert srv(7) == 70
+    assert rec.sizes == [1]
+
+
+def test_burst_coalesces_into_buckets():
+    """32 concurrent callers over batch_size=8 must land in far fewer
+    device calls than 32 — the whole point of the layer."""
+    rec = _Recorder(delay=0.01)  # a slow step lets the queue build up
+    results = {}
+
+    with MicroBatchServer(rec, batch_size=8, max_delay_ms=50) as srv:
+        def caller(i):
+            results[i] = srv(i)
+
+        threads = [
+            threading.Thread(target=caller, args=(i,)) for i in range(32)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    assert results == {i: i * 10 for i in range(32)}
+    assert sum(rec.sizes) == 32
+    assert len(rec.sizes) <= 8  # at least 4x coalescing
+    assert max(rec.sizes) == 8  # full buckets under sustained load
+    assert srv.stats["requests_served"] == 32
+
+
+def test_results_keep_request_order_within_bucket():
+    rec = _Recorder()
+    srv = MicroBatchServer(rec, batch_size=16, max_delay_ms=100)
+    futs = [srv.submit(i) for i in range(10)]
+    assert [f.result() for f in futs] == [i * 10 for i in range(10)]
+    srv.close()
+
+
+def test_error_fans_out_to_all_callers():
+    def boom(requests):
+        raise ValueError("device fell over")
+
+    with MicroBatchServer(boom, batch_size=4, max_delay_ms=20) as srv:
+        futs = [srv.submit(i) for i in range(3)]
+        for f in futs:
+            with pytest.raises(ValueError, match="fell over"):
+                f.result(timeout=5)
+
+
+def test_wrong_result_count_is_an_error():
+    with MicroBatchServer(
+        lambda reqs: [0], batch_size=4, max_delay_ms=20
+    ) as srv:
+        futs = [srv.submit(i) for i in range(2)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="results"):
+                f.result(timeout=5)
+
+
+def test_close_drains_pending_and_refuses_new():
+    rec = _Recorder()
+    srv = MicroBatchServer(rec, batch_size=4, max_delay_ms=500)
+    futs = [srv.submit(i) for i in range(6)]
+    srv.close()  # must serve all 6, not abandon the window
+    assert [f.result(timeout=5) for f in futs] == [i * 10 for i in range(6)]
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(0)
+
+
+def test_bad_batch_size_rejected():
+    with pytest.raises(ValueError, match="batch_size"):
+        MicroBatchServer(lambda r: r, batch_size=0)
+
+
+def test_vqa_adapter_end_to_end(tmp_path):
+    """Concurrent single (image, question) callers through the real tiny
+    VQAPredictor match the direct batched call."""
+    from tests.test_predict import ANSWERS, TINY_FRCNN, TINY_LXMERT
+    from vltk_tpu.data.tokenizer import Tokenizer
+    from vltk_tpu.predict import VQAPredictor
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "what", "is", "the", "cat"]) + "\n")
+    predictor = VQAPredictor(
+        ANSWERS,
+        frcnn_config=TINY_FRCNN,
+        lxmert_config=TINY_LXMERT,
+        tokenizer=Tokenizer(
+            name="NativeWordPiece", vocab_path=str(vocab), max_seq_length=8
+        ),
+        batch_size=4,
+        raw_canvas=(64, 64),
+        resized_canvas=(64, 64),
+        short=32.0,
+        maximum=64.0,
+    )
+    rng = np.random.default_rng(0)
+    images = [
+        rng.integers(0, 255, (48, 56, 3)).astype(np.uint8) for _ in range(6)
+    ]
+    questions = [f"what is the cat {i}" for i in range(6)]
+    want = predictor(images, questions, top_k=2)
+
+    results = {}
+    with for_vqa(predictor, max_delay_ms=100) as srv:
+        def caller(i):
+            results[i] = srv((images[i], questions[i]))
+
+        threads = [
+            threading.Thread(target=caller, args=(i,)) for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert srv.stats["batches_run"] <= 3  # coalesced, not 6 bs=1 calls
+    for i in range(6):
+        assert results[i]["answer"] == want[i]["answer"]
+        np.testing.assert_allclose(
+            results[i]["score"], want[i]["score"], rtol=1e-5
+        )

@@ -74,4 +74,12 @@ def __getattr__(name):
         import vltk_tpu.aot as aot
 
         return aot
+    if name == "serving":
+        import vltk_tpu.serving as serving
+
+        return serving
+    if name == "MicroBatchServer":
+        from vltk_tpu.serving import MicroBatchServer
+
+        return MicroBatchServer
     raise AttributeError(f"module 'vltk_tpu' has no attribute {name!r}")

@@ -1,0 +1,181 @@
+"""Cross-request micro-batching for serving the predictors.
+
+The predictors (vltk_tpu/predict.py) run fixed-shape compiled programs:
+every call pads to a static ``batch_size`` bucket, so a single-item
+request pays the whole bucket's compute. Production serving has many
+concurrent single-item callers — the classic TPU answer is to coalesce
+them: a background worker drains a queue into full buckets, runs ONE
+compiled step, and fans results back out. Throughput approaches the
+batch-dense number while per-request latency is bounded by
+``max_delay_ms`` (the window the worker waits to fill a bucket).
+
+The reference has no serving story at all — its eval path was a bs=1
+Python loop (reference vltk/abc/simple.py:576-682). This module is the
+deployment-side complement of the framework's fixed-shape thesis: the
+same static bucket that makes XLA compile once is what makes cross-user
+batching trivially correct (no shape bucketing tiers needed).
+
+Works with any callable that maps a list of requests to a list of
+results (one per request, in order); ``for_vqa`` / ``for_doc`` /
+``for_span`` adapt the three predictors.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+
+class MicroBatchServer:
+    """Coalesce concurrent single requests into batched predictor calls.
+
+    Args:
+      batch_fn: ``List[request] -> List[result]`` (same length/order).
+      batch_size: bucket capacity per call — the predictor's static
+        ``batch_size`` (larger wastes padding, smaller wastes capacity).
+      max_delay_ms: how long the worker waits for more requests after the
+        first one arrives before running a partial bucket. The knee of
+        the latency/throughput trade: 0 serves immediately (bs=1-like),
+        a few ms rides bursts into full buckets.
+
+    Thread-safe; ``submit`` returns a ``concurrent.futures.Future``,
+    ``__call__`` blocks for the result. Use as a context manager or call
+    ``close()`` — pending requests are drained before shutdown.
+    """
+
+    def __init__(
+        self,
+        batch_fn: Callable[[List[Any]], Sequence[Any]],
+        batch_size: int,
+        max_delay_ms: float = 5.0,
+    ):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self._batch_fn = batch_fn
+        self._batch_size = int(batch_size)
+        self._max_delay = max(float(max_delay_ms), 0.0) / 1e3
+        self._queue: "queue.Queue[Optional[Tuple[Any, Future]]]" = queue.Queue()
+        self._batches_run = 0  # observability: how often we hit the device
+        self._requests_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._closed = False
+        self._worker.start()
+
+    # ------------------------------------------------------------- api ----
+    def submit(self, request: Any) -> "Future":
+        if self._closed:
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        self._queue.put((request, fut))
+        return fut
+
+    def __call__(self, request: Any) -> Any:
+        return self.submit(request).result()
+
+    def close(self) -> None:
+        """Drain pending requests, then stop the worker."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)  # sentinel: drain-and-exit
+        self._worker.join()
+        # a submit() racing close() can land behind the sentinel — fail
+        # those futures instead of leaving their callers blocked forever
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("server is closed"))
+
+    def __enter__(self) -> "MicroBatchServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "batches_run": self._batches_run,
+            "requests_served": self._requests_served,
+        }
+
+    # ---------------------------------------------------------- worker ----
+    def _run(self) -> None:
+        import time
+
+        while True:
+            head = self._queue.get()
+            if head is None:
+                return
+            bucket = [head]
+            # the first request opens a window: wait up to max_delay for
+            # the bucket to fill (past the deadline, still drain whatever
+            # is already queued — a burst should ride one bucket)
+            deadline = time.monotonic() + self._max_delay
+            while len(bucket) < self._batch_size:
+                remaining = deadline - time.monotonic()
+                try:
+                    if remaining > 0:
+                        item = self._queue.get(timeout=remaining)
+                    else:
+                        item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._serve(bucket)
+                    return
+                bucket.append(item)
+            self._serve(bucket)
+
+    def _serve(self, bucket: List[Tuple[Any, Future]]) -> None:
+        requests = [r for r, _ in bucket]
+        try:
+            results = list(self._batch_fn(requests))
+            if len(results) != len(requests):
+                raise RuntimeError(
+                    f"batch_fn returned {len(results)} results for "
+                    f"{len(requests)} requests"
+                )
+        except BaseException as exc:  # fan the failure out to every caller
+            for _, fut in bucket:
+                fut.set_exception(exc)
+            return
+        self._batches_run += 1
+        self._requests_served += len(bucket)
+        for (_, fut), res in zip(bucket, results):
+            fut.set_result(res)
+
+
+# ------------------------------------------------------------ adapters ----
+
+
+def for_vqa(predictor, max_delay_ms: float = 5.0) -> MicroBatchServer:
+    """Serve a VQAPredictor: request = (image, question) -> result dict."""
+    return MicroBatchServer(
+        lambda reqs: predictor([r[0] for r in reqs], [r[1] for r in reqs]),
+        batch_size=predictor.batch_size,
+        max_delay_ms=max_delay_ms,
+    )
+
+
+def for_doc(classifier, max_delay_ms: float = 5.0) -> MicroBatchServer:
+    """Serve a DocTokenClassifier: request = document dict -> word labels."""
+    return MicroBatchServer(
+        lambda reqs: classifier(list(reqs)),
+        batch_size=classifier.batch_size,
+        max_delay_ms=max_delay_ms,
+    )
+
+
+def for_span(span_qa, max_delay_ms: float = 5.0) -> MicroBatchServer:
+    """Serve a DocSpanQA: request = (document, question) -> span dict."""
+    return MicroBatchServer(
+        lambda reqs: span_qa([r[0] for r in reqs], [r[1] for r in reqs]),
+        batch_size=span_qa.batch_size,
+        max_delay_ms=max_delay_ms,
+    )
