@@ -162,6 +162,43 @@ class TestVQAPredictor:
                 maximum=64.0,
             )
 
+    def test_int8_preset_lazily_calibrates(self, tiny_vocab, tmp_path):
+        """frcnn_config(int8=True): the first real request records static
+        PTQ activation scales (the adapter's recipe, adapters/frcnn.py
+        forward_dispatch) so Int8Conv runs its calibrated fast path, and
+        later requests reuse them."""
+        import dataclasses as _dc
+
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.predict import VQAPredictor
+
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=12
+        )
+        p = VQAPredictor(
+            ANSWERS,
+            frcnn_config=_dc.replace(TINY_FRCNN, int8=True),
+            lxmert_config=TINY_LXMERT,
+            tokenizer=tok,
+            batch_size=2,
+            raw_canvas=(64, 64),
+            resized_canvas=(64, 64),
+            short=32.0,
+            maximum=64.0,
+        )
+        assert "quant" not in p._frcnn_variables
+        img = np.random.default_rng(0).integers(
+            0, 255, (48, 56, 3)
+        ).astype(np.uint8)
+        (res,) = p([img], ["what is the cat"], top_k=2)
+        assert "quant" in p._frcnn_variables  # calibrated on first request
+        quant_before = p._frcnn_variables["quant"]
+        assert res["answer"] in ANSWERS
+        assert np.isfinite(res["score"])
+        (res2,) = p([img], ["what is the cat"], top_k=2)
+        assert p._frcnn_variables["quant"] is quant_before  # reused
+        np.testing.assert_allclose(res2["score"], res["score"], rtol=1e-6)
+
     def test_conflicting_seq_budget_raises(self, tiny_vocab):
         """tokenizer=12 + an explicit max_seq_length=20 is a geometry the
         checkpoint never saw — refuse; omitting max_seq_length adopts the

@@ -285,12 +285,12 @@ class VQAPredictor:
         canvas, s_, m_ = self._resized_canvas, self._short, self._maximum
 
         @jax.jit
-        def extract_step(params, raw_images, raw_sizes):
+        def extract_step(variables, raw_images, raw_sizes):
             pre = preprocess_batch(
                 raw_images, raw_sizes, canvas_hw=canvas, short=s_, maximum=m_
             )
             out = frcnn_model.apply(
-                {"params": params},
+                variables,
                 pre["img"],
                 pre["sizes"],
                 scales_yx=pre["scales_yx"],
@@ -303,6 +303,13 @@ class VQAPredictor:
                 "obj_probs": out["obj_probs"].astype(jnp.float32),
             }
 
+        self._pre_fn = jax.jit(
+            lambda img, sz: preprocess_batch(
+                img, sz, canvas_hw=canvas, short=s_, maximum=m_
+            )
+        )
+        self._frcnn_variables = {"params": frcnn_params}
+
         @jax.jit
         def answer_step(params, ids, feats, boxes, tmask, vmask):
             logits = lxmert_model.apply(
@@ -313,6 +320,28 @@ class VQAPredictor:
 
         self._extract_step = extract_step
         self._answer_step = answer_step
+
+    def _maybe_calibrate_int8(self, raw_imgs, sizes) -> None:
+        """int8 preset: one-time static-PTQ calibration on (up to 4
+        images of) the first real request — same recipe as the extraction
+        adapter (adapters/frcnn.py forward_dispatch). Without it Int8Conv
+        falls back to per-input dynamic scales, which measured
+        throughput-NEUTRAL (BASELINE.md) — calibrated is the whole point
+        of the preset."""
+        cfg = getattr(self, "frcnn_config", None)
+        if cfg is None or not getattr(cfg, "int8", False):
+            return
+        if "quant" in self._frcnn_variables:
+            return
+        from vltk_tpu.models import calibrate_int8
+
+        pre = self._pre_fn(raw_imgs[:4], sizes[:4])
+        self._frcnn_variables = dict(self._frcnn_variables)
+        self._frcnn_variables["quant"] = calibrate_int8(
+            cfg,
+            self._frcnn_variables["params"],
+            [(pre["img"], pre["sizes"], pre["scales_yx"])],
+        )
 
     # ------------------------------------------------------------------
     # construction helpers
@@ -365,10 +394,13 @@ class VQAPredictor:
         L = self.tokenizer.max_seq_length
         D = fcfg.max_detections
         F = lcfg.visual_feat_dim
-        fparams = jax.device_get(self.frcnn_params)
+        # bake the full variable dict — for the int8 preset that includes
+        # any calibrated "quant" scales (export after a real request, or
+        # the artifact ships the dynamic-scale fallback)
+        fvars = jax.device_get(self._frcnn_variables)
         lparams = jax.device_get(self.lxmert_params)
         extract = export_jitted(
-            lambda img, sz: self._extract_step(fparams, img, sz),
+            lambda img, sz: self._extract_step(fvars, img, sz),
             (
                 np.zeros((B, ch, cw, 3), np.uint8),
                 np.zeros((B, 2), np.float32),
@@ -486,11 +518,9 @@ class VQAPredictor:
                 orig_hw[:, [1, 0, 1, 0]]
                 / np.maximum(collated[V.rawsize][:, [1, 0, 1, 0]], 1.0)
             )[:, None, :]
-            out = self._extract_step(
-                self.frcnn_params,
-                self._pad_chunk(collated[V.img]),
-                sizes,
-            )
+            raw_imgs = self._pad_chunk(collated[V.img])
+            self._maybe_calibrate_int8(raw_imgs, sizes)
+            out = self._extract_step(self._frcnn_variables, raw_imgs, sizes)
             feats = np.asarray(out["roi_features"])
             boxes = np.asarray(out["boxes"])
             vmask = np.asarray(out["mask"])
@@ -556,8 +586,9 @@ class _BundledVQAPredictor(VQAPredictor):
         )
         self.frcnn_params = None  # baked into the artifacts
         self.lxmert_params = None
+        self._frcnn_variables = None
         extract, answer = bundle.fns["extract"], bundle.fns["answer"]
-        self._extract_step = lambda _params, img, sz: extract(img, sz)
+        self._extract_step = lambda _vars, img, sz: extract(img, sz)
         self._answer_step = lambda _params, *args: answer(*args)
         self.platforms = bundle.platforms
 
