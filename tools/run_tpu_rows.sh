@@ -33,6 +33,7 @@ run python bench.py --train layoutlm
 run python bench.py --train layoutlm --attn flash
 run python bench.py --train layoutlm --remat
 run python bench.py --train layoutlm --attn flash --remat
+run python tools/probe_aot_tpu.py
 # probe output is free-form text — keep it OUT of the jsonl
 echo "== probe_flash" >&2
 timeout 1800 python tools/probe_flash.py > tools/probe_flash_out.txt 2>&1 || true
