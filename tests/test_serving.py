@@ -59,7 +59,10 @@ def test_burst_coalesces_into_buckets():
     assert sum(rec.sizes) == 32
     assert len(rec.sizes) <= 8  # at least 4x coalescing
     assert max(rec.sizes) == 8  # full buckets under sustained load
-    assert srv.stats["requests_served"] == 32
+    stats = srv.stats
+    assert stats["requests_served"] == 32
+    lat = stats["latency_ms"]
+    assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"] <= lat["max"]
 
 
 def test_results_keep_request_order_within_bucket():

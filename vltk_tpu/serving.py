@@ -56,9 +56,15 @@ class MicroBatchServer:
         self._batch_fn = batch_fn
         self._batch_size = int(batch_size)
         self._max_delay = max(float(max_delay_ms), 0.0) / 1e3
-        self._queue: "queue.Queue[Optional[Tuple[Any, Future]]]" = queue.Queue()
+        self._queue: "queue.Queue[Optional[Tuple[Any, Future, float]]]" = (
+            queue.Queue()
+        )
         self._batches_run = 0  # observability: how often we hit the device
         self._requests_served = 0
+        # submit->result latencies, bounded ring (production meaning: the
+        # number users feel; batches_run/requests_served is the fill rate)
+        self._latencies: List[float] = []
+        self._lat_cap = 4096
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._closed = False
         self._worker.start()
@@ -67,8 +73,10 @@ class MicroBatchServer:
     def submit(self, request: Any) -> "Future":
         if self._closed:
             raise RuntimeError("server is closed")
+        import time
+
         fut: Future = Future()
-        self._queue.put((request, fut))
+        self._queue.put((request, fut, time.monotonic()))
         return fut
 
     def __call__(self, request: Any) -> Any:
@@ -99,10 +107,22 @@ class MicroBatchServer:
 
     @property
     def stats(self) -> dict:
-        return {
+        out = {
             "batches_run": self._batches_run,
             "requests_served": self._requests_served,
         }
+        lats = sorted(self._latencies)
+        if lats:
+            pick = lambda q: lats[  # noqa: E731
+                min(int(q * len(lats)), len(lats) - 1)
+            ]
+            out["latency_ms"] = {
+                "p50": round(pick(0.50) * 1e3, 3),
+                "p95": round(pick(0.95) * 1e3, 3),
+                "p99": round(pick(0.99) * 1e3, 3),
+                "max": round(lats[-1] * 1e3, 3),
+            }
+        return out
 
     # ---------------------------------------------------------- worker ----
     def _run(self) -> None:
@@ -132,8 +152,10 @@ class MicroBatchServer:
                 bucket.append(item)
             self._serve(bucket)
 
-    def _serve(self, bucket: List[Tuple[Any, Future]]) -> None:
-        requests = [r for r, _ in bucket]
+    def _serve(self, bucket: List[Tuple[Any, Future, float]]) -> None:
+        import time
+
+        requests = [r for r, _, _ in bucket]
         try:
             results = list(self._batch_fn(requests))
             if len(results) != len(requests):
@@ -142,12 +164,16 @@ class MicroBatchServer:
                     f"{len(requests)} requests"
                 )
         except BaseException as exc:  # fan the failure out to every caller
-            for _, fut in bucket:
+            for _, fut, _ in bucket:
                 fut.set_exception(exc)
             return
         self._batches_run += 1
         self._requests_served += len(bucket)
-        for (_, fut), res in zip(bucket, results):
+        done = time.monotonic()
+        for (_, fut, t0), res in zip(bucket, results):
+            if len(self._latencies) >= self._lat_cap:
+                del self._latencies[: self._lat_cap // 2]
+            self._latencies.append(done - t0)
             fut.set_result(res)
 
 
