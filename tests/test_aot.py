@@ -247,6 +247,18 @@ class TestVQABundle:
         out = _json.loads(capsys.readouterr().out.strip())
         assert out["answer"] in ANSWERS
 
+    def test_cli_rejects_bundle_plus_export(self, tmp_path, capsys):
+        """A bundled predictor holds opaque artifacts — re-export must be
+        a clean usage error, not an AttributeError traceback."""
+        from vltk_tpu.cli import main
+
+        rc = main([
+            "predict", "img.jpg", "what",
+            "--bundle=x.zip", "--export-bundle=y.zip",
+        ])
+        assert rc == 2
+        assert "cannot be combined" in capsys.readouterr().err
+
     def test_bundle_kind_guard(self, tmp_path):
         from vltk_tpu.predict import DocSpanQA, DocTokenClassifier, VQAPredictor
 

@@ -293,6 +293,29 @@ class TestHostSharding:
         # one-shot: the next plain iteration starts from the top again
         assert [list(b["i"]) for b in tail] == full_batches
 
+    def test_iter_from_abandoned_does_not_poison_next_iteration(self):
+        """The offset belongs to the returned iterator, not the loader:
+        an iter_from(k) iterator that is never advanced (resume aborted)
+        must not make the next plain epoch silently drop k batches."""
+        from vltk_tpu.data.loader import _BaseLoader
+
+        class _Range:
+            def __len__(self):
+                return 12
+
+            def __getitem__(self, i):
+                return {"i": np.int32(i)}
+
+        loader = _BaseLoader(_Range(), 3, True, seed=5)
+        full = [list(b["i"]) for b in loader]
+        _abandoned = loader.iter_from(2)  # never advanced
+        assert [list(b["i"]) for b in loader] == full
+        # and both iterators stay independent when interleaved
+        it_tail = loader.iter_from(2)
+        it_full = iter(loader)
+        assert list(next(it_full)["i"]) == full[0]
+        assert list(next(it_tail)["i"]) == full[2]
+
     def test_iter_from_threaded(self):
         from vltk_tpu.data.loader import _BaseLoader
 

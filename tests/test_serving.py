@@ -94,6 +94,25 @@ def test_wrong_result_count_is_an_error():
                 f.result(timeout=5)
 
 
+def test_cancelled_future_does_not_kill_worker():
+    """fut.cancel() before the bucket is served (e.g. a caller timeout)
+    must drop that request, not InvalidStateError the worker thread —
+    a dead worker would hang every later caller forever."""
+    rec = _Recorder(delay=0.05)
+    # batch_size=1: the first request claims the worker for 50 ms, so the
+    # second sits unclaimed in the queue where cancel() must succeed
+    with MicroBatchServer(rec, batch_size=1, max_delay_ms=0) as srv:
+        warm = srv.submit(0)
+        doomed = srv.submit(1)
+        assert doomed.cancel()
+        assert warm.result(timeout=5) == 0
+        # worker must still be alive and serving
+        assert srv(2) == 20
+    assert doomed.cancelled()
+    assert srv.stats["requests_served"] == 2  # the cancelled one dropped
+    assert sum(rec.sizes) == 2  # ...and never reached batch_fn
+
+
 def test_close_drains_pending_and_refuses_new():
     rec = _Recorder()
     srv = MicroBatchServer(rec, batch_size=4, max_delay_ms=500)

@@ -314,6 +314,43 @@ def test_crash_save_does_not_clobber_periodic_state(tmp_path, rng):
     np.testing.assert_allclose(got["bias"], truth["bias"], rtol=1e-6)
 
 
+def test_legacy_info_json_mid_epoch_resume(tmp_path, rng):
+    """Pre-single-file-mid-checkpoint dirs recorded a partial epoch via a
+    mid_epoch flag in info.json next to the regular epoch files; resume
+    must still re-enter that epoch step-granularly instead of silently
+    skipping the untrained tail."""
+    batches = _regression_batches(rng)
+    truth = _final_params(tmp_path / "truth", batches)
+
+    cfg = _mk_config(tmp_path / "run")
+    exp = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    # run epoch 0 fully + 3 steps of epoch 1, then write the LEGACY
+    # layout by hand: regular files + mid_epoch info.json
+    _preempt_after(exp, len(batches) + 3)
+    exp()
+    save_checkpoint(
+        exp.ckpt_dir, exp.name, 1,
+        exp.state.params, exp.state.opt_state,
+        info={
+            "step": exp.global_step,
+            "rng": [int(x) for x in np.ravel(jax.device_get(exp.rng))],
+            "mid_epoch": True,
+            "step_in_epoch": 3,
+        },
+    )
+    for f in os.listdir(exp.ckpt_dir):  # drop the new-format mid file
+        if f.endswith("_mid.msgpack"):
+            os.remove(os.path.join(exp.ckpt_dir, f))
+
+    resumed = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    assert resumed.start_epoch == 1
+    assert resumed._skip_steps == 3
+    resumed()
+    got = jax.device_get(resumed.state.params)
+    np.testing.assert_allclose(got["kernel"], truth["kernel"], rtol=1e-6)
+    np.testing.assert_allclose(got["bias"], truth["bias"], rtol=1e-6)
+
+
 def test_completed_epoch_clears_mid_checkpoints(tmp_path, rng):
     batches = _regression_batches(rng)
     cfg = _mk_config(tmp_path, save_every_steps=2)

@@ -40,13 +40,18 @@ def _specs(example_args: Sequence[Any]):
     argument may be a pytree (e.g. a params dict)."""
     import jax
 
-    return tuple(
-        jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-            a,
-        )
-        for a in example_args
-    )
+    def leaf_spec(x):
+        # read metadata without materializing: np.asarray on a
+        # device-resident leaf would transfer the whole buffer to host
+        # (minutes for full params over a slow link) just to drop it
+        shape = getattr(x, "shape", None)
+        dtype = getattr(x, "dtype", None)
+        if shape is None or dtype is None:
+            arr = np.asarray(x)
+            shape, dtype = arr.shape, arr.dtype
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    return tuple(jax.tree.map(leaf_spec, a) for a in example_args)
 
 
 def export_jitted(

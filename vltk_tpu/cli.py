@@ -200,6 +200,12 @@ def cmd_predict(positional: List[str], flags: Dict[str, str]) -> int:
     answers = flags.get("answers")
     top_k = int(flags.get("top_k", "5"))
     if "bundle" in flags:
+        if "export_bundle" in flags:
+            # a bundled predictor holds opaque compiled artifacts — there
+            # is nothing to re-lower, so re-export is impossible by design
+            print("--export-bundle cannot be combined with --bundle "
+                  "(export from checkpoints or random init)", file=sys.stderr)
+            return 2
         # serve from an AOT export (vltk_tpu/aot.py): answers, vocab and
         # compiled steps all come from the artifact file
         predictor = VQAPredictor.from_bundle(flags["bundle"])

@@ -152,7 +152,6 @@ class _BaseLoader:
         # had a single-process torch DataLoader only)
         self.shard = shard
         self._epoch = 0
-        self._start_batch = 0  # one-shot resume offset (iter_from)
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
@@ -162,10 +161,9 @@ class _BaseLoader:
         ``skip_batches`` WITHOUT fetching/decoding the skipped entries —
         mid-epoch resume must not replay the host decode cost of
         everything already trained (the skip happens at the index level,
-        before any ``dataset[i]`` access). One-shot: applies to the next
-        iteration only."""
-        self._start_batch = int(skip_batches)
-        return iter(self)
+        before any ``dataset[i]`` access). The offset belongs to the
+        RETURNED iterator only; plain ``iter(loader)`` is unaffected."""
+        return self._iterate(int(skip_batches))
 
     def _shard_size(self) -> int:
         n = len(self.dataset)
@@ -206,8 +204,9 @@ class _BaseLoader:
                 yield list(chunk)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
-        # consume the one-shot iter_from offset at generator start
-        start, self._start_batch = self._start_batch, 0
+        return self._iterate(0)
+
+    def _iterate(self, start: int) -> Iterator[Dict[str, Any]]:
         if self.num_workers <= 0:
             for chunk in self._batches(start):
                 yield collate([self.dataset[i] for i in chunk])

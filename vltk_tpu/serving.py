@@ -67,16 +67,20 @@ class MicroBatchServer:
         self._lat_cap = 4096
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._closed = False
+        # orders every submit's enqueue against close()'s sentinel, so no
+        # request can land behind the sentinel and hang its caller
+        self._submit_lock = threading.Lock()
         self._worker.start()
 
     # ------------------------------------------------------------- api ----
     def submit(self, request: Any) -> "Future":
-        if self._closed:
-            raise RuntimeError("server is closed")
         import time
 
         fut: Future = Future()
-        self._queue.put((request, fut, time.monotonic()))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put((request, fut, time.monotonic()))
         return fut
 
     def __call__(self, request: Any) -> Any:
@@ -84,20 +88,12 @@ class MicroBatchServer:
 
     def close(self) -> None:
         """Drain pending requests, then stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)  # sentinel: drain-and-exit
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # sentinel: drain-and-exit
         self._worker.join()
-        # a submit() racing close() can land behind the sentinel — fail
-        # those futures instead of leaving their callers blocked forever
-        while True:
-            try:
-                item = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                item[1].set_exception(RuntimeError("server is closed"))
 
     def __enter__(self) -> "MicroBatchServer":
         return self
@@ -155,6 +151,15 @@ class MicroBatchServer:
     def _serve(self, bucket: List[Tuple[Any, Future, float]]) -> None:
         import time
 
+        # claim each future: a caller-cancelled one (e.g. a timeout
+        # wrapper) is dropped here — set_result on it would raise
+        # InvalidStateError and kill the worker; once claimed, cancel()
+        # can no longer succeed, so the sets below are safe
+        bucket = [
+            item for item in bucket if item[1].set_running_or_notify_cancel()
+        ]
+        if not bucket:
+            return
         requests = [r for r, _, _ in bucket]
         try:
             results = list(self._batch_fn(requests))

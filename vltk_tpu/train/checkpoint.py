@@ -42,13 +42,24 @@ def _saved_epochs(ckpt_dir: str, name: str):
 
 
 def _atomic_write_bytes(path: str, data: bytes) -> None:
-    """tmp + rename so a kill mid-write can never leave a truncated file
-    where the previous good checkpoint used to be (periodic saves rewrite
-    the SAME epoch file — in-place truncation would lose both)."""
+    """tmp + fsync + rename so not even a HOST crash can leave a
+    truncated file where the previous good checkpoint used to be.
+    Periodic saves rewrite the SAME epoch file; without the fsync the
+    rename can be journaled before the data blocks land, so a machine
+    preemption (the exact event these checkpoints exist for) right after
+    a save would replace the old good file with a torn one. The final
+    directory fsync makes the rename itself durable."""
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dirfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
 
 
 def save_checkpoint(
@@ -73,13 +84,13 @@ def save_checkpoint(
     full_info = {"epoch": epoch, "name": name}
     if info:
         full_info.update(info)
-    # atomic: a crash between truncate and write must not leave a torn
-    # info.json (it pairs the params file with the resume step/rng)
+    # atomic + durable: a crash between truncate and write must not leave
+    # a torn info.json (it pairs the params file with the resume step/rng)
     info_path = os.path.join(ckpt_dir, info_filename)
-    tmp_path = info_path + ".tmp"
-    with open(tmp_path, "w") as f:
-        json.dump(full_info, f, indent=2, default=str)
-    os.replace(tmp_path, info_path)
+    _atomic_write_bytes(
+        info_path,
+        json.dumps(full_info, indent=2, default=str).encode(),
+    )
     if config is not None and hasattr(config, "dump_yaml"):
         config.dump_yaml(os.path.join(ckpt_dir, "config.yaml"))
     return path

@@ -147,10 +147,18 @@ class SimpleExperiment(abc.ABC):
         step = int(info.get("step", 0))
         self.state = self.state.replace(step=step, **replace)
         self.global_step = step
-        if use_mid:
+        legacy_mid = (
+            not use_mid
+            and info.get("mid_epoch")
+            and int(info.get("epoch", -1)) == epoch
+        )
+        if use_mid or legacy_mid:
             # re-enter the interrupted epoch and replay-skip the batches
             # already trained (the loader's shuffle is a pure function of
-            # seed+epoch, so the order replays exactly)
+            # seed+epoch, so the order replays exactly). legacy_mid:
+            # checkpoints from before single-file mid saves recorded the
+            # partial epoch via a mid_epoch flag in info.json — honor it,
+            # or old dirs would silently skip the untrained epoch tail.
             self.start_epoch = epoch
             self._skip_steps = int(info.get("step_in_epoch", 0))
         else:
