@@ -128,9 +128,7 @@ def test_bad_batch_size_rejected():
         MicroBatchServer(lambda r: r, batch_size=0)
 
 
-def test_vqa_adapter_end_to_end(tmp_path):
-    """Concurrent single (image, question) callers through the real tiny
-    VQAPredictor match the direct batched call."""
+def _tiny_predictor(tmp_path, batch_size=2):
     from tests.test_predict import ANSWERS, TINY_FRCNN, TINY_LXMERT
     from vltk_tpu.data.tokenizer import Tokenizer
     from vltk_tpu.predict import VQAPredictor
@@ -139,19 +137,77 @@ def test_vqa_adapter_end_to_end(tmp_path):
     vocab.write_text("\n".join(
         ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
          "what", "is", "the", "cat"]) + "\n")
-    predictor = VQAPredictor(
+    return VQAPredictor(
         ANSWERS,
         frcnn_config=TINY_FRCNN,
         lxmert_config=TINY_LXMERT,
         tokenizer=Tokenizer(
             name="NativeWordPiece", vocab_path=str(vocab), max_seq_length=8
         ),
-        batch_size=4,
+        batch_size=batch_size,
         raw_canvas=(64, 64),
         resized_canvas=(64, 64),
         short=32.0,
         maximum=64.0,
     )
+
+
+def test_cli_serve_jsonl_from_bundle(tmp_path, capsys, monkeypatch):
+    """`vltk serve --bundle=` reads JSONL requests from stdin and writes
+    in-order JSONL results; bad lines fail in sequence without killing
+    the stream."""
+    import io
+    import json
+
+    from PIL import Image
+
+    from vltk_tpu.cli import main
+
+    predictor = _tiny_predictor(tmp_path)
+    bundle = str(tmp_path / "vqa.zip")
+    predictor.export_bundle(bundle)
+
+    rng = np.random.default_rng(0)
+    imgs = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (48, 56, 3)).astype(np.uint8)
+        ).save(p)
+        imgs.append(str(p))
+    lines = [
+        json.dumps({"image": imgs[0], "question": "what is the cat"}),
+        "this is not json",
+        json.dumps({"image": imgs[1], "question": "what"}),
+        json.dumps({"wrong": "keys"}),
+        json.dumps({"image": imgs[2], "question": "the cat is what"}),
+    ]
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+    rc = main(["serve", f"--bundle={bundle}", "--max-delay-ms=20"])
+    assert rc == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert len(out) == 5
+    from tests.test_predict import ANSWERS
+
+    assert out[0]["answer"] in ANSWERS
+    assert "bad request" in out[1]["error"]
+    assert out[2]["answer"] in ANSWERS
+    assert "bad request" in out[3]["error"]
+    assert out[4]["answer"] in ANSWERS
+    # in-order parity with direct calls
+    direct = predictor(
+        [imgs[0], imgs[1], imgs[2]],
+        ["what is the cat", "what", "the cat is what"],
+    )
+    assert [out[0]["answer"], out[2]["answer"], out[4]["answer"]] == [
+        d["answer"] for d in direct
+    ]
+
+
+def test_vqa_adapter_end_to_end(tmp_path):
+    """Concurrent single (image, question) callers through the real tiny
+    VQAPredictor match the direct batched call."""
+    predictor = _tiny_predictor(tmp_path, batch_size=4)
     rng = np.random.default_rng(0)
     images = [
         rng.integers(0, 255, (48, 56, 3)).astype(np.uint8) for _ in range(6)

@@ -8,6 +8,7 @@ Rebuilt on argparse (no third-party CLI dep):
   vltk extract <extractor> <dataset> [--flags]    run feature extraction
   vltk simple <experiment> [--flags]              run a registered experiment
   vltk predict <image> <question...>              end-to-end VQA inference
+  vltk serve [--bundle=vqa.zip]                   JSONL micro-batch server
   vltk config [--flags]                           print the resolved config
   vltk adapters | experiments                     list registries
 
@@ -239,6 +240,125 @@ def cmd_predict(positional: List[str], flags: Dict[str, str]) -> int:
     return 0
 
 
+def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
+    """``vltk serve`` — long-lived JSONL inference server on stdin/stdout.
+
+    One JSON request per input line, one JSON result per output line, in
+    input order. Concurout requests are micro-batched into the
+    predictor's fixed-shape buckets (vltk_tpu/serving.py) — piping a
+    stream through this process gets batch-dense throughput.
+
+    Sources (pick one):
+      ``--bundle=file.zip``     AOT export; the task is read from the
+                                bundle manifest (vqa/doc/span).
+      ``--frcnn= --lxmert= --answers=``   VQA from torch checkpoints.
+      (no flags)                random-init VQA (pipeline smoke).
+
+    Request shapes:
+      vqa:  {"image": "path.jpg", "question": "..."}
+      doc:  {"words": [...], "boxes": [[x0,y0,x1,y1]...], "size": [h,w]}
+      span: {"doc": {words, boxes, size}, "question": "..."}
+    """
+    import collections
+
+    from vltk_tpu.predict import DocSpanQA, DocTokenClassifier, VQAPredictor
+    from vltk_tpu.serving import for_doc, for_span, for_vqa
+
+    max_delay = float(flags.get("max_delay_ms", "5"))
+    kind_to_task = {
+        "vqa_predictor": "vqa",
+        "doc_token_classifier": "doc",
+        "doc_span_qa": "span",
+    }
+    if "bundle" in flags:
+        from vltk_tpu.aot import bundle_manifest
+
+        kind = bundle_manifest(flags["bundle"])["meta"].get("kind")
+        task = kind_to_task.get(kind)
+        if task is None:
+            print(f"unknown bundle kind {kind!r}", file=sys.stderr)
+            return 2
+        cls = {
+            "vqa": VQAPredictor, "doc": DocTokenClassifier, "span": DocSpanQA
+        }[task]
+        predictor = cls.from_bundle(flags["bundle"])
+    else:
+        task = flags.get("task", "vqa")
+        if task != "vqa":
+            print("--task=doc|span serving needs --bundle (export one "
+                  "with `vltk predict --task=... --export-bundle=`)",
+                  file=sys.stderr)
+            return 2
+        frcnn, lxmert = flags.get("frcnn"), flags.get("lxmert")
+        answers = flags.get("answers")
+        if frcnn is not None and lxmert is not None and answers is not None:
+            predictor = VQAPredictor.from_pretrained(frcnn, lxmert, answers)
+        else:
+            _random_init_note("weights")
+            predictor = VQAPredictor(answers or ["yes", "no", "unknown"])
+
+    if task == "vqa":
+        srv = for_vqa(predictor, max_delay_ms=max_delay)
+        to_request = lambda r: (r["image"], r["question"])  # noqa: E731
+        to_line = lambda res: {  # noqa: E731
+            "answer": res["answer"],
+            "score": round(float(res["score"]), 4),
+            "topk": [(a, round(float(s), 4)) for a, s in res["topk"]],
+            "num_boxes": int(res["num_boxes"]),
+        }
+    elif task == "doc":
+        srv = for_doc(predictor, max_delay_ms=max_delay)
+        to_request = lambda r: r  # noqa: E731
+        to_line = lambda res: [  # noqa: E731
+            {"word": w["word"], "label": w["label"],
+             "score": round(float(w["score"]), 4)}
+            for w in res
+        ]
+    else:
+        srv = for_span(predictor, max_delay_ms=max_delay)
+        to_request = lambda r: (r["doc"], r["question"])  # noqa: E731
+        to_line = lambda res: {  # noqa: E731
+            "answer": res["answer"],
+            "start_word": int(res["start_word"]),
+            "end_word": int(res["end_word"]),
+            "score": round(float(res["score"]), 4),
+        }
+
+    def flush_ready(pending, block: bool):
+        while pending and (block or pending[0].done()):
+            fut = pending.popleft()
+            try:
+                print(json.dumps(to_line(fut.result())), flush=True)
+            except Exception as exc:  # per-request failure, keep serving
+                print(json.dumps({"error": str(exc)}), flush=True)
+
+    print(f"[serve] ready: task={task} bucket={predictor.batch_size} "
+          f"window={max_delay}ms", file=sys.stderr)
+    pending: "collections.deque" = collections.deque()
+    with srv:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = to_request(json.loads(line))
+            except Exception as exc:
+                # bad input must not desync the in-order output stream:
+                # queue it as an already-failed result in sequence
+                from concurrent.futures import Future
+
+                fut: "Future" = Future()
+                fut.set_exception(ValueError(f"bad request: {exc}"))
+                pending.append(fut)
+            else:
+                pending.append(srv.submit(req))
+            flush_ready(pending, block=False)
+        flush_ready(pending, block=True)
+    stats = srv.stats
+    print(f"[serve] done: {stats}", file=sys.stderr)
+    return 0
+
+
 def cmd_simple(positional: List[str], cfg: Config) -> int:
     if not positional:
         print("usage: vltk simple <experiment> [--flags]", file=sys.stderr)
@@ -297,6 +417,8 @@ def main(argv: List[str] = None) -> int:
         return 0
     if command == "predict":
         return cmd_predict(positional, flags)
+    if command == "serve":
+        return cmd_serve(positional, flags)
 
     # config-consuming commands: split known-config dot flags from extras
     known_top = {f.name for f in Config.__dataclass_fields__.values()}  # type: ignore[attr-defined]
