@@ -172,3 +172,21 @@ def test_wordpiece_tiny_max_len_no_overflow():
     enc = nat.encode_batch(["hello world", ""])
     assert enc["input_ids"].shape == (2, 1)
     assert (enc["input_ids"][:, 0] == nat.cls_id).all()
+
+
+def test_build_dir_falls_back_when_package_unwritable(monkeypatch, tmp_path):
+    """Wheel installs into root-owned site-packages leave the in-package
+    _build dir unwritable; the builder must fall back to the user cache
+    instead of losing the native fast path."""
+    # a path under /dev/null cannot be created -> makedirs raises OSError
+    monkeypatch.setattr(native, "_BUILD_DIR", "/dev/null/_build")
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    got = native._build_dir()
+    assert got == str(tmp_path / "vltk_tpu" / "native")
+    import os
+
+    assert os.path.isdir(got)
+
+
+def test_build_dir_prefers_in_package_cache():
+    assert native._build_dir() == native._BUILD_DIR

@@ -38,11 +38,35 @@ def _source_hash() -> str:
     return digest.hexdigest()[:16]
 
 
+def _build_dir() -> str:
+    """The in-package cache, or a per-user cache when the install is
+    read-only (wheel into root-owned site-packages): losing write access
+    must cost a one-time rebuild location, not the native fast path."""
+    try:
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        probe = os.path.join(_BUILD_DIR, f".w{os.getpid()}")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return _BUILD_DIR
+    except OSError:
+        fallback = os.path.join(
+            os.environ.get(
+                "XDG_CACHE_HOME",
+                os.path.join(os.path.expanduser("~"), ".cache"),
+            ),
+            "vltk_tpu",
+            "native",
+        )
+        os.makedirs(fallback, exist_ok=True)
+        return fallback
+
+
 def _build() -> Optional[str]:
-    so_path = os.path.join(_BUILD_DIR, f"libvltk_native_{_source_hash()}.so")
+    build_dir = _build_dir()
+    so_path = os.path.join(build_dir, f"libvltk_native_{_source_hash()}.so")
     if os.path.exists(so_path):
         return so_path
-    os.makedirs(_BUILD_DIR, exist_ok=True)
     # per-process tmp name: concurrent cold-start builds (loader workers)
     # must not truncate each other's output; the atomic replace means the
     # last finisher wins and everyone loads a complete .so
