@@ -133,6 +133,53 @@ def _check_bundle_kind(path: str, meta: Dict[str, Any], want: str) -> None:
         )
 
 
+def _export_step_bundle(
+    obj, path: str, *, kind: str, example_args, extra_meta: Dict[str, Any],
+    platforms,
+) -> str:
+    """Shared single-step AOT export (the two document predictors): lower
+    ``obj._step`` with ``obj.params`` baked in, bundle with the tokenizer
+    vocab + geometry metadata."""
+    import jax
+
+    from vltk_tpu.aot import export_jitted, save_bundle
+
+    p = jax.device_get(obj.params)
+    step = export_jitted(
+        lambda *args: obj._step(p, *args), example_args, platforms=platforms
+    )
+    tmeta, vocab = _tokenizer_bundle_parts(obj.tokenizer)
+    meta = {
+        "kind": kind,
+        "batch_size": obj.batch_size,
+        "tokenizer": tmeta,
+        **extra_meta,
+    }
+    return save_bundle(
+        path, {"step": step}, meta=meta, files={"vocab.txt": vocab}
+    )
+
+
+def _load_step_bundle(obj, path: str, kind: str) -> Dict[str, Any]:
+    """Shared single-step bundle restore: tokenizer from the shipped
+    vocab, the deserialized artifact standing in for ``_step`` (params
+    are baked into it). Returns the manifest meta for class-specific
+    geometry fields."""
+    from vltk_tpu.aot import load_bundle
+
+    bundle = load_bundle(path)
+    _check_bundle_kind(path, bundle.meta, kind)
+    obj.batch_size = int(bundle.meta["batch_size"])
+    obj.tokenizer, obj._vocab_dir = _tokenizer_from_bundle(
+        bundle.meta["tokenizer"], bundle.files["vocab.txt"]
+    )
+    obj.params = None  # baked into the artifact
+    step = bundle.fns["step"]
+    obj._step = lambda _params, *args: step(*args)
+    obj.platforms = bundle.platforms
+    return bundle.meta
+
+
 def _check_head_width(params, path: Sequence[str], n: int, what: str) -> None:
     """Loaded checkpoints must agree with the label vocabulary — a silent
     mismatch returns wrong strings (or IndexErrors) at predict time."""
@@ -328,8 +375,8 @@ class VQAPredictor:
         falls back to per-input dynamic scales, which measured
         throughput-NEUTRAL (BASELINE.md) — calibrated is the whole point
         of the preset."""
-        cfg = getattr(self, "frcnn_config", None)
-        if cfg is None or not getattr(cfg, "int8", False):
+        cfg = self.frcnn_config
+        if cfg is None or not cfg.int8:
             return
         if "quant" in self._frcnn_variables:
             return
@@ -587,6 +634,8 @@ class _BundledVQAPredictor(VQAPredictor):
         self.frcnn_params = None  # baked into the artifacts
         self.lxmert_params = None
         self._frcnn_variables = None
+        self.frcnn_config = None  # _maybe_calibrate_int8 reads it: no-op
+        self.lxmert_config = None
         extract, answer = bundle.fns["extract"], bundle.fns["answer"]
         self._extract_step = lambda _vars, img, sz: extract(img, sz)
         self._answer_step = lambda _params, *args: answer(*args)
@@ -719,31 +768,17 @@ class DocTokenClassifier:
     ) -> str:
         """One self-contained serving file: the jitted step lowered with
         params baked in, plus vocab + labels + geometry."""
-        import jax
-
-        from vltk_tpu.aot import export_jitted, save_bundle
-
         B, L = self.batch_size, self.max_seq_length
-        p = jax.device_get(self.params)
-        step = export_jitted(
-            lambda ids, boxes, mask: self._step(p, ids, boxes, mask),
-            (
+        return _export_step_bundle(
+            self, path,
+            kind="doc_token_classifier",
+            example_args=(
                 np.zeros((B, L), np.int32),
                 np.zeros((B, L, 4), np.int32),
                 np.zeros((B, L), np.float32),
             ),
+            extra_meta={"labels": list(self.labels), "max_seq_length": L},
             platforms=platforms,
-        )
-        tmeta, vocab = _tokenizer_bundle_parts(self.tokenizer)
-        meta = {
-            "kind": "doc_token_classifier",
-            "labels": list(self.labels),
-            "batch_size": B,
-            "max_seq_length": L,
-            "tokenizer": tmeta,
-        }
-        return save_bundle(
-            path, {"step": step}, meta=meta, files={"vocab.txt": vocab}
         )
 
     @classmethod
@@ -852,27 +887,16 @@ class _BundledDocTokenClassifier(DocTokenClassifier):
     from the manifest, compiled step from the artifact, no model/params."""
 
     def __init__(self, path: str):  # deliberately NOT super().__init__
-        from vltk_tpu.aot import load_bundle
         from vltk_tpu.processing.visn import AuxTokenize, OCRBoxFixed
 
-        bundle = load_bundle(path)
-        meta = bundle.meta
-        _check_bundle_kind(path, meta, "doc_token_classifier")
+        meta = _load_step_bundle(self, path, "doc_token_classifier")
         self.labels = list(meta["labels"])
-        self.batch_size = int(meta["batch_size"])
         self.max_seq_length = int(meta["max_seq_length"])
-        self.tokenizer, self._vocab_dir = _tokenizer_from_bundle(
-            meta["tokenizer"], bundle.files["vocab.txt"]
-        )
         self._aux = AuxTokenize(
             tokenizer=self.tokenizer,
             max_visual_seq_length=self.max_seq_length,
         )
         self._boxfix = OCRBoxFixed(max_visual_seq_length=self.max_seq_length)
-        self.params = None  # baked into the artifact
-        step = bundle.fns["step"]
-        self._step = lambda _params, *args: step(*args)
-        self.platforms = bundle.platforms
 
 
 class DocSpanQA:
@@ -989,32 +1013,21 @@ class DocSpanQA:
     ) -> str:
         """One self-contained serving file: the jitted span step lowered
         with params baked in, plus vocab + the concat-layout geometry."""
-        import jax
-
-        from vltk_tpu.aot import export_jitted, save_bundle
-
         B, seq = self.batch_size, self.q_len + self.doc_len
-        p = jax.device_get(self.params)
-        step = export_jitted(
-            lambda ids, boxes, mask: self._step(p, ids, boxes, mask),
-            (
+        return _export_step_bundle(
+            self, path,
+            kind="doc_span_qa",
+            example_args=(
                 np.zeros((B, seq), np.int32),
                 np.zeros((B, seq, 4), np.int32),
                 np.zeros((B, seq), np.float32),
             ),
+            extra_meta={
+                "question_len": self.q_len,
+                "doc_len": self.doc_len,
+                "max_span": self.max_span,
+            },
             platforms=platforms,
-        )
-        tmeta, vocab = _tokenizer_bundle_parts(self.tokenizer)
-        meta = {
-            "kind": "doc_span_qa",
-            "batch_size": B,
-            "question_len": self.q_len,
-            "doc_len": self.doc_len,
-            "max_span": self.max_span,
-            "tokenizer": tmeta,
-        }
-        return save_bundle(
-            path, {"step": step}, meta=meta, files={"vocab.txt": vocab}
         )
 
     @classmethod
@@ -1106,24 +1119,13 @@ class _BundledDocSpanQA(DocSpanQA):
     from the manifest, compiled span step from the artifact."""
 
     def __init__(self, path: str):  # deliberately NOT super().__init__
-        from vltk_tpu.aot import load_bundle
         from vltk_tpu.processing.visn import AuxTokenize, OCRBoxFixed
 
-        bundle = load_bundle(path)
-        meta = bundle.meta
-        _check_bundle_kind(path, meta, "doc_span_qa")
-        self.batch_size = int(meta["batch_size"])
+        meta = _load_step_bundle(self, path, "doc_span_qa")
         self.q_len = int(meta["question_len"])
         self.doc_len = int(meta["doc_len"])
         self.max_span = int(meta["max_span"])
-        self.tokenizer, self._vocab_dir = _tokenizer_from_bundle(
-            meta["tokenizer"], bundle.files["vocab.txt"]
-        )
         self._aux = AuxTokenize(
             tokenizer=self.tokenizer, max_visual_seq_length=self.doc_len
         )
         self._boxfix = OCRBoxFixed(max_visual_seq_length=self.doc_len)
-        self.params = None  # baked into the artifact
-        step = bundle.fns["step"]
-        self._step = lambda _params, *args: step(*args)
-        self.platforms = bundle.platforms

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
@@ -74,8 +75,6 @@ class MicroBatchServer:
 
     # ------------------------------------------------------------- api ----
     def submit(self, request: Any) -> "Future":
-        import time
-
         fut: Future = Future()
         with self._submit_lock:
             if self._closed:
@@ -122,8 +121,6 @@ class MicroBatchServer:
 
     # ---------------------------------------------------------- worker ----
     def _run(self) -> None:
-        import time
-
         while True:
             head = self._queue.get()
             if head is None:
@@ -149,8 +146,6 @@ class MicroBatchServer:
             self._serve(bucket)
 
     def _serve(self, bucket: List[Tuple[Any, Future, float]]) -> None:
-        import time
-
         # claim each future: a caller-cancelled one (e.g. a timeout
         # wrapper) is dropped here — set_result on it would raise
         # InvalidStateError and kill the worker; once claimed, cancel()
