@@ -332,20 +332,35 @@ class VQAPredictor:
         canvas, s_, m_ = self._resized_canvas, self._short, self._maximum
 
         @jax.jit
-        def extract_step(variables, raw_images, raw_sizes):
+        def vqa_step(fvars, lparams, raw_images, raw_sizes, ids, tmask):
+            """The WHOLE device pipeline as one program: preprocess ->
+            FRCNN -> box normalization -> LXMERT -> sigmoid. One dispatch
+            and one fetch per chunk — the two-step formulation round-
+            tripped the (B, D, 2048) features through the host just to
+            normalize boxes (bench.py --infer vqa measured the composed
+            form; this is the same shape)."""
             pre = preprocess_batch(
                 raw_images, raw_sizes, canvas_hw=canvas, short=s_, maximum=m_
             )
             out = frcnn_model.apply(
-                variables,
-                pre["img"],
-                pre["sizes"],
-                scales_yx=pre["scales_yx"],
+                fvars, pre["img"], pre["sizes"], scales_yx=pre["scales_yx"]
+            )
+            vmask = out["mask"].astype(jnp.float32)
+            boxes = out["boxes"].astype(jnp.float32)
+            # [0, 1] by each row's raw (h, w) extent (the LXMERT position
+            # convention — numpy twin: utils/adapters.normalize_boxes_xyxy)
+            wh = jnp.maximum(raw_sizes[:, jnp.array([1, 0, 1, 0])], 1.0)
+            norm = jnp.clip(boxes / wh[:, None, :], 0.0, 1.0)
+            norm = norm * vmask[..., None]
+            logits = lxmert_model.apply(
+                {"params": lparams}, ids,
+                out["roi_features"].astype(jnp.float32), norm, tmask, vmask,
+                deterministic=True,
             )
             return {
-                "roi_features": out["roi_features"].astype(jnp.float32),
-                "boxes": out["boxes"].astype(jnp.float32),
-                "mask": out["mask"].astype(jnp.float32),
+                "scores": jax.nn.sigmoid(logits.astype(jnp.float32)),
+                "boxes": boxes,
+                "mask": vmask,
                 "obj_ids": out["obj_ids"],
                 "obj_probs": out["obj_probs"].astype(jnp.float32),
             }
@@ -356,17 +371,7 @@ class VQAPredictor:
             )
         )
         self._frcnn_variables = {"params": frcnn_params}
-
-        @jax.jit
-        def answer_step(params, ids, feats, boxes, tmask, vmask):
-            logits = lxmert_model.apply(
-                {"params": params}, ids, feats, boxes, tmask, vmask,
-                deterministic=True,
-            )
-            return jax.nn.sigmoid(logits.astype(jnp.float32))
-
-        self._extract_step = extract_step
-        self._answer_step = answer_step
+        self._vqa_step = vqa_step
 
     def _maybe_calibrate_int8(self, raw_imgs, sizes) -> None:
         """int8 preset: one-time static-PTQ calibration on (up to 4
@@ -425,45 +430,33 @@ class VQAPredictor:
     def export_bundle(
         self, path: str, *, platforms: Optional[Sequence[str]] = None
     ) -> str:
-        """Lower both jitted steps with the params baked in as constants
-        and write one self-contained serving file (StableHLO artifacts +
-        tokenizer vocab + geometry/answers metadata — see vltk_tpu/aot.py
-        for why this replaces the reference's model-code-plus-checkpoint
-        deployment). ``platforms=("cpu", "tpu")`` cross-lowers so one
-        artifact serves on either backend."""
+        """Lower the composed device pipeline with the params baked in as
+        constants and write one self-contained serving file (StableHLO
+        artifact + tokenizer vocab + geometry/answers metadata — see
+        vltk_tpu/aot.py for why this replaces the reference's
+        model-code-plus-checkpoint deployment). ``platforms=("cpu",
+        "tpu")`` cross-lowers so one artifact serves on either backend."""
         import jax
 
         from vltk_tpu.aot import export_jitted, save_bundle
 
-        fcfg, lcfg = self.frcnn_config, self.lxmert_config
         B = self.batch_size
         ch, cw = self.raw_canvas
         L = self.tokenizer.max_seq_length
-        D = fcfg.max_detections
-        F = lcfg.visual_feat_dim
         # bake the full variable dict — for the int8 preset that includes
         # any calibrated "quant" scales (export after a real request, or
         # the artifact ships the dynamic-scale fallback)
         fvars = jax.device_get(self._frcnn_variables)
         lparams = jax.device_get(self.lxmert_params)
-        extract = export_jitted(
-            lambda img, sz: self._extract_step(fvars, img, sz),
+        step = export_jitted(
+            lambda img, sz, ids, tm: self._vqa_step(
+                fvars, lparams, img, sz, ids, tm
+            ),
             (
                 np.zeros((B, ch, cw, 3), np.uint8),
                 np.zeros((B, 2), np.float32),
-            ),
-            platforms=platforms,
-        )
-        answer = export_jitted(
-            lambda ids, feats, boxes, tm, vm: self._answer_step(
-                lparams, ids, feats, boxes, tm, vm
-            ),
-            (
                 np.zeros((B, L), np.int32),
-                np.zeros((B, D, F), np.float32),
-                np.zeros((B, D, 4), np.float32),
                 np.zeros((B, L), np.float32),
-                np.zeros((B, D), np.float32),
             ),
             platforms=platforms,
         )
@@ -476,10 +469,7 @@ class VQAPredictor:
             "tokenizer": tmeta,
         }
         return save_bundle(
-            path,
-            {"extract": extract, "answer": answer},
-            meta=meta,
-            files={"vocab.txt": vocab},
+            path, {"vqa": step}, meta=meta, files={"vocab.txt": vocab}
         )
 
     @classmethod
@@ -567,30 +557,19 @@ class VQAPredictor:
             )[:, None, :]
             raw_imgs = self._pad_chunk(collated[V.img])
             self._maybe_calibrate_int8(raw_imgs, sizes)
-            out = self._extract_step(self._frcnn_variables, raw_imgs, sizes)
-            feats = np.asarray(out["roi_features"])
+            out = self._vqa_step(
+                self._frcnn_variables,
+                self.lxmert_params,
+                raw_imgs,
+                sizes,
+                self._pad_chunk(ids[lo:hi]),
+                self._pad_chunk(tmask[lo:hi]),
+            )
+            scores = np.asarray(out["scores"])
             boxes = np.asarray(out["boxes"])
             vmask = np.asarray(out["mask"])
             obj_ids = np.asarray(out["obj_ids"])
             obj_probs = np.asarray(out["obj_probs"])
-
-            # normalize boxes to [0, 1] by the raw image extent (the
-            # LXMERT position-feature convention; invalid slots zeroed)
-            from vltk_tpu.utils.adapters import normalize_boxes_xyxy
-
-            norm_boxes = normalize_boxes_xyxy(boxes, sizes)
-            norm_boxes *= vmask[..., None]
-
-            scores = np.asarray(
-                self._answer_step(
-                    self.lxmert_params,
-                    self._pad_chunk(ids[lo:hi]),
-                    feats,
-                    norm_boxes.astype(np.float32),
-                    self._pad_chunk(tmask[lo:hi]),
-                    vmask,
-                )
-            )
             for j in range(hi - lo):
                 order = np.argsort(-scores[j])[:top_k]
                 ranked = [(self.answers[a], float(scores[j, a])) for a in order]
@@ -631,14 +610,13 @@ class _BundledVQAPredictor(VQAPredictor):
         self.tokenizer, self._vocab_dir = _tokenizer_from_bundle(
             meta["tokenizer"], bundle.files["vocab.txt"]
         )
-        self.frcnn_params = None  # baked into the artifacts
+        self.frcnn_params = None  # baked into the artifact
         self.lxmert_params = None
         self._frcnn_variables = None
         self.frcnn_config = None  # _maybe_calibrate_int8 reads it: no-op
         self.lxmert_config = None
-        extract, answer = bundle.fns["extract"], bundle.fns["answer"]
-        self._extract_step = lambda _vars, img, sz: extract(img, sz)
-        self._answer_step = lambda _params, *args: answer(*args)
+        step = bundle.fns["vqa"]
+        self._vqa_step = lambda _fvars, _lparams, *args: step(*args)
         self.platforms = bundle.platforms
 
 
