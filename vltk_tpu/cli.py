@@ -298,7 +298,10 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
             predictor = VQAPredictor(answers or ["yes", "no", "unknown"])
 
     if task == "vqa":
-        srv = for_vqa(predictor, max_delay_ms=max_delay)
+        srv = for_vqa(
+            predictor, max_delay_ms=max_delay,
+            top_k=int(flags.get("top_k", "5")),
+        )
         to_request = lambda r: (r["image"], r["question"])  # noqa: E731
         to_line = lambda res: {  # noqa: E731
             "answer": res["answer"],

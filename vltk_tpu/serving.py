@@ -180,10 +180,14 @@ class MicroBatchServer:
 # ------------------------------------------------------------ adapters ----
 
 
-def for_vqa(predictor, max_delay_ms: float = 5.0) -> MicroBatchServer:
+def for_vqa(
+    predictor, max_delay_ms: float = 5.0, top_k: int = 5
+) -> MicroBatchServer:
     """Serve a VQAPredictor: request = (image, question) -> result dict."""
     return MicroBatchServer(
-        lambda reqs: predictor([r[0] for r in reqs], [r[1] for r in reqs]),
+        lambda reqs: predictor(
+            [r[0] for r in reqs], [r[1] for r in reqs], top_k=top_k
+        ),
         batch_size=predictor.batch_size,
         max_delay_ms=max_delay_ms,
     )
