@@ -405,6 +405,11 @@ def main(argv: List[str] = None) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    if argv[0] == "--version":
+        from vltk_tpu import __version__
+
+        print(f"vltk-tpu {__version__}")
+        return 0
     command, rest = argv[0], argv[1:]
     positional, flags = _parse_flags(rest)
 
