@@ -335,6 +335,10 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
             except Exception as exc:  # per-request failure, keep serving
                 print(json.dumps({"error": str(exc)}), flush=True)
 
+    if flags.get("warmup") == "true":
+        print("[serve] warming up (compiling the serving program)...",
+              file=sys.stderr)
+        predictor.warmup()
     print(f"[serve] ready: task={task} bucket={predictor.batch_size} "
           f"window={max_delay}ms", file=sys.stderr)
     pending: "collections.deque" = collections.deque()

@@ -373,6 +373,26 @@ class VQAPredictor:
         self._frcnn_variables = {"params": frcnn_params}
         self._vqa_step = vqa_step
 
+    def warmup(self) -> None:
+        """Compile (and device-place) the serving program ahead of the
+        first request — serving wants the multi-second XLA compile at
+        startup, not on a user's query. No-op cost when already compiled.
+        For the int8 preset the first REAL request still compiles once
+        more: calibration (``_maybe_calibrate_int8``) changes the program
+        from dynamic to static scales, and calibrating on zeros here
+        would record degenerate activation maxima."""
+        B = self.batch_size
+        ch, cw = self.raw_canvas
+        L = self.tokenizer.max_seq_length
+        self._vqa_step(
+            self._frcnn_variables,
+            self.lxmert_params,
+            np.zeros((B, ch, cw, 3), np.uint8),
+            np.full((B, 2), 32.0, np.float32),
+            np.zeros((B, L), np.int32),
+            np.zeros((B, L), np.float32),
+        )
+
     def _maybe_calibrate_int8(self, raw_imgs, sizes) -> None:
         """int8 preset: one-time static-PTQ calibration on (up to 4
         images of) the first real request — same recipe as the extraction
@@ -763,6 +783,16 @@ class DocTokenClassifier:
     def from_bundle(cls, path: str) -> "DocTokenClassifier":
         return _BundledDocTokenClassifier(path)
 
+    def warmup(self) -> None:
+        """Compile the serving program ahead of the first request."""
+        B, L = self.batch_size, self.max_seq_length
+        self._step(
+            self.params,
+            np.zeros((B, L), np.int32),
+            np.zeros((B, L, 4), np.int32),
+            np.zeros((B, L), np.float32),
+        )
+
     # ------------------------------------------------------------------
     def _prep(self, doc: Dict[str, Any]) -> Dict[str, Any]:
         return _prep_ocr_entry(self._aux, self._boxfix, doc)
@@ -1011,6 +1041,16 @@ class DocSpanQA:
     @classmethod
     def from_bundle(cls, path: str) -> "DocSpanQA":
         return _BundledDocSpanQA(path)
+
+    def warmup(self) -> None:
+        """Compile the serving program ahead of the first request."""
+        B, seq = self.batch_size, self.q_len + self.doc_len
+        self._step(
+            self.params,
+            np.zeros((B, seq), np.int32),
+            np.zeros((B, seq, 4), np.int32),
+            np.zeros((B, seq), np.float32),
+        )
 
     def __call__(
         self,
