@@ -316,6 +316,33 @@ class TestHostSharding:
         assert list(next(it_full)["i"]) == full[0]
         assert list(next(it_tail)["i"]) == full[2]
 
+    def test_iter_from_composes_with_host_sharding(self):
+        """Multi-host mid-epoch resume: every host skips k of ITS OWN
+        deterministic slice — the union of resumed tails must equal the
+        union of each host's full order minus its first k batches (no
+        host double-trains or drops another host's entries)."""
+        from vltk_tpu.data.loader import _BaseLoader
+
+        class _Range:
+            def __len__(self):
+                return 24
+
+            def __getitem__(self, i):
+                return {"i": np.int32(i)}
+
+        for rank in (0, 1):
+            full = _BaseLoader(
+                _Range(), 3, True, seed=7, shard=(rank, 2)
+            )
+            tail = _BaseLoader(
+                _Range(), 3, True, seed=7, shard=(rank, 2)
+            )
+            full.set_epoch(1)
+            tail.set_epoch(1)
+            want = [list(b["i"]) for b in full][2:]
+            got = [list(b["i"]) for b in tail.iter_from(2)]
+            assert got == want
+
     def test_iter_from_threaded(self):
         from vltk_tpu.data.loader import _BaseLoader
 
