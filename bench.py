@@ -663,10 +663,11 @@ def run_train_bench(args):
     # fwd+bwd at the parity canvas keeps ~1.4 GB of backbone activations
     # per image live for the backward — B=2 is the safe single-chip default
     # (pass --batch to push it; the global default batch is for extraction)
-    b = args.batch if args.batch_explicit else 2
+    b = args.batch if args.batch_explicit else (4 if args.remat else 2)
     _, canvas, short, maximum, raw_hw = GEOM["full"]
     cfg = FRCNNConfig(
-        post_nms_topk=300, dtype="bfloat16", roi_chunk=args.roi_chunk
+        post_nms_topk=300, dtype="bfloat16", roi_chunk=args.roi_chunk,
+        remat=args.remat,
     )
     model = FRCNN(cfg=cfg)
     rng = np.random.default_rng(0)
@@ -714,7 +715,10 @@ def run_train_bench(args):
 
     dt, loss = _timed_fori_steps(run_k, (params, opt_state), iters)
     assert np.isfinite(loss)
-    emit_train("frcnn_detect_train_step_bf16", dt, b)
+    emit_train(
+        "frcnn_detect_train_step_bf16" + ("_remat" if args.remat else ""),
+        dt, b,
+    )
 
 
 def run_infer_bench(args):

@@ -162,6 +162,48 @@ class TestDetectionLosses:
         assert losses[-1] < losses[0], losses
 
 
+class TestBackboneRemat:
+    def test_remat_is_numerically_identical(self):
+        """cfg.remat is a pure memory lever: same param tree, same
+        forward, same gradients — only the backward's activation storage
+        changes (block inputs instead of block internals)."""
+        import dataclasses
+
+        model = FRCNN(cfg=TINY)
+        model_r = FRCNN(cfg=dataclasses.replace(TINY, remat=True))
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(
+            rng.uniform(-40, 40, (2, 64, 64, 3)).astype(np.float32)
+        )
+        sizes = jnp.asarray([[64.0, 64.0], [64.0, 64.0]])
+        params = model.init(jax.random.PRNGKey(0), images, sizes)["params"]
+        # identical param tree: the rematted model accepts the plain one
+        gt_boxes, gt_valid, gt_classes = _gt_batch()
+
+        def loss_fn(m):
+            def f(p):
+                out = m.apply({"params": p}, images, sizes, return_raw=True)
+                raw = out["raw"]
+                obj, loc = rpn_losses(
+                    raw["anchors"], raw["rpn_logits"], raw["rpn_deltas"],
+                    gt_boxes, gt_valid, jax.random.PRNGKey(2),
+                    batch_size_per_image=64,
+                )
+                return obj + loc
+
+            return f
+
+        l0, g0 = jax.value_and_grad(loss_fn(model))(params)
+        l1, g1 = jax.value_and_grad(loss_fn(model_r))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            g0, g1,
+        )
+
+
 class TestDetectionExperiment:
     def test_e2e_coco_finetune(self, tmp_path, rng):
         """Full path: synthetic COCO dir -> builder -> vision loader

@@ -33,6 +33,9 @@ run python bench.py --train layoutlm
 run python bench.py --train layoutlm --attn flash
 run python bench.py --train layoutlm --remat
 run python bench.py --train layoutlm --attn flash --remat
+run python bench.py --train frcnn
+run python bench.py --train frcnn --remat
+run python bench.py --train frcnn --remat --batch 8
 run python tools/probe_aot_tpu.py
 # probe output is free-form text — keep it OUT of the jsonl
 echo "== probe_flash" >&2

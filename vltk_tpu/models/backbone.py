@@ -126,11 +126,18 @@ class ResStage(nn.Module):
     dilation: int = 1
     dtype: Optional[jnp.dtype] = None
     int8: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # remat: checkpoint at block boundaries — the backward recomputes
+        # each block's internals from its input instead of storing them
+        # (detection training's batch ceiling is backbone activations,
+        # ~1.4 GB/image at the parity canvas; a lifted transform, so the
+        # param tree and checkpoints are IDENTICAL to the plain path)
+        block_cls = nn.remat(BottleneckBlock) if self.remat else BottleneckBlock
         for i in range(self.num_blocks):
-            x = BottleneckBlock(
+            x = block_cls(
                 out_channels=self.out_channels,
                 bottleneck_channels=self.bottleneck_channels,
                 stride=self.first_stride if i == 0 else 1,
@@ -159,6 +166,7 @@ class ResNetC4(nn.Module):
     caffe_maxpool: bool = True
     dtype: Optional[jnp.dtype] = None
     int8: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -182,6 +190,7 @@ class ResNetC4(nn.Module):
                 stride_in_1x1=self.stride_in_1x1,
                 dtype=self.dtype,
                 int8=self.int8,
+                remat=self.remat,
                 name=f"res{stage_idx}",
             )(x)
             out_channels *= 2

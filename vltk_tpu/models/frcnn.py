@@ -96,6 +96,13 @@ class FRCNNConfig:
     # and it is what lets B=32 parity extraction fit HBM). The scan only
     # engages when batch * proposals exceeds the chunk. None = 1 pass.
     roi_chunk: Optional[int] = 2400
+    # rematerialize backbone blocks in the backward pass (detection
+    # TRAINING memory lever — the ~1.4 GB/image parity-canvas backbone
+    # activations cap the fine-tune batch at 2 on one v5e chip; remat
+    # trades ~1/3 extra backbone FLOPs for storing only block inputs).
+    # Lifted transform: the param tree/checkpoints are unchanged.
+    # Inference-only paths never see a backward, so this is free there.
+    remat: bool = False
 
     @classmethod
     def vg_extraction(cls, **overrides) -> "FRCNNConfig":
@@ -233,6 +240,7 @@ class FRCNN(nn.Module):
             caffe_maxpool=cfg.caffe_maxpool,
             dtype=dtype,
             int8=cfg.int8,
+            remat=cfg.remat,
             name="backbone",
         )(images)
 
