@@ -314,6 +314,19 @@ def test_crash_save_does_not_clobber_periodic_state(tmp_path, rng):
     np.testing.assert_allclose(got["bias"], truth["bias"], rtol=1e-6)
 
 
+def test_config_accum_steps_matches_full_batch(tmp_path, rng):
+    """train.accum_steps reaches make_train_step from the config surface
+    and reproduces the full-batch update (bs=16 split into 4x4 micro)."""
+    batches = _regression_batches(rng)
+    truth = _final_params(tmp_path / "truth", batches)
+    cfg = _mk_config(tmp_path / "accum", accum_steps=4)
+    exp = _Regression(cfg, loaders=(_ListLoader(batches), None))
+    exp()
+    got = jax.device_get(exp.state.params)
+    np.testing.assert_allclose(got["kernel"], truth["kernel"], rtol=1e-5)
+    np.testing.assert_allclose(got["bias"], truth["bias"], rtol=1e-5)
+
+
 def test_legacy_info_json_mid_epoch_resume(tmp_path, rng):
     """Pre-single-file-mid-checkpoint dirs recorded a partial epoch via a
     mid_epoch flag in info.json next to the regular epoch files; resume

@@ -349,6 +349,11 @@ class TrainConfig(BaseConfig):
     save_every_steps: int = 0
     # retain only the K highest-epoch checkpoints (0 = keep all)
     keep_checkpoints: int = 0
+    # gradient accumulation: split each batch's leading dim into this
+    # many microbatches, scan-accumulate grads, apply ONE mean update —
+    # numerically equal to the full batch (train/steps.py). Composes
+    # with remat for large effective batches on one chip.
+    accum_steps: int = 1
     half_precision: bool = True  # bf16 on TPU (replaces CUDA GradScaler)
     task_matched: bool = False
     task_mask_lm: bool = False

@@ -92,7 +92,11 @@ class SimpleExperiment(abc.ABC):
             self.apply_fn, self.params, self.tx, self.mesh, self.rules
         )
         del self.params  # lives in state now
-        self.train_step = make_train_step(self.loss_fn, self.mesh)
+        self.train_step = make_train_step(
+            self.loss_fn,
+            self.mesh,
+            accum_steps=int(getattr(self.config.train, "accum_steps", 1)),
+        )
         self.eval_step = make_eval_step(self._eval_metric_fn, self.mesh)
         self.start_epoch = 0
         self.global_step = 0
