@@ -545,6 +545,32 @@ def test_vqa_experiment_auto_sizes_answer_head(tmp_path, rng):
     assert params["answer_head"]["logit"]["kernel"].shape[-1] == 9
 
 
+def test_mesh_zero1_from_config(tmp_path, rng):
+    """mesh.zero1_axis='data' reaches create_state from the config
+    surface: Adam moments come out physically sharded over data."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = _mk_config(tmp_path, epochs=1)
+    cfg.test_run = True
+    cfg.mesh.zero1_axis = "data"
+    batches = _vqa_batches(rng, n=1)
+    exp = _VQAExperiment(
+        cfg, loaders=(_ListLoader(batches), None),
+        mesh=make_mesh(MeshConfig(axes=(("data", 4), ("model", 2)))),
+        rules=LXMERT_RULES,
+    )
+    sharded = []
+
+    def visit(x):
+        spec = getattr(getattr(x, "sharding", None), "spec", ())
+        if any(ax == "data" for ax in spec if ax):
+            sharded.append(x)
+
+    jax.tree_util.tree_map(visit, exp.state.opt_state)
+    assert sharded, "no optimizer moment sharded over the data axis"
+    exp()  # one step trains under the sharded state
+
+
 def test_mesh_mid_epoch_preemption_resume_exact(tmp_path, rng):
     """SIGTERM mid-epoch on the SHARDED experiment: the single-file mid
     checkpoint gathers the dp x tp sharded state, the restart re-enters

@@ -261,6 +261,10 @@ class MeshConfig(BaseConfig):
     model_axis: str = "model"
     seq_axis: str = "seq"
     force_host_platform: bool = False  # tests: virtual CPU mesh
+    # ZeRO stage-1: shard every optimizer moment over this mesh axis
+    # (usually "data"); each DP device then stores 1/dp of the Adam
+    # state. None = replicated moments (train/steps.py create_state).
+    zero1_axis: Optional[str] = None
 
     def build(self):
         from vltk_tpu.parallel import make_mesh

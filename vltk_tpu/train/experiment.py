@@ -89,7 +89,12 @@ class SimpleExperiment(abc.ABC):
         self.total_steps = steps_per_epoch * self.config.train.epochs
         self.tx = make_optimizer(self.config.train, self.total_steps)
         self.state = create_state(
-            self.apply_fn, self.params, self.tx, self.mesh, self.rules
+            self.apply_fn, self.params, self.tx, self.mesh, self.rules,
+            zero1_axis=(
+                getattr(self.config.mesh, "zero1_axis", None)
+                if self.mesh is not None
+                else None
+            ),
         )
         del self.params  # lives in state now
         self.train_step = make_train_step(
