@@ -91,6 +91,31 @@ def test_cli_data_command_end_to_end(tmp_path, capsys):
     assert "input_ids" in out and "features" in out
 
 
+def test_extract_coerces_extra_flags(monkeypatch):
+    """`vltk extract ... --int8=false --roi_chunk=1600` must deliver a
+    real bool/int to the adapter — the raw strings are silently wrong in
+    typed config fields ("false" is truthy)."""
+    from vltk_tpu.adapters import Adapters
+
+    captured = {}
+
+    class _Fake:
+        @classmethod
+        def extract(cls, datadir, dataset_name=None, **kw):
+            captured.update(kw, dataset_name=dataset_name)
+            return {}
+
+    monkeypatch.setattr(Adapters, "get", staticmethod(lambda n: _Fake))
+    rc = main([
+        "extract", "frcnn", "coco2014",
+        "--int8=false", "--roi_chunk=1600", "--dtype=bfloat16",
+    ])
+    assert rc == 0
+    assert captured["int8"] is False
+    assert captured["roi_chunk"] == 1600
+    assert captured["dtype"] == "bfloat16"
+
+
 def test_simple_builds_mesh_from_config(tmp_path, rng, monkeypatch):
     """`vltk simple` honors MeshConfig: multi-axis configs get a real mesh
     + TP rules passed to the experiment."""

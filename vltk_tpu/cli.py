@@ -93,10 +93,15 @@ def cmd_extract(positional: List[str], cfg: Config, flags_extra: Dict) -> int:
     from vltk_tpu.adapters import Adapters
 
     extractor = Adapters.get(extractor_name)
+    # extras flow into typed kwargs (FRCNNConfig overrides, batch_size);
+    # raw CLI strings would be silently wrong there ("--int8=false" is a
+    # truthy string) — coerce with the config parser's rules
+    from vltk_tpu.config import _coerce
+
     extractor.extract(
         cfg.data.datadir,
         dataset_name=dataset_name,
-        **flags_extra,
+        **{k: _coerce(v) for k, v in flags_extra.items()},
     )
     return 0
 
