@@ -1221,6 +1221,31 @@ def main():
             "jax_compilation_cache_dir", "/root/.cache/vltk_jax_cache"
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        if not args.host:
+            # the axon tunnel can be DOWN in a way that makes backend init
+            # hang forever (observed: >400 s, no error). Probe it in a
+            # bounded subprocess so an outage yields one honest JSON line
+            # instead of a silent hang that eats the recording window.
+            import subprocess
+
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    capture_output=True, timeout=600,
+                )
+                dead = probe.returncode != 0
+                err = probe.stderr.decode()[-300:]
+            except subprocess.TimeoutExpired:
+                dead, err = True, "device backend init exceeded 600s (tunnel down)"
+            if dead:
+                print(json.dumps({
+                    "metric": "frcnn_extraction_throughput_bf16",
+                    "value": 0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0,
+                    "error": f"TPU unreachable: {err}",
+                }))
+                return 1
 
     def dispatch():
         if args.smoke:
@@ -1287,4 +1312,4 @@ def _dispatch_smoke(args):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
