@@ -1228,24 +1228,34 @@ def main():
             # instead of a silent hang that eats the recording window.
             import subprocess
 
-            try:
-                probe = subprocess.run(
-                    [sys.executable, "-c", "import jax; jax.devices()"],
-                    capture_output=True, timeout=600,
-                )
-                dead = probe.returncode != 0
-                err = probe.stderr.decode()[-300:]
-            except subprocess.TimeoutExpired:
-                dead, err = True, "device backend init exceeded 600s (tunnel down)"
-            if dead:
-                print(json.dumps({
-                    "metric": "frcnn_extraction_throughput_bf16",
-                    "value": 0,
-                    "unit": "images/sec/chip",
-                    "vs_baseline": 0,
-                    "error": f"TPU unreachable: {err}",
-                }))
-                return 1
+            marker = "/tmp/vltk_tpu_probe_ok"  # one probe per hour, not
+            # one per bench invocation (run_tpu_rows.sh makes ~12)
+            fresh = (
+                os.path.exists(marker)
+                and time.time() - os.path.getmtime(marker) < 3600
+            )
+            if not fresh:
+                try:
+                    probe = subprocess.run(
+                        [sys.executable, "-c", "import jax; jax.devices()"],
+                        capture_output=True, timeout=600,
+                    )
+                    dead = probe.returncode != 0
+                    err = probe.stderr.decode()[-300:]
+                except subprocess.TimeoutExpired:
+                    dead = True
+                    err = "device backend init exceeded 600s (tunnel down)"
+                if dead:
+                    print(json.dumps({
+                        "metric": "frcnn_extraction_throughput_bf16",
+                        "value": 0,
+                        "unit": "images/sec/chip",
+                        "vs_baseline": 0,
+                        "error": f"TPU unreachable: {err}",
+                    }))
+                    return 1
+                with open(marker, "w"):
+                    pass
 
     def dispatch():
         if args.smoke:
