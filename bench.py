@@ -1230,11 +1230,33 @@ def main():
 
             marker = "/tmp/vltk_tpu_probe_ok"  # one probe per hour, not
             # one per bench invocation (run_tpu_rows.sh makes ~12)
-            fresh = (
-                os.path.exists(marker)
-                and time.time() - os.path.getmtime(marker) < 3600
-            )
-            if not fresh:
+            down_marker = "/tmp/vltk_tpu_probe_down"  # a FAILED probe is
+
+            # also cached (10 min): a mid-session outage must cost one
+            # bounded probe, not 600 s per remaining bench invocation
+            def _fresh(path, ttl):
+                return (
+                    os.path.exists(path)
+                    and time.time() - os.path.getmtime(path) < ttl
+                )
+
+            def _unreachable(err):
+                # metric name must NOT collide with any real measurement:
+                # tools/rows_to_md.py keys rows by metric (last wins), so
+                # an outage line labeled as the extraction metric would
+                # silently replace a genuine earlier measurement
+                print(json.dumps({
+                    "metric": "tpu_unreachable",
+                    "value": 0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0,
+                    "error": f"TPU unreachable: {err}",
+                }))
+                return 1
+
+            if _fresh(down_marker, 600):
+                return _unreachable("probe failed <10min ago (cached)")
+            if not _fresh(marker, 3600):
                 try:
                     probe = subprocess.run(
                         [sys.executable, "-c", "import jax; jax.devices()"],
@@ -1246,14 +1268,14 @@ def main():
                     dead = True
                     err = "device backend init exceeded 600s (tunnel down)"
                 if dead:
-                    print(json.dumps({
-                        "metric": "frcnn_extraction_throughput_bf16",
-                        "value": 0,
-                        "unit": "images/sec/chip",
-                        "vs_baseline": 0,
-                        "error": f"TPU unreachable: {err}",
-                    }))
-                    return 1
+                    with open(down_marker, "w"):
+                        pass
+                    return _unreachable(err)
+                for stale in (down_marker,):
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
                 with open(marker, "w"):
                     pass
 

@@ -178,3 +178,31 @@ def test_simple_rejects_malformed_mesh_axes(tmp_path):
                   f"--logdir={tmp_path}"])
     finally:
         Experiments._classes.pop("fake2", None)
+
+
+def test_rows_to_md_keeps_batch_variants(tmp_path):
+    """Same metric captured at two batch sizes (e.g. --train frcnn --remat
+    at b=4 and b=8) must render as two rows, not last-wins into one."""
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    rows = tmp_path / "rows.jsonl"
+    rows.write_text(
+        "# tpu session X\n"
+        + _json.dumps({"metric": "m", "value": 1, "unit": "u", "batch": 4})
+        + "\n"
+        + _json.dumps({"metric": "m", "value": 2, "unit": "u", "batch": 8})
+        + "\n"
+        + _json.dumps({"metric": "nobatch", "value": 3, "unit": "u"})
+        + "\n"
+    )
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, _os.path.join(repo, "tools", "rows_to_md.py"),
+         str(rows)],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0
+    assert "m (b=4)" in out.stdout and "m (b=8)" in out.stdout
+    assert "| nobatch |" in out.stdout

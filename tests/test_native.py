@@ -190,3 +190,39 @@ def test_build_dir_falls_back_when_package_unwritable(monkeypatch, tmp_path):
 
 def test_build_dir_prefers_in_package_cache():
     assert native._build_dir() == native._BUILD_DIR
+
+
+def test_prebuilt_so_found_before_writability_probe(monkeypatch, tmp_path):
+    """A .so pre-built into a READ-ONLY install (the deploy box without
+    g++) must be found and used — the lookup cannot depend on the package
+    dir being writable."""
+    pkg = tmp_path / "pkg_build"
+    pkg.mkdir()
+    so = pkg / f"libvltk_native_{native._source_hash()}.so"
+    so.write_bytes(b"")
+    monkeypatch.setattr(native, "_BUILD_DIR", str(pkg))
+    # simulate every location read-only: if _build still probed
+    # writability before looking for the existing .so, it would rebuild
+    # (or return None) instead of loading the shipped library
+    monkeypatch.setattr(native, "_build_dir", lambda: None)
+    assert native._build() == str(so)
+
+
+def test_everything_unwritable_returns_none(monkeypatch, tmp_path):
+    """lib()'s contract is 'CDLL or None': a sandboxed host where both the
+    package dir and the cache home are unwritable must degrade to the pure
+    Python fallbacks, not crash with PermissionError."""
+    import os as _os
+
+    monkeypatch.setattr(native, "_BUILD_DIR", str(tmp_path / "pkg"))
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    real_makedirs = _os.makedirs
+
+    def deny(path, *a, **k):
+        if str(tmp_path) in str(path):
+            raise PermissionError(f"read-only: {path}")
+        return real_makedirs(path, *a, **k)
+
+    monkeypatch.setattr(native.os, "makedirs", deny)
+    assert native._build_dir() is None
+    assert native._build() is None

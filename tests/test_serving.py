@@ -84,6 +84,24 @@ def test_error_fans_out_to_all_callers():
                 f.result(timeout=5)
 
 
+def test_poisoned_request_fails_alone():
+    """One bad request sharing a bucket must fail only itself — peers get
+    their results via the solo-retry path, not the old whole-bucket
+    exception fan-out."""
+    def fragile(requests):
+        if any(r == "bad" for r in requests):
+            raise ValueError("poisoned")
+        return [r * 10 for r in requests]
+
+    with MicroBatchServer(fragile, batch_size=4, max_delay_ms=200) as srv:
+        futs = [srv.submit(r) for r in (1, "bad", 2)]
+        assert futs[0].result(timeout=5) == 10
+        with pytest.raises(ValueError, match="poisoned"):
+            futs[1].result(timeout=5)
+        assert futs[2].result(timeout=5) == 20
+    assert srv.stats["requests_served"] == 2
+
+
 def test_wrong_result_count_is_an_error():
     with MicroBatchServer(
         lambda reqs: [0], batch_size=4, max_delay_ms=20
@@ -202,6 +220,75 @@ def test_cli_serve_jsonl_from_bundle(tmp_path, capsys, monkeypatch):
     assert [out[0]["answer"], out[2]["answer"], out[4]["answer"]] == [
         d["answer"] for d in direct
     ]
+
+
+def test_cli_serve_request_response_client(tmp_path, monkeypatch):
+    """A client that WAITS for each reply before sending its next request
+    (the normal interactive protocol on a pipe) must not deadlock: results
+    have to flush the moment they complete, not when the next stdin line
+    happens to arrive."""
+    import json
+    import time
+
+    from PIL import Image
+
+    from vltk_tpu.cli import main
+
+    predictor = _tiny_predictor(tmp_path)
+    bundle = str(tmp_path / "vqa.zip")
+    predictor.export_bundle(bundle)
+
+    rng = np.random.default_rng(1)
+    imgs = []
+    for i in range(2):
+        p = tmp_path / f"rr{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (48, 56, 3)).astype(np.uint8)
+        ).save(p)
+        imgs.append(str(p))
+    lines = [
+        json.dumps({"image": imgs[0], "question": "what is the cat"}),
+        json.dumps({"image": imgs[1], "question": "what"}),
+    ]
+
+    written = []
+
+    class _Out:
+        def write(self, s):
+            written.append(s)
+            return len(s)
+
+        def flush(self):
+            pass
+
+    def _responses():
+        return "".join(written).count("\n")
+
+    class _Stdin:
+        """Yields request i+1 only after response i was written."""
+
+        def __iter__(self):
+            for i, ln in enumerate(lines):
+                if i:
+                    deadline = time.time() + 120
+                    while _responses() < i:
+                        if time.time() > deadline:
+                            raise AssertionError(
+                                "serve never flushed the previous result — "
+                                "request-response client deadlock"
+                            )
+                        time.sleep(0.01)
+                yield ln + "\n"
+
+    monkeypatch.setattr("sys.stdin", _Stdin())
+    monkeypatch.setattr("sys.stdout", _Out())
+    rc = main(["serve", f"--bundle={bundle}", "--max-delay-ms=5"])
+    assert rc == 0
+    out = [json.loads(ln) for ln in "".join(written).splitlines()]
+    assert len(out) == 2
+    from tests.test_predict import ANSWERS
+
+    assert out[0]["answer"] in ANSWERS and out[1]["answer"] in ANSWERS
 
 
 def test_vqa_adapter_end_to_end(tmp_path):

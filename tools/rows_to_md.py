@@ -31,7 +31,13 @@ def main(path="tools/tpu_rows.jsonl"):
         if "failed" in d:
             rows[f"FAILED: {d['failed']}"] = d
         elif "metric" in d:
-            rows[d["metric"]] = d
+            # same metric at different batch sizes are distinct rows
+            # (e.g. --train frcnn --remat at b=4 and b=8): key on both so
+            # last-wins only collapses true re-measurements
+            key = d["metric"]
+            if "batch" in d:
+                key = f"{key} (b={d['batch']})"
+            rows[key] = d
     if rows:
         _dump(session, rows)
     return 0

@@ -11,6 +11,9 @@
 #   - per-layer flash kernel probe (tools/probe_flash.py)
 set -u -o pipefail
 cd "$(dirname "$0")/.."
+# this script only runs right after a successful tunnel probe — a stale
+# failed-probe cache from the outage must not make bench fail fast
+rm -f /tmp/vltk_tpu_probe_down
 out=tools/tpu_rows.jsonl
 ts=$(date -Is)
 echo "# tpu session $ts" >> "$out"

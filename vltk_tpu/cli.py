@@ -264,7 +264,9 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
       doc:  {"words": [...], "boxes": [[x0,y0,x1,y1]...], "size": [h,w]}
       span: {"doc": {words, boxes, size}, "question": "..."}
     """
-    import collections
+    import queue as queue_mod
+    import threading
+    from concurrent.futures import Future
 
     from vltk_tpu.predict import DocSpanQA, DocTokenClassifier, VQAPredictor
     from vltk_tpu.serving import for_doc, for_span, for_vqa
@@ -316,7 +318,15 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
         }
     elif task == "doc":
         srv = for_doc(predictor, max_delay_ms=max_delay)
-        to_request = lambda r: r  # noqa: E731
+
+        def to_request(r):
+            # validate BEFORE batching: a malformed document must fail its
+            # own request, not reach the predictor inside a shared bucket
+            missing = [k for k in ("words", "boxes") if k not in r]
+            if missing:
+                raise ValueError(f"doc request missing keys {missing}")
+            return r
+
         to_line = lambda res: [  # noqa: E731
             {"word": w["word"], "label": w["label"],
              "score": round(float(w["score"]), 4)}
@@ -332,21 +342,31 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
             "score": round(float(res["score"]), 4),
         }
 
-    def flush_ready(pending, block: bool):
-        while pending and (block or pending[0].done()):
-            fut = pending.popleft()
-            try:
-                print(json.dumps(to_line(fut.result())), flush=True)
-            except Exception as exc:  # per-request failure, keep serving
-                print(json.dumps({"error": str(exc)}), flush=True)
-
     if flags.get("warmup") == "true":
         print("[serve] warming up (compiling the serving program)...",
               file=sys.stderr)
         predictor.warmup()
     print(f"[serve] ready: task={task} bucket={predictor.batch_size} "
           f"window={max_delay}ms", file=sys.stderr)
-    pending: "collections.deque" = collections.deque()
+    # results must print the moment they complete — a request-response
+    # client waits for the reply before writing its next line, so flushing
+    # only when new input arrives would deadlock both sides. A writer
+    # thread blocks on each future in submission order (keeping the output
+    # stream in-order) while the main thread keeps reading stdin.
+    outq: "queue_mod.Queue" = queue_mod.Queue()
+
+    def _writer():
+        while True:
+            fut = outq.get()
+            if fut is None:
+                return
+            try:
+                print(json.dumps(to_line(fut.result())), flush=True)
+            except Exception as exc:  # per-request failure, keep serving
+                print(json.dumps({"error": str(exc)}), flush=True)
+
+    writer = threading.Thread(target=_writer, daemon=True)
+    writer.start()
     with srv:
         for line in sys.stdin:
             line = line.strip()
@@ -357,15 +377,13 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
             except Exception as exc:
                 # bad input must not desync the in-order output stream:
                 # queue it as an already-failed result in sequence
-                from concurrent.futures import Future
-
                 fut: "Future" = Future()
                 fut.set_exception(ValueError(f"bad request: {exc}"))
-                pending.append(fut)
+                outq.put(fut)
             else:
-                pending.append(srv.submit(req))
-            flush_ready(pending, block=False)
-        flush_ready(pending, block=True)
+                outq.put(srv.submit(req))
+        outq.put(None)
+        writer.join()
     stats = srv.stats
     print(f"[serve] done: {stats}", file=sys.stderr)
     return 0

@@ -38,35 +38,51 @@ def _source_hash() -> str:
     return digest.hexdigest()[:16]
 
 
-def _build_dir() -> str:
-    """The in-package cache, or a per-user cache when the install is
-    read-only (wheel into root-owned site-packages): losing write access
-    must cost a one-time rebuild location, not the native fast path."""
-    try:
-        os.makedirs(_BUILD_DIR, exist_ok=True)
-        probe = os.path.join(_BUILD_DIR, f".w{os.getpid()}")
-        with open(probe, "w"):
-            pass
-        os.remove(probe)
-        return _BUILD_DIR
-    except OSError:
-        fallback = os.path.join(
-            os.environ.get(
-                "XDG_CACHE_HOME",
-                os.path.join(os.path.expanduser("~"), ".cache"),
-            ),
-            "vltk_tpu",
-            "native",
-        )
-        os.makedirs(fallback, exist_ok=True)
-        return fallback
+def _candidate_dirs():
+    """Places a built .so may live, in lookup/build-preference order: the
+    in-package cache, then a per-user cache for read-only installs (wheel
+    into root-owned site-packages) — losing write access must cost a
+    one-time rebuild location, not the native fast path."""
+    yield _BUILD_DIR
+    yield os.path.join(
+        os.environ.get(
+            "XDG_CACHE_HOME",
+            os.path.join(os.path.expanduser("~"), ".cache"),
+        ),
+        "vltk_tpu",
+        "native",
+    )
+
+
+def _build_dir() -> Optional[str]:
+    """First candidate dir we can actually write to; None when every
+    location is read-only (callers then fall back to pure Python)."""
+    for d in _candidate_dirs():
+        try:
+            os.makedirs(d, exist_ok=True)
+            probe = os.path.join(d, f".w{os.getpid()}")
+            with open(probe, "w"):
+                pass
+            os.remove(probe)
+            return d
+        except OSError:
+            continue
+    return None
 
 
 def _build() -> Optional[str]:
+    so_name = f"libvltk_native_{_source_hash()}.so"
+    # a prebuilt .so anywhere wins BEFORE any writability probing: a
+    # read-only install with the library pre-built (the deploy box that
+    # may not even have g++) must load it, not rebuild per user
+    for d in _candidate_dirs():
+        existing = os.path.join(d, so_name)
+        if os.path.exists(existing):
+            return existing
     build_dir = _build_dir()
-    so_path = os.path.join(build_dir, f"libvltk_native_{_source_hash()}.so")
-    if os.path.exists(so_path):
-        return so_path
+    if build_dir is None:
+        return None
+    so_path = os.path.join(build_dir, so_name)
     # per-process tmp name: concurrent cold-start builds (loader workers)
     # must not truncate each other's output; the atomic replace means the
     # last finisher wins and everyone loads a complete .so

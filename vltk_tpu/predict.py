@@ -635,6 +635,14 @@ class _BundledVQAPredictor(VQAPredictor):
         self._frcnn_variables = None
         self.frcnn_config = None  # _maybe_calibrate_int8 reads it: no-op
         self.lxmert_config = None
+        if "vqa" not in bundle.fns:
+            raise ValueError(
+                f"{path}: VQA bundle carries artifacts "
+                f"{sorted(bundle.fns)}, expected the composed 'vqa' step — "
+                "this bundle predates the one-program predictor (two-step "
+                "extract/answer format); re-export it with "
+                "VQAPredictor.export_bundle"
+            )
         step = bundle.fns["vqa"]
         self._vqa_step = lambda _fvars, _lparams, *args: step(*args)
         self.platforms = bundle.platforms

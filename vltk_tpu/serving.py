@@ -158,23 +158,49 @@ class MicroBatchServer:
         requests = [r for r, _, _ in bucket]
         try:
             results = list(self._batch_fn(requests))
-            if len(results) != len(requests):
-                raise RuntimeError(
-                    f"batch_fn returned {len(results)} results for "
-                    f"{len(requests)} requests"
-                )
-        except BaseException as exc:  # fan the failure out to every caller
+        except BaseException as exc:
+            if len(bucket) == 1:
+                bucket[0][1].set_exception(exc)
+                return
+            # one poisoned request (bad path, malformed dict) must not
+            # fail its co-batched peers: retry each request alone — the
+            # fixed-bucket batch_fn pads a single-item list into the same
+            # program — and fan out only the individual failures
+            for req, fut, t0 in bucket:
+                try:
+                    solo = list(self._batch_fn([req]))
+                except BaseException as solo_exc:
+                    fut.set_exception(solo_exc)
+                else:
+                    if len(solo) == 1:
+                        self._finish(fut, t0, solo[0])
+                    else:
+                        fut.set_exception(RuntimeError(
+                            f"batch_fn returned {len(solo)} results for "
+                            "1 request"
+                        ))
+            return
+        if len(results) != len(requests):
+            # an adapter contract bug, not a poisoned request: solo
+            # retries would mask it (a constant-length return looks fine
+            # at batch size 1), so it fans out to the whole bucket
+            exc: BaseException = RuntimeError(
+                f"batch_fn returned {len(results)} results for "
+                f"{len(requests)} requests"
+            )
             for _, fut, _ in bucket:
                 fut.set_exception(exc)
             return
-        self._batches_run += 1
-        self._requests_served += len(bucket)
-        done = time.monotonic()
         for (_, fut, t0), res in zip(bucket, results):
-            if len(self._latencies) >= self._lat_cap:
-                del self._latencies[: self._lat_cap // 2]
-            self._latencies.append(done - t0)
-            fut.set_result(res)
+            self._finish(fut, t0, res)
+        self._batches_run += 1
+
+    def _finish(self, fut: "Future", t0: float, res: Any) -> None:
+        self._requests_served += 1
+        if len(self._latencies) >= self._lat_cap:
+            del self._latencies[: self._lat_cap // 2]
+        self._latencies.append(time.monotonic() - t0)
+        fut.set_result(res)
 
 
 # ------------------------------------------------------------ adapters ----
