@@ -226,3 +226,155 @@ def test_everything_unwritable_returns_none(monkeypatch, tmp_path):
     monkeypatch.setattr(native.os, "makedirs", deny)
     assert native._build_dir() is None
     assert native._build() is None
+
+
+@needs_native
+def test_maskops_fuzz_valid_inputs_match_fallback():
+    """Random VALID RLE / point-run inputs: native kernel == numpy
+    fallback bit-for-bit across shapes."""
+    import os
+
+    from vltk_tpu.native import masks
+    from vltk_tpu.utils import adapters as ua
+
+    def fallback(fn, *a):
+        os.environ["VLTK_NO_NATIVE"] = "1"
+        try:
+            return fn(*a)
+        finally:
+            del os.environ["VLTK_NO_NATIVE"]
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        runs, left = [], h * w
+        while left > 0 and rng.random() > 0.05:
+            r = int(rng.integers(1, left + 1))
+            runs.append(r)
+            left -= r
+        got = masks.rle_decode(runs, h, w)
+        want = fallback(ua.rle_decode, runs, h, w)
+        np.testing.assert_array_equal(got, want, err_msg=f"rle {runs} {h}x{w}")
+
+        pts = []
+        for _ in range(int(rng.integers(0, 6))):
+            pts += [int(rng.integers(0, h * w)), int(rng.integers(0, h * w))]
+        got = masks.points_decode(pts, h, w)
+        want = fallback(ua.imagepoints_to_mask, pts, (h, w))
+        np.testing.assert_array_equal(got, want, err_msg=f"pts {pts} {h}x{w}")
+
+
+@needs_native
+def test_maskops_adversarial_inputs_are_safe():
+    """Malformed decode inputs (negative runs, huge or non-finite
+    coordinates, degenerate polygons) must yield a valid {0,1} mask of the
+    right shape — never an out-of-bounds write, UB cast, or spin."""
+    from vltk_tpu.native import masks
+
+    h, w = 16, 24
+    for counts in ([-5, 9999999, -3, 4], [0, -1, 2**40, 3], [-(2**50)] * 8):
+        m = masks.rle_decode(counts, h, w)
+        assert m.shape == (h, w) and set(np.unique(m)) <= {0, 1}
+    # semantics: a negative count is a zero-length run that still toggles
+    m = masks.rle_decode([-5, 9999999], h, w)
+    assert m.all()
+
+    for pts in ([-100, 5, 10**15, 10**15, 5, -7], [2**62, 2**62]):
+        m = masks.points_decode(pts, h, w)
+        assert m.shape == (h, w) and set(np.unique(m)) <= {0, 1}
+    # negative start must clamp to 0, not wrap to the end of the mask
+    m = masks.points_decode([-100, 5], h, w)
+    assert m.ravel()[:5].all() and m.sum() == 5
+
+    bad_polys = [
+        [[float("nan")] * 8],
+        [[float("inf"), 0.0, 5.0, 5.0, 0.0, 5.0]],
+        [[1e30, 1e30, -1e30, 1e30, 0.0, -1e30]],
+        [[0.0, 0.0]],
+        [[0.0, 0.0, 1.0, 1.0]],
+        [[]],
+        [[5.0, 5.0, 5.0, 5.0, 5.0, 5.0]],
+        [[-50.0, -50.0, 100.0, -50.0, 23.5, 100.0]],
+    ]
+    for polys in bad_polys:
+        m = masks.polygons_fill(polys, h, w)
+        assert m.shape == (h, w) and set(np.unique(m)) <= {0, 1}
+    # the canvas-crossing triangle must still fill real area
+    assert masks.polygons_fill(bad_polys[-1], h, w).sum() > 20
+
+
+@needs_native
+def test_wordpiece_fuzz_ascii_parity_vs_hf():
+    """200 random ASCII strings + pathological repeats: native WordPiece
+    must match HF ids/masks exactly (truncation + padding included)."""
+    import random
+    import string
+
+    from tokenizers import BertWordPieceTokenizer
+
+    from vltk_tpu.native.wordpiece import NativeWordPiece
+
+    hf = BertWordPieceTokenizer(V.VOCABPATH, lowercase=True)
+    hf.enable_truncation(24)
+    hf.enable_padding(
+        length=24, pad_id=hf.token_to_id("[PAD]"), pad_token="[PAD]"
+    )
+    nat = NativeWordPiece(V.VOCABPATH, lowercase=True, max_seq_length=24)
+    rng = random.Random(99)
+    pool = string.ascii_letters + string.digits + string.punctuation + "  \t"
+    cases = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 48)))
+        for _ in range(200)
+    ]
+    cases += ["a" * 500, ("ab " * 200).strip(), "-" * 64, "don't stop",
+              "x" + "!" * 30, " leading and trailing  "]
+    nat_encs = nat.encode_batch(cases)
+    hf_encs = hf.encode_batch(cases)
+    for i, s in enumerate(cases):
+        np.testing.assert_array_equal(
+            nat_encs["input_ids"][i],
+            np.asarray(hf_encs[i].ids, np.int32),
+            err_msg=f"ids mismatch on {s!r}",
+        )
+        np.testing.assert_array_equal(
+            nat_encs["attention_mask"][i],
+            np.asarray(hf_encs[i].attention_mask, np.int32),
+            err_msg=f"mask mismatch on {s!r}",
+        )
+
+
+@needs_native
+def test_wordpiece_unicode_fuzz_well_formed():
+    """Arbitrary unicode (CJK, emoji, combining marks, zero-width) must
+    never crash the native tokenizer; outputs must be well-formed: CLS
+    first, ids within vocab, mask consistent with padding."""
+    import random
+
+    from vltk_tpu.native.wordpiece import NativeWordPiece
+
+    nat = NativeWordPiece(V.VOCABPATH, lowercase=True, max_seq_length=16)
+    rng = random.Random(3)
+    cases = []
+    for _ in range(60):
+        n = rng.randrange(0, 24)
+        cases.append("".join(
+            chr(rng.choice([
+                rng.randrange(32, 0x2FF),
+                rng.randrange(0x4E00, 0x9FFF),
+                rng.randrange(0x1F300, 0x1F64F),
+            ]))
+            for _ in range(n)
+        ))
+    cases += ["é" * 50, "ü ö ß", "​​zero width", "á mark",
+              "مرحبا بالعالم", "здравствуйте"]
+    enc = nat.encode_batch(cases)
+    ids, mask = enc["input_ids"], enc["attention_mask"]
+    assert ids.shape == (len(cases), 16) and mask.shape == ids.shape
+    assert (ids[:, 0] == nat.cls_id).all()
+    assert ((ids >= 0) & (ids < nat.vocab_size)).all()
+    # mask is 1 exactly where ids != pad (pad_id never doubles as content)
+    np.testing.assert_array_equal(mask, (ids != nat.pad_id).astype(np.int32))
+    # every row ends its real content with SEP (truncated or not)
+    lengths = mask.sum(axis=1)
+    for r, n in enumerate(lengths):
+        assert ids[r, n - 1] == nat.sep_id, (cases[r], ids[r])

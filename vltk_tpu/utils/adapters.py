@@ -109,7 +109,10 @@ def rle_decode(counts: Sequence[int], height: int, width: int) -> np.ndarray:
     pos = 0
     val = 0
     for run in counts:
-        run = int(run)
+        # a malformed negative count must not move pos backwards (python
+        # negative slicing would silently paint the wrong pixels); treat
+        # as a zero-length run, same as the native kernel
+        run = max(int(run), 0)
         if val:
             flat[pos : pos + run] = 1
         pos += run
@@ -140,7 +143,11 @@ def imagepoints_to_mask(points: Sequence[float], size: Tuple[int, int]) -> np.nd
     flat = np.zeros(h * w, dtype=np.uint8)
     pts = list(points)
     for i in range(0, len(pts) - 1, 2):
-        start, run = int(pts[i]), int(pts[i + 1])
+        # clamp malformed pairs like the native kernel: a negative start
+        # would python-wrap to the END of the flat mask
+        start, run = max(int(pts[i]), 0), int(pts[i + 1])
+        if run <= 0:
+            continue
         flat[start : start + run] = 1
     return flat.reshape((h, w))
 
