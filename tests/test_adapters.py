@@ -208,3 +208,34 @@ class TestGoldenFixtureSchemaCompatibility:
         assert feats.shape == (36, 2048)
         boxes = np.asarray(row["box"], dtype=np.float32)
         assert boxes.shape == (36, 4)
+
+
+class TestCrashAtomicWrite:
+    def test_failed_write_preserves_existing_arrow(self, tmp_datadir, monkeypatch):
+        """A crash during the final arrow write must neither leave a
+        truncated .arrow (load() would die confusingly later) nor destroy
+        the previous extraction being overwritten."""
+        import pyarrow as _pa
+
+        make_coco(tmp_datadir)
+        good = Coco2014.extract(tmp_datadir)
+        assert good.num_rows == 4
+        arrow_dir = os.path.join(tmp_datadir, "coco2014")
+        arrows = [f for f in os.listdir(arrow_dir) if f.endswith(".arrow")]
+        assert arrows
+
+        real_new_stream = _pa.ipc.new_stream
+
+        def boom(*a, **k):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(_pa.ipc, "new_stream", boom)
+        with pytest.raises(OSError, match="disk full"):
+            Coco2014.extract(tmp_datadir)
+        monkeypatch.setattr(_pa.ipc, "new_stream", real_new_stream)
+
+        # no temp litter, previous dataset intact and loadable
+        leftovers = [f for f in os.listdir(arrow_dir) if f.endswith(".tmp")]
+        assert not leftovers
+        reloaded = Coco2014.load(tmp_datadir)
+        assert reloaded.num_rows == 4

@@ -259,6 +259,30 @@ class TestVQABundle:
         assert rc == 2
         assert "cannot be combined" in capsys.readouterr().err
 
+    def test_legacy_two_artifact_vqa_bundle_clear_error(self, tmp_path):
+        """Bundles exported before the one-program predictor carried
+        {extract, answer} artifacts; loading one on a serving host must
+        say 're-export', not die with a bare KeyError."""
+        from vltk_tpu.predict import VQAPredictor
+
+        exp = export_jitted(lambda x: x, (np.zeros((1,), np.float32),))
+        path = str(tmp_path / "legacy_vqa.zip")
+        save_bundle(
+            path,
+            {"extract": exp, "answer": exp},
+            meta={
+                "kind": "vqa_predictor",
+                "answers": ["yes", "no"],
+                "batch_size": 1,
+                "raw_canvas": [8, 8],
+                "tokenizer": {"name": "NativeWordPiece",
+                              "max_seq_length": 4},
+            },
+            files={"vocab.txt": b"[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\na\n"},
+        )
+        with pytest.raises(ValueError, match="re-export"):
+            VQAPredictor.from_bundle(path)
+
     def test_bundle_kind_guard(self, tmp_path):
         from vltk_tpu.predict import DocSpanQA, DocTokenClassifier, VQAPredictor
 

@@ -206,3 +206,17 @@ def test_rows_to_md_keeps_batch_variants(tmp_path):
     assert out.returncode == 0
     assert "m (b=4)" in out.stdout and "m (b=8)" in out.stdout
     assert "| nobatch |" in out.stdout
+
+
+def test_unknown_registry_name_is_clean_error(capsys):
+    """A typo'd adapter/experiment name is user input, not a crash: the
+    CLI prints the registry's 'unknown ...; available: [...]' message and
+    exits 2 without a traceback."""
+    rc = main(["data", "doesnotexist"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "unknown adapter" in err and "available" in err
+
+    rc = main(["simple", "nope"])
+    assert rc == 2
+    assert "unknown experiment" in capsys.readouterr().err

@@ -378,3 +378,28 @@ def test_wordpiece_unicode_fuzz_well_formed():
     lengths = mask.sum(axis=1)
     for r, n in enumerate(lengths):
         assert ids[r, n - 1] == nat.sep_id, (cases[r], ids[r])
+
+
+@needs_native
+def test_wordpiece_encode_words_fuzz_ascii():
+    """Random ASCII 'words' (incl. punctuation runs and long tokens):
+    per-word sub-token ids must match HF exactly."""
+    import random
+    import string
+
+    from tokenizers import BertWordPieceTokenizer
+
+    from vltk_tpu.native.wordpiece import NativeWordPiece
+
+    hf = BertWordPieceTokenizer(V.VOCABPATH, lowercase=True)
+    nat = NativeWordPiece(V.VOCABPATH, lowercase=True)
+    rng = random.Random(41)
+    pool = string.ascii_lowercase + string.digits + "-'./"
+    words = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(1, 24)))
+        for _ in range(150)
+    ] + ["x" * 120, "----", "a.b.c", "1-800-cat", "''"]
+    got = nat.encode_words(words)
+    for w, ids in zip(words, got):
+        want = hf.encode(w, add_special_tokens=False).ids
+        assert ids == want, (w, ids, want)

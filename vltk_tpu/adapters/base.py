@@ -252,9 +252,22 @@ class Adapter:
         table = set_metadata(table, meta)
 
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        with pa.OSFile(out_path, "wb") as f:
-            with pa.ipc.new_stream(f, table.schema) as stream_writer:
-                stream_writer.write_table(table)
+        # crash-atomic: a process dying mid-write must neither leave a
+        # truncated .arrow where load() expects a dataset nor destroy an
+        # existing one being re-extracted — write a same-dir temp file and
+        # replace (same durability discipline as train/checkpoint.py)
+        tmp_path = f"{out_path}.{os.getpid()}.tmp"
+        try:
+            with pa.OSFile(tmp_path, "wb") as f:
+                with pa.ipc.new_stream(f, table.schema) as stream_writer:
+                    stream_writer.write_table(table)
+            os.replace(tmp_path, out_path)
+        except BaseException:
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
+            raise
         return cls._load_one_arrow(out_path)
 
     # ------------------------------------------------------------------

@@ -471,6 +471,16 @@ def main(argv: List[str] = None) -> int:
             return cmd_extract(positional, cfg, extra)
         if command == "simple":
             return cmd_simple(positional, cfg)
+    except KeyError as exc:
+        # registry lookup miss ("unknown adapter/experiment ...; available:
+        # [...]") is a user typo, not a crash: print the helpful message
+        # cleanly instead of a traceback + crash report
+        msg = exc.args[0] if exc.args else str(exc)
+        if isinstance(msg, str) and msg.startswith("unknown "):
+            print(msg, file=sys.stderr)
+            return 2
+        _crash_report(cfg, exc)
+        raise
     except Exception as exc:  # noqa: BLE001 — CLI boundary
         _crash_report(cfg, exc)
         raise
