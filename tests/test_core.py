@@ -188,3 +188,18 @@ class TestInspection:
         assert collect_args_to_func(f, {"a": 1, "z": 9}) == {"a": 1}
         with pytest.raises(ValueError):
             collect_args_to_func(f, {"z": 9}, mandatory=True)
+
+
+def test_package_root_mirrors_reference_exports():
+    """Every name the reference exposed at its package root
+    (vltk/__init__.py:3-13) resolves here, so `from vltk import X` ports
+    mechanically to `from vltk_tpu import X`."""
+    for name in (
+        "VisnExtraction", "VisnDataset", "VisnLangDataset", "Adapters",
+        "DataConfig", "LangConfig", "VisionConfig", "Features",
+        "Processors", "VisnProcessor", "LangProcessor",
+        "VisnLangProcessor", "build",
+    ):
+        assert getattr(vltk, name) is not None, name
+    # canonical key strings ride along via `from vltk_tpu.vars import *`
+    assert isinstance(vltk.imgid, str) and isinstance(vltk.features, str)

@@ -58,6 +58,25 @@ def __getattr__(name):
         from vltk_tpu.processing import Processors
 
         return Processors
+    # subclassing ABCs, importable from the package root exactly like the
+    # reference (vltk/__init__.py:3-12) so `from vltk import VisnDataset`
+    # ports as `from vltk_tpu import VisnDataset`
+    if name == "VisnDataset":
+        from vltk_tpu.adapters.visn import VisnDataset
+
+        return VisnDataset
+    if name == "VisnLangDataset":
+        from vltk_tpu.adapters.visnlang import VisnLangDataset
+
+        return VisnLangDataset
+    if name == "VisnExtraction":
+        from vltk_tpu.adapters.extraction import VisnExtraction
+
+        return VisnExtraction
+    if name in ("VisnProcessor", "LangProcessor", "VisnLangProcessor"):
+        from vltk_tpu.processing import processor as _proc
+
+        return getattr(_proc, name)
     if name == "VQAPredictor":
         from vltk_tpu.predict import VQAPredictor
 
