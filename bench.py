@@ -361,14 +361,20 @@ def run_host_bench(args):
 
         @classmethod
         def setup(cls, **kwargs):
+            import types
+
             dim = 2048 + 6
 
-            def step(params, raw_images, raw_sizes):
+            def step(variables, raw_images, raw_sizes):
                 return np.zeros((raw_images.shape[0], 36, dim), np.float32)
 
-            return {"step": step, "params": None, "cfg": None}, {
-                "model": "host-only-stub"
-            }
+            # same bundle shape as the real FRCNN adapter's setup():
+            # forward_dispatch reads "variables" and cfg.int8
+            return {
+                "step": step,
+                "variables": {"params": None},
+                "cfg": types.SimpleNamespace(int8=False),
+            }, {"model": "host-only-stub"}
 
     Adapters.add(HostOnlyFRCNN)
     HostOnlyFRCNN.model_batch_size = args.batch

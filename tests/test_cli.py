@@ -220,3 +220,17 @@ def test_unknown_registry_name_is_clean_error(capsys):
     rc = main(["simple", "nope"])
     assert rc == 2
     assert "unknown experiment" in capsys.readouterr().err
+
+
+def test_bench_host_smoke(capsys):
+    """bench.py --host must run end-to-end (it silently broke once when
+    the adapter bundle shape changed under it) and emit one JSON row."""
+    import json as _json
+    import types
+
+    import bench
+
+    bench.run_host_bench(types.SimpleNamespace(batch=8, steps=1))
+    row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["metric"] == "host_feed_throughput"
+    assert row["value"] > 0

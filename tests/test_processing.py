@@ -164,3 +164,36 @@ class TestSpanProcessor:
         out = proc(entry)
         assert int(out["span_start"]) == 2
         assert int(out["span_end"]) == 5
+
+
+def test_uint8_decode_pipeline_matches_f32(tmp_path):
+    """decode_dtype="uint8" (the device-fused fast path) must produce the
+    exact same collated device batch as the float32 decode it replaces."""
+    from PIL import Image
+
+    from vltk_tpu.adapters.frcnn import FRCNN
+    from vltk_tpu.config import VisionConfig
+
+    rng = np.random.default_rng(5)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(
+        rng.integers(0, 256, (48, 56, 3)).astype(np.uint8)
+    ).save(p)
+    f32 = VisionConfig(
+        transforms=("fromfile",), device_fused=True
+    ).build()(str(p))
+    u8 = VisionConfig(
+        transforms=("fromfile",), device_fused=True, decode_dtype="uint8"
+    ).build()(str(p))
+    assert u8[V.img].dtype == np.uint8
+    assert f32[V.img].dtype == np.float32
+    np.testing.assert_array_equal(u8[V.img], f32[V.img].astype(np.uint8))
+    assert u8[V.rawsize] == f32[V.rawsize]
+
+    e1 = dict(f32)
+    e1[V.imgid] = "a"
+    e2 = dict(u8)
+    e2[V.imgid] = "a"
+    b1, b2 = FRCNN.collate([e1]), FRCNN.collate([e2])
+    np.testing.assert_array_equal(b1[V.img], b2[V.img])
+    np.testing.assert_array_equal(b1[V.rawsize], b2[V.rawsize])

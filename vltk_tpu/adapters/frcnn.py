@@ -32,8 +32,12 @@ class FRCNN(VisnExtraction):
 
     _name = "frcnn"
     model_batch_size = 8
-    # host side only decodes; resize/normalize are device-fused
-    default_processor = VisionConfig(transforms=("fromfile",), device_fused=True)
+    # host side only decodes (as uint8 — the collate ships uint8 to the
+    # device, so a float32 decode would round-trip for nothing);
+    # resize/normalize are device-fused
+    default_processor = VisionConfig(
+        transforms=("fromfile",), device_fused=True, decode_dtype="uint8"
+    )
     # static canvases: raw decode canvas and post-resize canvas. 1344 covers
     # both orientations of the 800/1333 shortest-edge target.
     raw_canvas: Tuple[int, int] = (1344, 1344)
@@ -183,10 +187,16 @@ class FRCNN(VisnExtraction):
                     np.float32,
                 )
                 h, w = nh, nw
-            # round+clip before the uint8 cast: decode-only pipelines give
-            # integral pixels (no-op), but a host-side Resize emits
-            # interpolated floats that a bare cast would truncate/wrap
-            images[i, :h, :w] = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+            if img.dtype == np.uint8:
+                # decode-only pipeline: straight copy into the canvas
+                images[i, :h, :w] = img
+            else:
+                # round+clip before the uint8 cast: a host-side Resize
+                # emits interpolated floats that a bare cast would
+                # truncate/wrap
+                images[i, :h, :w] = np.clip(np.rint(img), 0, 255).astype(
+                    np.uint8
+                )
             raw_sizes[i] = (h, w)
             imgids.append(e[V.imgid])
         return {V.img: images, V.rawsize: raw_sizes, V.imgid: imgids}

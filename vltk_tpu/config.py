@@ -228,6 +228,10 @@ class VisionConfig(BaseConfig):
 
     transforms: Tuple[str, ...] = ("fromfile", "resizetensor", "normalize")
     gray: bool = False
+    # decode output dtype: "float32" (reference semantics) or "uint8"
+    # (decode-only pipelines feeding a device-fused preprocess — skips the
+    # host f32 round-trip; see processing/image.py:FromFile)
+    decode_dtype: str = "float32"
     size: Tuple[int, int] = (800, 1333)
     mode: str = "bilinear"
     pad_value: float = 0.0

@@ -52,11 +52,22 @@ def get_pad(entry: Dict[str, Any]) -> Tuple[int, int]:
 
 
 class FromFile:
-    """filepath -> float32 HWC array (RGB, or single-channel replicated)
-    (reference: processing/image.py:52-73)."""
+    """filepath -> HWC array (RGB, or single-channel replicated)
+    (reference: processing/image.py:52-73).
 
-    def __init__(self, gray: bool = False):
+    ``decode_dtype="float32"`` (default) matches the reference's tensor
+    pipeline. ``"uint8"`` keeps the decoded bytes as-is — the right choice
+    for decode-only pipelines feeding a device-fused preprocess
+    (``VisionConfig(device_fused=True)``): the fixed-shape collate ships
+    uint8 to the device anyway, and skipping the float32 round-trip
+    (decode->f32->rint->clip->u8, three extra passes over ~1.2 MB/image)
+    measures ~1.6x on host feed throughput (BASELINE.md host rows)."""
+
+    def __init__(self, gray: bool = False, decode_dtype: str = "float32"):
         self.gray = gray
+        self.dtype = (
+            np.uint8 if str(decode_dtype) == "uint8" else np.float32
+        )
 
     def __call__(self, entry):
         if isinstance(entry, str):
@@ -64,7 +75,7 @@ class FromFile:
         path = entry[V.filepath]
         img = Image.open(path)
         img = img.convert("L" if self.gray else "RGB")
-        arr = np.asarray(img, dtype=np.float32)
+        arr = np.asarray(img, dtype=self.dtype)
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
         entry[V.img] = arr
