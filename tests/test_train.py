@@ -771,3 +771,99 @@ def test_vqa_prepare_batch_normalizes_boxes_with_rawsize():
     legacy[V.boxes] = boxes.copy()
     out2 = exp.prepare_batch(legacy)
     np.testing.assert_array_equal(out2[V.boxes], boxes)
+
+
+class TestAsyncCheckpointWriter:
+    def test_orders_submits_and_surfaces_errors(self):
+        import time as _time
+
+        from vltk_tpu.train.checkpoint import AsyncCheckpointWriter
+
+        w = AsyncCheckpointWriter()
+        order = []
+        w.submit(lambda: (_time.sleep(0.05), order.append(1)))
+        w.submit(lambda: order.append(2))  # must wait for 1 first
+        w.wait()
+        assert order == [1, 2]
+
+        def boom():
+            raise OSError("disk full")
+
+        w.submit(boom)
+        with pytest.raises(OSError, match="disk full"):
+            w.wait()
+        # reusable after a failure
+        w.submit(lambda: order.append(3))
+        w.wait()
+        assert order == [1, 2, 3]
+
+    def test_async_mid_checkpoint_roundtrip(self, tmp_path):
+        from vltk_tpu.train import checkpoint as C
+
+        w = C.AsyncCheckpointWriter()
+        params = {"w": np.arange(6, dtype=np.float32)}
+        opt = {"m": np.zeros(6, np.float32)}
+        C.save_mid_checkpoint(
+            str(tmp_path), "exp", 0, params, opt, {"step": 7}, writer=w
+        )
+        w.wait()  # durable now
+        p2, o2, info = C.load_mid_checkpoint(
+            str(tmp_path), "exp", params, opt, 0
+        )
+        np.testing.assert_array_equal(p2["w"], params["w"])
+        np.testing.assert_array_equal(o2["m"], opt["m"])
+        assert info["step"] == 7
+
+    def test_snapshot_isolated_from_later_updates(self, tmp_path):
+        """The device->host snapshot happens at submit time: mutating the
+        live params after save_mid_checkpoint returns must not leak into
+        the file the writer is still serializing."""
+        import time as _time
+
+        from vltk_tpu.train import checkpoint as C
+
+        w = C.AsyncCheckpointWriter()
+        params = {"w": np.arange(6, dtype=np.float32)}
+        # slow the writer so the mutation definitely races the write
+        real = C._atomic_write_bytes
+
+        def slow_write(path, data):
+            _time.sleep(0.05)
+            real(path, data)
+
+        C._atomic_write_bytes, orig = slow_write, C._atomic_write_bytes
+        try:
+            C.save_mid_checkpoint(
+                str(tmp_path), "exp", 1, params, {"m": np.zeros(1)},
+                {"step": 1}, writer=w,
+            )
+            params["w"] += 100.0  # the "next train step"
+            w.wait()
+        finally:
+            C._atomic_write_bytes = orig
+        p2, _, _ = C.load_mid_checkpoint(
+            str(tmp_path), "exp",
+            {"w": np.zeros(6, np.float32)}, {"m": np.zeros(1)}, 1,
+        )
+        np.testing.assert_array_equal(p2["w"], np.arange(6, dtype=np.float32))
+
+
+def test_device_batches_prefetch_device_arrays(tmp_path, rng):
+    """The experiment feed is double-buffered: batches come out as device
+    arrays (the host->device put was already issued one batch ahead), in
+    the same order, with values intact."""
+    batches = _regression_batches(rng, n_batches=4)
+    cfg = _mk_config(tmp_path)
+    exp = _Regression(
+        cfg, loaders=(_ListLoader(batches), _ListLoader(batches[:1]))
+    )
+    out = list(exp._device_batches(_ListLoader(batches)))
+    assert len(out) == 4
+    for got, want in zip(out, batches):
+        assert isinstance(got["x"], jax.Array)
+        np.testing.assert_allclose(np.asarray(got["x"]), want["x"])
+        np.testing.assert_allclose(np.asarray(got["y"]), want["y"])
+    # skip composes with the prefetch
+    skipped = list(exp._device_batches(_ListLoader(batches), skip=2))
+    assert len(skipped) == 2
+    np.testing.assert_allclose(np.asarray(skipped[0]["x"]), batches[2]["x"])

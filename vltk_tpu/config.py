@@ -355,6 +355,10 @@ class TrainConfig(BaseConfig):
     # step-granular resume: the loader's deterministic per-epoch shuffle
     # is replayed and the first step_in_epoch batches skipped.
     save_every_steps: int = 0
+    # periodic mid-epoch saves serialize + fsync on a background writer
+    # thread (the step loop pays only the device->host snapshot); the
+    # preemption and end-of-epoch saves always complete synchronously
+    async_save: bool = True
     # retain only the K highest-epoch checkpoints (0 = keep all)
     keep_checkpoints: int = 0
     # gradient accumulation: split each batch's leading dim into this

@@ -15,10 +15,25 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 from typing import Any, Dict, Optional
 
 import flax.serialization as fser
 import jax
+import numpy as np
+
+
+def _host_snapshot(tree):
+    """Host copy of a pytree that is ISOLATED from later updates:
+    jax.device_get copies device arrays but passes host numpy arrays
+    through BY REFERENCE — an in-place parameter update racing an async
+    writer would then corrupt the checkpoint being serialized."""
+    return jax.tree_util.tree_map(
+        lambda x: np.array(x, copy=True)
+        if isinstance(x, np.ndarray)
+        else jax.device_get(x),
+        tree,
+    )
 
 
 def _epoch_file(ckpt_dir: str, name: str, epoch: int) -> str:
@@ -100,8 +115,50 @@ def _mid_file(ckpt_dir: str, name: str, epoch: int) -> str:
     return os.path.join(ckpt_dir, f"{name}_epoch_{epoch}_mid.msgpack")
 
 
+class AsyncCheckpointWriter:
+    """Serialize + write checkpoints OFF the training step path.
+
+    The step loop pays only the device->host snapshot (which must stay
+    synchronous: the next donated train step reuses those device
+    buffers); msgpack encoding and the fsync'd atomic rename run on a
+    background thread. At most one save is in flight — submitting the
+    next waits for the previous (bounded memory, strictly ordered
+    renames) — and a writer exception surfaces on the next
+    ``submit()``/``wait()`` instead of vanishing in the thread."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._exc: Optional[BaseException] = None
+
+    def submit(self, fn) -> None:
+        self.wait()
+
+        def run():
+            try:
+                fn()
+            except BaseException as exc:  # surfaced on next submit/wait
+                self._exc = exc
+
+        self._thread = threading.Thread(
+            target=run, name="vltk-ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is durable; re-raise
+        its failure. Call before process exit and before any operation
+        that must order after the save (e.g. pruning superseded files)."""
+        thread, self._thread = self._thread, None
+        if thread is not None:
+            thread.join()
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+
 def save_mid_checkpoint(
-    ckpt_dir: str, name: str, epoch: int, params, opt_state, info: Dict
+    ckpt_dir: str, name: str, epoch: int, params, opt_state, info: Dict,
+    writer: Optional[AsyncCheckpointWriter] = None,
 ) -> str:
     """Mid-epoch (periodic / preemption) checkpoint as ONE atomic file.
 
@@ -114,16 +171,25 @@ def save_mid_checkpoint(
     one rename: the checkpoint is internally consistent at ANY kill
     instant. The file is deleted once its epoch completes (the
     end-of-epoch save supersedes it).
+
+    With ``writer`` the serialize+write happens on the writer's
+    background thread (the call still snapshots device state eagerly and
+    returns the final path); without it the write is synchronous.
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {
-        "params": jax.device_get(params),
-        "opt_state": jax.device_get(opt_state),
+        "params": _host_snapshot(params),
+        "opt_state": _host_snapshot(opt_state),
         "info_json": json.dumps({"epoch": epoch, "name": name, **info},
                                 default=str),
     }
     path = _mid_file(ckpt_dir, name, epoch)
-    _atomic_write_bytes(path, fser.to_bytes(payload))
+    if writer is None:
+        _atomic_write_bytes(path, fser.to_bytes(payload))
+    else:
+        writer.submit(
+            lambda: _atomic_write_bytes(path, fser.to_bytes(payload))
+        )
     return path
 
 

@@ -31,6 +31,7 @@ import jax
 import numpy as np
 
 from vltk_tpu.train.checkpoint import (
+    AsyncCheckpointWriter,
     clear_mid_checkpoints,
     latest_epoch,
     latest_mid_epoch,
@@ -67,6 +68,9 @@ class SimpleExperiment(abc.ABC):
             self.logdir, "checkpoints"
         )
         os.makedirs(self.ckpt_dir, exist_ok=True)
+        # every checkpoint write routes through ONE writer so renames stay
+        # strictly ordered even when periodic saves run asynchronously
+        self._ckpt_writer = AsyncCheckpointWriter()
 
     def _init_seed(self) -> None:
         self.rng = jax.random.PRNGKey(self.config.train.seed)
@@ -266,7 +270,8 @@ class SimpleExperiment(abc.ABC):
                 # write the authoritative preemption checkpoint, then
                 # stop so the scheduler's restart resumes from it
                 self.save_mid(
-                    epoch, step_in_epoch=self._steps_done_in_epoch
+                    epoch, step_in_epoch=self._steps_done_in_epoch,
+                    wait=True,  # the process exits right after this
                 )
                 return {"epoch": epoch, "train": train_m, "preempted": True}
             eval_m = self.eval_loop()
@@ -287,25 +292,41 @@ class SimpleExperiment(abc.ABC):
         save_every = int(getattr(self.config.train, "save_every_steps", 0))
         t0 = time.perf_counter()
         with open(os.path.join(self.logdir, "steps_log.json"), "a") as log:
-            for batch in self._device_batches(self.train_loader, skip=skip):
-                self.rng, step_rng = jax.random.split(self.rng)
-                self.state, metrics = self.train_step(self.state, batch, step_rng)
-                self.global_step += 1
-                count += 1
-                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            # metrics are fetched ONE STEP LATE: device_get on the step
+            # just dispatched would block the host until the device
+            # finishes, serializing logging/batch-prep against compute
+            # (on the async TPU dispatch path the device would idle every
+            # step). Draining step i's metrics only after step i+1 is in
+            # flight lets the fetch ride under device compute.
+            pending = None  # (step_id, device metrics) awaiting fetch
+
+            def drain(p):
+                step_id, m = p
+                host = {
+                    k: float(v) for k, v in jax.device_get(m).items()
+                }
                 for k, v in host.items():
                     totals[k] = totals.get(k, 0.0) + v
                 log.write(
                     json.dumps(
                         {
                             "epoch": epoch,
-                            "step": self.global_step,
+                            "step": step_id,
                             "sec": round(time.perf_counter() - t0, 4),
                             **host,
                         }
                     )
                     + "\n"
                 )
+
+            for batch in self._device_batches(self.train_loader, skip=skip):
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics = self.train_step(self.state, batch, step_rng)
+                self.global_step += 1
+                count += 1
+                if pending is not None:
+                    drain(pending)
+                pending = (self.global_step, metrics)
                 if count % 16 == 0:
                     log.flush()
                 self._steps_done_in_epoch = skip + count
@@ -317,6 +338,8 @@ class SimpleExperiment(abc.ABC):
                 # batch, where this loop ends by exhaustion instead)
                 if self._preempted or self.config.test_run:
                     break
+            if pending is not None:
+                drain(pending)
         return {k: v / max(count, 1) for k, v in totals.items()}
 
     def eval_loop(self) -> Dict[str, float]:
@@ -324,13 +347,21 @@ class SimpleExperiment(abc.ABC):
             return {}
         totals: Dict[str, float] = {}
         count = 0
+        # same one-step-late fetch as inner_loop: keep the device busy on
+        # batch i+1 while the host accumulates batch i's metrics
+        pending = None
         for batch in self._device_batches(self.eval_loader):
             metrics = self.eval_step(self.state.params, batch)
             count += 1
-            for k, v in jax.device_get(metrics).items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+            if pending is not None:
+                for k, v in jax.device_get(pending).items():
+                    totals[k] = totals.get(k, 0.0) + float(v)
+            pending = metrics
             if self.config.test_run:
                 break
+        if pending is not None:
+            for k, v in jax.device_get(pending).items():
+                totals[k] = totals.get(k, 0.0) + float(v)
         return {k: v / max(count, 1) for k, v in totals.items()}
 
     def _eval_metric_fn(self, params, batch):
@@ -345,15 +376,40 @@ class SimpleExperiment(abc.ABC):
             it, skip = loader.iter_from(skip), 0
         else:
             it = loader
-        for i, batch in enumerate(it):
-            if i < skip:
-                continue
-            prepared = self.prepare_batch(batch)
-            if self.mesh is not None:
-                from vltk_tpu.parallel import shard_batch
 
-                prepared = shard_batch(prepared, self.mesh)
-            yield prepared
+        def prepared():
+            for i, batch in enumerate(it):
+                if i < skip:
+                    continue
+                yield self._put_batch(batch)
+
+        # double buffer: batch i+1's host->device transfer is ISSUED
+        # (device_put dispatches asynchronously) before batch i is
+        # consumed, so the feed rides under the previous step's compute
+        # instead of serializing with it (same design as
+        # data/loader.device_put_iter, here mesh/sharding-aware)
+        gen = prepared()
+        pending = next(gen, None)
+        if pending is None:
+            return
+        for nxt in gen:
+            yield pending
+            pending = nxt
+        yield pending
+
+    def _put_batch(self, batch) -> Dict[str, Any]:
+        prepared = self.prepare_batch(batch)
+        if self.mesh is not None:
+            from vltk_tpu.parallel import shard_batch
+
+            return shard_batch(prepared, self.mesh)
+
+        def put(x):
+            if isinstance(x, np.ndarray) and x.dtype != object:
+                return jax.device_put(x)
+            return x
+
+        return jax.tree_util.tree_map(put, prepared)
 
     # -- persistence / logging (reference: simple.py:446-529) ----------------
 
@@ -366,6 +422,11 @@ class SimpleExperiment(abc.ABC):
         }
 
     def save(self, epoch: int, crash: bool = False) -> None:
+        # drain any in-flight periodic save first: clear_mid_checkpoints
+        # below must order AFTER it (a pending mid write landing after its
+        # deletion would resurrect a stale resume point), and a writer
+        # failure must surface here rather than be lost
+        self._ckpt_writer.wait()
         # crash saves get their own name + info file: clobbering the main
         # files would pair pre-crash params with the crash step
         save_checkpoint(
@@ -387,9 +448,15 @@ class SimpleExperiment(abc.ABC):
                 int(getattr(self.config.train, "keep_checkpoints", 0)),
             )
 
-    def save_mid(self, epoch: int, step_in_epoch: int) -> None:
+    def save_mid(
+        self, epoch: int, step_in_epoch: int, wait: bool = False
+    ) -> None:
         """Periodic/preemption checkpoint: one atomic file, consistent at
-        any kill instant (see checkpoint.save_mid_checkpoint)."""
+        any kill instant (see checkpoint.save_mid_checkpoint). Periodic
+        saves serialize+write on the background writer (train.async_save,
+        default on) so the step loop only pays the device snapshot;
+        ``wait=True`` (the preemption save — the process exits right
+        after) blocks until the file is durable."""
         save_mid_checkpoint(
             self.ckpt_dir,
             self.name,
@@ -400,7 +467,12 @@ class SimpleExperiment(abc.ABC):
                 **self._resume_info(),
                 "step_in_epoch": int(step_in_epoch),
             },
+            writer=self._ckpt_writer,
         )
+        if wait or not bool(
+            getattr(self.config.train, "async_save", True)
+        ):
+            self._ckpt_writer.wait()
 
     def write_epoch(self, line: str) -> None:
         with open(os.path.join(self.logdir, "epoch_log.txt"), "a") as f:
