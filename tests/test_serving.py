@@ -320,3 +320,43 @@ def test_vqa_adapter_end_to_end(tmp_path):
         np.testing.assert_allclose(
             results[i]["score"], want[i]["score"], rtol=1e-5
         )
+
+
+def test_multi_worker_overlap_correctness():
+    """workers=2 overlaps bucket host prep with the previous bucket's
+    step; every result must still be right and fully accounted."""
+    rec = _Recorder(delay=0.02)
+    results = {}
+    with MicroBatchServer(
+        rec, batch_size=4, max_delay_ms=10, workers=2
+    ) as srv:
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(i, srv(i))
+            )
+            for i in range(24)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert results == {i: i * 10 for i in range(24)}
+    assert srv.stats["requests_served"] == 24
+    assert sum(rec.sizes) == 24
+
+
+def test_multi_worker_close_drains_everything():
+    rec = _Recorder()
+    srv = MicroBatchServer(rec, batch_size=4, max_delay_ms=500, workers=3)
+    futs = [srv.submit(i) for i in range(10)]
+    srv.close()
+    assert [f.result(timeout=5) for f in futs] == [
+        i * 10 for i in range(10)
+    ]
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(0)
+
+
+def test_bad_workers_rejected():
+    with pytest.raises(ValueError, match="workers"):
+        MicroBatchServer(lambda r: r, batch_size=1, workers=0)

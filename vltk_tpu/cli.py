@@ -272,6 +272,9 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
     from vltk_tpu.serving import for_doc, for_span, for_vqa
 
     max_delay = float(flags.get("max_delay_ms", "5"))
+    # >1 overlaps bucket host prep/dispatch with the previous bucket's
+    # device step (serving.MicroBatchServer workers)
+    workers = int(flags.get("workers", "1"))
     kind_to_task = {
         "vqa_predictor": "vqa",
         "doc_token_classifier": "doc",
@@ -307,7 +310,7 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
     if task == "vqa":
         srv = for_vqa(
             predictor, max_delay_ms=max_delay,
-            top_k=int(flags.get("top_k", "5")),
+            top_k=int(flags.get("top_k", "5")), workers=workers,
         )
         to_request = lambda r: (r["image"], r["question"])  # noqa: E731
         to_line = lambda res: {  # noqa: E731
@@ -317,7 +320,7 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
             "num_boxes": int(res["num_boxes"]),
         }
     elif task == "doc":
-        srv = for_doc(predictor, max_delay_ms=max_delay)
+        srv = for_doc(predictor, max_delay_ms=max_delay, workers=workers)
 
         def to_request(r):
             # validate BEFORE batching: a malformed document must fail its
@@ -333,7 +336,7 @@ def cmd_serve(positional: List[str], flags: Dict[str, str]) -> int:
             for w in res
         ]
     else:
-        srv = for_span(predictor, max_delay_ms=max_delay)
+        srv = for_span(predictor, max_delay_ms=max_delay, workers=workers)
         to_request = lambda r: (r["doc"], r["question"])  # noqa: E731
         to_line = lambda res: {  # noqa: E731
             "answer": res["answer"],

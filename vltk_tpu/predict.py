@@ -403,17 +403,25 @@ class VQAPredictor:
         cfg = self.frcnn_config
         if cfg is None or not cfg.int8:
             return
-        if "quant" in self._frcnn_variables:
-            return
-        from vltk_tpu.models import calibrate_int8
+        # concurrent first requests (a multi-worker MicroBatchServer) must
+        # not both calibrate: scales depend on the calibration batch, so a
+        # race would make served numerics depend on thread timing
+        import threading
 
-        pre = self._pre_fn(raw_imgs[:4], sizes[:4])
-        self._frcnn_variables = dict(self._frcnn_variables)
-        self._frcnn_variables["quant"] = calibrate_int8(
-            cfg,
-            self._frcnn_variables["params"],
-            [(pre["img"], pre["sizes"], pre["scales_yx"])],
-        )
+        lock = self.__dict__.setdefault("_calib_lock", threading.Lock())
+        with lock:
+            if "quant" in self._frcnn_variables:
+                return
+            from vltk_tpu.models import calibrate_int8
+
+            pre = self._pre_fn(raw_imgs[:4], sizes[:4])
+            variables = dict(self._frcnn_variables)
+            variables["quant"] = calibrate_int8(
+                cfg,
+                variables["params"],
+                [(pre["img"], pre["sizes"], pre["scales_yx"])],
+            )
+            self._frcnn_variables = variables
 
     # ------------------------------------------------------------------
     # construction helpers

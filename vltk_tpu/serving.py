@@ -51,9 +51,12 @@ class MicroBatchServer:
         batch_fn: Callable[[List[Any]], Sequence[Any]],
         batch_size: int,
         max_delay_ms: float = 5.0,
+        workers: int = 1,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        if workers < 1:
+            raise ValueError(f"workers must be >= 1, got {workers}")
         self._batch_fn = batch_fn
         self._batch_size = int(batch_size)
         self._max_delay = max(float(max_delay_ms), 0.0) / 1e3
@@ -66,12 +69,25 @@ class MicroBatchServer:
         # number users feel; batches_run/requests_served is the fill rate)
         self._latencies: List[float] = []
         self._lat_cap = 4096
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._stats_lock = threading.Lock()
         self._closed = False
         # orders every submit's enqueue against close()'s sentinel, so no
         # request can land behind the sentinel and hang its caller
         self._submit_lock = threading.Lock()
-        self._worker.start()
+        # workers > 1 overlaps bucket i+1's host prep + dispatch with
+        # bucket i's device step + result fetch (the single-worker loop
+        # leaves the device idle during every fetch). Requires a
+        # thread-safe batch_fn — the built-in predictors are (jit calls
+        # are thread-safe; their one mutation, lazy int8 calibration, is
+        # locked). Per-bucket result order is unaffected.
+        self._workers = [
+            threading.Thread(
+                target=self._run, daemon=True, name=f"vltk-serve-{i}"
+            )
+            for i in range(int(workers))
+        ]
+        for t in self._workers:
+            t.start()
 
     # ------------------------------------------------------------- api ----
     def submit(self, request: Any) -> "Future":
@@ -86,13 +102,15 @@ class MicroBatchServer:
         return self.submit(request).result()
 
     def close(self) -> None:
-        """Drain pending requests, then stop the worker."""
+        """Drain pending requests, then stop the workers."""
         with self._submit_lock:
             if self._closed:
                 return
             self._closed = True
-            self._queue.put(None)  # sentinel: drain-and-exit
-        self._worker.join()
+            for _ in self._workers:
+                self._queue.put(None)  # sentinel: drain-and-exit
+        for t in self._workers:
+            t.join()
 
     def __enter__(self) -> "MicroBatchServer":
         return self
@@ -102,11 +120,12 @@ class MicroBatchServer:
 
     @property
     def stats(self) -> dict:
-        out = {
-            "batches_run": self._batches_run,
-            "requests_served": self._requests_served,
-        }
-        lats = sorted(self._latencies)
+        with self._stats_lock:
+            out = {
+                "batches_run": self._batches_run,
+                "requests_served": self._requests_served,
+            }
+            lats = sorted(self._latencies)
         if lats:
             pick = lambda q: lats[  # noqa: E731
                 min(int(q * len(lats)), len(lats) - 1)
@@ -193,13 +212,15 @@ class MicroBatchServer:
             return
         for (_, fut, t0), res in zip(bucket, results):
             self._finish(fut, t0, res)
-        self._batches_run += 1
+        with self._stats_lock:
+            self._batches_run += 1
 
     def _finish(self, fut: "Future", t0: float, res: Any) -> None:
-        self._requests_served += 1
-        if len(self._latencies) >= self._lat_cap:
-            del self._latencies[: self._lat_cap // 2]
-        self._latencies.append(time.monotonic() - t0)
+        with self._stats_lock:
+            self._requests_served += 1
+            if len(self._latencies) >= self._lat_cap:
+                del self._latencies[: self._lat_cap // 2]
+            self._latencies.append(time.monotonic() - t0)
         fut.set_result(res)
 
 
@@ -207,7 +228,7 @@ class MicroBatchServer:
 
 
 def for_vqa(
-    predictor, max_delay_ms: float = 5.0, top_k: int = 5
+    predictor, max_delay_ms: float = 5.0, top_k: int = 5, workers: int = 1
 ) -> MicroBatchServer:
     """Serve a VQAPredictor: request = (image, question) -> result dict."""
     return MicroBatchServer(
@@ -216,22 +237,29 @@ def for_vqa(
         ),
         batch_size=predictor.batch_size,
         max_delay_ms=max_delay_ms,
+        workers=workers,
     )
 
 
-def for_doc(classifier, max_delay_ms: float = 5.0) -> MicroBatchServer:
+def for_doc(
+    classifier, max_delay_ms: float = 5.0, workers: int = 1
+) -> MicroBatchServer:
     """Serve a DocTokenClassifier: request = document dict -> word labels."""
     return MicroBatchServer(
         lambda reqs: classifier(list(reqs)),
         batch_size=classifier.batch_size,
         max_delay_ms=max_delay_ms,
+        workers=workers,
     )
 
 
-def for_span(span_qa, max_delay_ms: float = 5.0) -> MicroBatchServer:
+def for_span(
+    span_qa, max_delay_ms: float = 5.0, workers: int = 1
+) -> MicroBatchServer:
     """Serve a DocSpanQA: request = (document, question) -> span dict."""
     return MicroBatchServer(
         lambda reqs: span_qa([r[0] for r in reqs], [r[1] for r in reqs]),
         batch_size=span_qa.batch_size,
         max_delay_ms=max_delay_ms,
+        workers=workers,
     )
