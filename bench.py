@@ -212,6 +212,94 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
     emit(metric + ("_fed" if fed else ""), imgs_per_sec)
 
 
+def run_serve_bench(args):
+    """Server-level serving throughput: concurrent single-item callers
+    through the REAL product path — predict.VQAPredictor (host decode +
+    tokenize + the one composed device program + result fetch) behind
+    serving.MicroBatchServer — reported at workers=1 and workers=2. The
+    per-step --infer vqa row times the device program alone; this row
+    adds the serving layer, so the workers=2 delta is exactly the bucket
+    prep/fetch overlap (serving.py). Random weights: throughput only."""
+    import threading
+
+    import numpy as np
+
+    from vltk_tpu.predict import VQAPredictor
+    from vltk_tpu.serving import for_vqa
+
+    smoke = bool(getattr(args, "smoke", False))
+    if smoke:
+        from vltk_tpu.models import LxmertConfig
+
+        fcfg = make_config(args, smoke=True)
+        lcfg = LxmertConfig(
+            hidden_size=24, num_heads=2, intermediate_size=48,
+            l_layers=1, x_layers=1, r_layers=1,
+            visual_feat_dim=fcfg.res2_out_channels * 8,
+            max_position_embeddings=32, num_answers=8,
+        )
+        raw_canvas, _, short, maximum, raw_hw = GEOM["smoke"]
+        kw = dict(
+            frcnn_config=fcfg, lxmert_config=lcfg,
+            raw_canvas=raw_canvas, resized_canvas=GEOM["smoke"][1],
+            short=short, maximum=maximum, max_seq_length=8,
+        )
+        n_req, clients = 12, 4
+        answers = [f"a{i}" for i in range(8)]
+    else:
+        fcfg = make_config(args)
+        raw_canvas, _, short, maximum, raw_hw = GEOM["full"]
+        kw = dict(
+            frcnn_config=fcfg,
+            raw_canvas=raw_canvas, resized_canvas=GEOM["full"][1],
+            short=short, maximum=maximum,
+        )
+        n_req, clients = max(args.batch * args.steps, 64), 16
+        answers = [f"a{i}" for i in range(3129)]
+    b = args.batch if args.batch_explicit else 8
+    predictor = VQAPredictor(answers, batch_size=b, **kw)
+    rng = np.random.default_rng(0)
+    images = [
+        rng.integers(0, 256, (*raw_hw, 3)).astype(np.uint8)
+        for _ in range(8)
+    ]
+    questions = [f"what color is object {i}" for i in range(8)]
+    predictor.warmup()  # compile outside the timed region
+
+    for workers in (1, 2):
+        with for_vqa(predictor, max_delay_ms=3, workers=workers) as srv:
+            done = threading.Barrier(clients + 1)
+
+            def client(cid):
+                for j in range(n_req // clients):
+                    k = (cid + j) % 8
+                    srv((images[k], questions[k]))
+                done.wait()
+
+            threads = [
+                threading.Thread(target=client, args=(c,), daemon=True)
+                for c in range(clients)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            done.wait()
+            dt = time.perf_counter() - t0
+        stats = srv.stats
+        served = stats["requests_served"]
+        print(json.dumps({
+            "metric": f"vqa_serving_throughput_w{workers}"
+                      + ("_smoke" if smoke else ""),
+            "value": round(served / dt, 2),
+            "unit": "requests/sec/chip",
+            "batch": b,
+            "workers": workers,
+            "batches_run": stats["batches_run"],
+            "latency_ms": stats.get("latency_ms", {}),
+            "vs_baseline": 0,
+        }))
+
+
 def run_injit_bench(args, dtype="bfloat16"):
     """Pure device-loop throughput: K extraction steps inside ONE jitted
     fori_loop (inputs perturbed per-iter, single fetch). Removes the
@@ -1166,6 +1254,9 @@ def main():
     ap.add_argument("--host", action="store_true")
     ap.add_argument("--preset-drift", action="store_true")
     ap.add_argument("--injit", action="store_true")
+    ap.add_argument("--serve", action="store_true",
+                    help="server-level VQA serving throughput through "
+                         "MicroBatchServer at workers=1 and workers=2")
     ap.add_argument("--int8", action="store_true",
                     help="int8 MXU convs (calibrated static PTQ: 4 "
                          "calibration images, then the fused static-scale "
@@ -1294,6 +1385,8 @@ def main():
             run_train_bench(args)
         elif args.infer:
             run_infer_bench(args)
+        elif args.serve:
+            run_serve_bench(args)
         elif args.injit:
             run_injit_bench(args)
         elif args.preset_drift:
@@ -1337,6 +1430,8 @@ def main():
 def _dispatch_smoke(args):
     if args.infer == "vqa":
         run_infer_bench(args)
+    elif args.serve:
+        run_serve_bench(args)
     elif args.infer or args.train:
         raise SystemExit(
             "--smoke only composes with --infer vqa (tiny-geometry CPU "

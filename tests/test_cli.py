@@ -234,3 +234,30 @@ def test_bench_host_smoke(capsys):
     row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["metric"] == "host_feed_throughput"
     assert row["value"] > 0
+
+
+def test_bench_serve_smoke(capsys):
+    """bench.py --serve --smoke: the server-level serving bench runs the
+    real predictor+MicroBatchServer path and emits one row per workers
+    setting."""
+    import json as _json
+    import types
+
+    import bench
+
+    bench.run_serve_bench(
+        types.SimpleNamespace(
+            smoke=True, batch=2, batch_explicit=True, steps=1,
+            roi_chunk=None, int8=False,
+        )
+    )
+    rows = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    metrics = {r["metric"]: r for r in rows}
+    assert "vqa_serving_throughput_w1_smoke" in metrics
+    assert "vqa_serving_throughput_w2_smoke" in metrics
+    for r in rows:
+        assert r["value"] > 0
+        assert r["batches_run"] >= 1

@@ -39,6 +39,7 @@ run python bench.py --train layoutlm --attn flash --remat
 run python bench.py --train frcnn
 run python bench.py --train frcnn --remat
 run python bench.py --train frcnn --remat --batch 8
+run python bench.py --serve
 run python tools/probe_aot_tpu.py
 # probe output is free-form text — keep it OUT of the jsonl
 echo "== probe_flash" >&2
