@@ -53,12 +53,38 @@ def test_main_unknown_command(capsys):
     assert main(["bogus"]) == 2
 
 
-def test_crash_report_written(tmp_path, capsys):
-    # simple with an unknown experiment raises and leaves crash.txt
+def test_unknown_experiment_is_clean_error_not_crash(tmp_path, capsys):
+    # a registry typo prints the helpful message and exits 2 — no traceback,
+    # no crash report (reference: future/cli.py:18-41 emailed every crash;
+    # we reserve the crash path for genuine failures)
     logdir = str(tmp_path / "logs")
-    with pytest.raises(KeyError):
-        main(["simple", "no_such_experiment", f"--logdir={logdir}"])
-    assert os.path.exists(os.path.join(logdir, "crash.txt"))
+    assert main(["simple", "no_such_experiment", f"--logdir={logdir}"]) == 2
+    err = capsys.readouterr().err
+    assert "unknown experiment" in err and "available" in err
+    assert not os.path.exists(os.path.join(logdir, "crash.txt"))
+
+
+def test_crash_report_written(tmp_path, capsys):
+    # a genuine experiment crash propagates AND leaves crash.txt under logdir
+    from vltk_tpu.experiments import Experiments
+
+    class _Boom:
+        name = "boom_test_only"
+
+        def __init__(self, cfg, mesh=None, rules=None):
+            raise RuntimeError("synthetic crash for the report test")
+
+    Experiments.add(_Boom)
+    try:
+        logdir = str(tmp_path / "logs")
+        with pytest.raises(RuntimeError, match="synthetic crash"):
+            main(["simple", "boom_test_only", f"--logdir={logdir}"])
+        crash = os.path.join(logdir, "crash.txt")
+        assert os.path.exists(crash)
+        with open(crash) as f:
+            assert "synthetic crash" in f.read()
+    finally:
+        Experiments._classes.pop("boom_test_only", None)
 
 
 def test_cli_data_command_end_to_end(tmp_path, capsys):
