@@ -3,6 +3,12 @@
 # tunnel is up).  Appends one JSON line per row to tools/tpu_rows.jsonl;
 # transcribe the results into BASELINE.md tables afterwards.
 #
+# RESUMABLE: each completed command is recorded in tools/tpu_rows.done and
+# skipped on re-runs — a reboot/kill mid-capture (each row takes ~10 min
+# over the tunnel) resumes from the first missing row instead of redoing
+# ~10 min per already-captured one. Delete tpu_rows.done to force a full
+# re-capture.
+#
 # Pending as of round 3 (flash-attention + layoutlm benches landed while
 # the tunnel was down):
 #   - headline regression check (bf16 parity geometry, B=32 default)
@@ -15,15 +21,23 @@ cd "$(dirname "$0")/.."
 # failed-probe cache from the outage must not make bench fail fast
 rm -f /tmp/vltk_tpu_probe_down
 out=tools/tpu_rows.jsonl
+done_f=tools/tpu_rows.done
 ts=$(date -Is)
 echo "# tpu session $ts" >> "$out"
 
 log=tools/tpu_rows.log
 run() {
+  if [ -f "$done_f" ] && grep -Fxq "$*" "$done_f"; then
+    echo "== skip (done): $*" >&2
+    return 0
+  fi
   echo "== $*" >&2
   echo "== $ts $*" >> "$log"
-  timeout 1800 "$@" 2>> "$log" | grep -E '^\{' >> "$out" || \
+  if timeout 1800 "$@" 2>> "$log" | grep -E '^\{' >> "$out"; then
+    echo "$*" >> "$done_f"
+  else
     echo "{\"failed\": \"$*\", \"stderr\": \"$log\"}" >> "$out"
+  fi
 }
 
 run python bench.py
@@ -42,6 +56,8 @@ run python bench.py --train frcnn --remat --batch 8
 run python bench.py --serve
 run python tools/probe_aot_tpu.py
 # probe output is free-form text — keep it OUT of the jsonl
-echo "== probe_flash" >&2
-timeout 1800 python tools/probe_flash.py > tools/probe_flash_out.txt 2>&1 || true
+if [ ! -s tools/probe_flash_out.txt ]; then
+  echo "== probe_flash" >&2
+  timeout 1800 python tools/probe_flash.py > tools/probe_flash_out.txt 2>&1 || true
+fi
 echo "done -> $out (probe: tools/probe_flash_out.txt; stderr: $log)" >&2
