@@ -45,6 +45,89 @@ import os
 import sys
 import time
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _preempt_capture_if_running():
+    """Stop an in-flight detached TPU row capture before touching the chip.
+
+    The capture (tools/wait_and_capture.sh -> run_tpu_rows.sh) can hold the
+    single axon tunnel for hours; two concurrent tunnel clients contend and
+    have crashed the TPU worker. A fresh bench invocation (e.g. the
+    driver's round-end run) therefore terminates the capture's whole
+    process tree first — safe because the capture is resumable
+    (tools/tpu_rows.done records completed rows). No-op when THIS process
+    is itself a descendant of the capture (its own bench call), or when no
+    capture is running.
+    """
+    marker = os.path.join(_REPO, "tools", "tpu_capture.running")
+    pidfile = os.path.join(_REPO, "tools", "tpu_capture.pid")
+    if not os.path.exists(marker):
+        return
+    try:
+        with open(pidfile) as f:
+            root = int(f.read().strip())
+    except (OSError, ValueError):
+        os.remove(marker)  # unidentifiable capture: treat marker as stale
+        return
+
+    def _ppid_map():
+        out = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    # "pid (comm) state ppid ..." — comm may contain spaces
+                    fields = f.read().rsplit(")", 1)[1].split()
+                out[int(d)] = int(fields[1])
+            except (OSError, IndexError, ValueError):
+                pass
+        return out
+
+    ppids = _ppid_map()
+    if root not in ppids:  # capture died without cleanup: stale marker
+        for p in (marker, pidfile):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return
+    tree = {root}
+    grew = True
+    while grew:  # descendants, transitively (timeout(1) makes new pgids,
+        grew = False  # so a process-group kill would miss the live bench)
+        for pid, par in ppids.items():
+            if par in tree and pid not in tree:
+                tree.add(pid)
+                grew = True
+    if os.getpid() in tree:
+        return  # we ARE the capture's own bench invocation
+    import signal
+
+    print(
+        f"[bench] stopping in-flight TPU capture (root pid {root}, "
+        f"{len(tree)} procs) to free the tunnel; it resumes from "
+        "tools/tpu_rows.done",
+        file=sys.stderr,
+    )
+    for sig in (signal.SIGTERM, signal.SIGKILL):
+        for pid in sorted(tree, reverse=True):
+            try:
+                os.kill(pid, sig)
+            except (ProcessLookupError, PermissionError):
+                pass
+        deadline = time.time() + (5.0 if sig == signal.SIGTERM else 1.0)
+        while time.time() < deadline:
+            if not any(os.path.exists(f"/proc/{p}") for p in tree):
+                break
+            time.sleep(0.2)
+    for p in (marker, pidfile):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
 
 def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
     from vltk_tpu.models import FRCNNConfig
@@ -1319,6 +1402,7 @@ def main():
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         if not args.host:
+            _preempt_capture_if_running()
             # the axon tunnel can be DOWN in a way that makes backend init
             # hang forever (observed: >400 s, no error). Probe it in a
             # bounded subprocess so an outage yields one honest JSON line

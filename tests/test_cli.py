@@ -287,3 +287,52 @@ def test_bench_serve_smoke(capsys):
     for r in rows:
         assert r["value"] > 0
         assert r["batches_run"] >= 1
+
+
+def test_bench_capture_preemption_guard(tmp_path, capsys, monkeypatch):
+    """bench._preempt_capture_if_running: a fresh bench invocation stops a
+    detached TPU row capture (the single axon tunnel admits one client);
+    no-ops when the marker is absent, when the pid is stale (cleans the
+    files), and when bench IS the capture's own child."""
+    import subprocess
+    import time as _time
+
+    import bench
+
+    tools = tmp_path / "tools"
+    tools.mkdir()
+    marker = tools / "tpu_capture.running"
+    pidf = tools / "tpu_capture.pid"
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+
+    # no marker -> no-op
+    bench._preempt_capture_if_running()
+
+    # stale pid -> both files cleaned, nothing killed
+    marker.touch()
+    pidf.write_text("999999")
+    bench._preempt_capture_if_running()
+    assert not marker.exists() and not pidf.exists()
+
+    # we are inside the capture tree (root == us) -> no-op, files kept
+    marker.touch()
+    pidf.write_text(str(os.getpid()))
+    bench._preempt_capture_if_running()
+    assert marker.exists() and pidf.exists()
+
+    # live foreign tree -> terminated, files removed
+    proc = subprocess.Popen(
+        ["bash", "-c", "sleep 300 & wait"], start_new_session=True
+    )
+    try:
+        _time.sleep(0.2)
+        pidf.write_text(str(proc.pid))
+        bench._preempt_capture_if_running()
+        deadline = _time.time() + 5
+        while proc.poll() is None and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert proc.poll() is not None
+        assert not marker.exists() and not pidf.exists()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
