@@ -9,6 +9,7 @@ signature and first docstring paragraph. Regenerate with
 
 import inspect
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -41,9 +42,13 @@ def _first_para(doc):
 
 def _sig(obj):
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # default-value reprs can embed process-specific addresses (e.g. flax's
+    # `<_Sentinel object at 0x7f...>`); strip them so regeneration is
+    # deterministic and diffs show only real API changes
+    return re.sub(r" at 0x[0-9a-f]+", "", sig)
 
 
 def _is_public_here(name, obj, mod):
