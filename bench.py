@@ -85,24 +85,43 @@ def _preempt_capture_if_running():
                 pass
         return out
 
+    def _is_capture_root(pid):
+        # pid reuse guard: the recorded pid must still BE the capture
+        # (wait_and_capture.sh). The EXIT trap never fires on SIGKILL or a
+        # VM hard-reboot, and with pid_max=32768 a rebooted box likely
+        # hands the stale pid to an unrelated process — identity, not mere
+        # liveness, decides whether the marker is live.
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            return False
+        return "wait_and_capture" in cmd or "run_tpu_rows" in cmd
+
+    def _expand_tree(root, ppids):
+        tree = {root}
+        grew = True
+        while grew:  # descendants, transitively (timeout(1) makes new
+            grew = False  # pgids, so a pgid kill would miss the live bench)
+            for pid, par in ppids.items():
+                if par in tree and pid not in tree:
+                    tree.add(pid)
+                    grew = True
+        return tree
+
     ppids = _ppid_map()
-    if root not in ppids:  # capture died without cleanup: stale marker
+    if root in ppids and os.getpid() in _expand_tree(root, ppids):
+        return  # we ARE the capture's own bench invocation
+    if root not in ppids or not _is_capture_root(root):
+        # capture died without cleanup (or the pid was recycled after a
+        # reboot and now names an unrelated process): stale marker
         for p in (marker, pidfile):
             try:
                 os.remove(p)
             except OSError:
                 pass
         return
-    tree = {root}
-    grew = True
-    while grew:  # descendants, transitively (timeout(1) makes new pgids,
-        grew = False  # so a process-group kill would miss the live bench)
-        for pid, par in ppids.items():
-            if par in tree and pid not in tree:
-                tree.add(pid)
-                grew = True
-    if os.getpid() in tree:
-        return  # we ARE the capture's own bench invocation
+    tree = _expand_tree(root, ppids)
     import signal
 
     print(
@@ -112,7 +131,13 @@ def _preempt_capture_if_running():
         file=sys.stderr,
     )
     for sig in (signal.SIGTERM, signal.SIGKILL):
+        # re-snapshot each round: a child spawned between the first
+        # snapshot and the kill (e.g. run() launching the next row) would
+        # otherwise survive orphaned and keep holding the tunnel
+        tree |= _expand_tree(root, _ppid_map())
         for pid in sorted(tree, reverse=True):
+            if pid == os.getpid():
+                continue
             try:
                 os.kill(pid, sig)
             except (ProcessLookupError, PermissionError):
@@ -122,6 +147,12 @@ def _preempt_capture_if_running():
             if not any(os.path.exists(f"/proc/{p}") for p in tree):
                 break
             time.sleep(0.2)
+    # final sweep for stragglers forked mid-kill
+    for pid in _expand_tree(root, _ppid_map()) - {os.getpid()}:
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
     for p in (marker, pidfile):
         try:
             os.remove(p)

@@ -308,9 +308,13 @@ def test_bench_capture_preemption_guard(tmp_path, capsys, monkeypatch):
     # no marker -> no-op
     bench._preempt_capture_if_running()
 
-    # stale pid -> both files cleaned, nothing killed
+    # dead pid -> both files cleaned, nothing killed. Use a pid that is
+    # PROVABLY free (a reaped child of ours), not a magic number that a
+    # high-pid_max host could hand to a live unrelated process.
+    dead = subprocess.Popen(["true"])
+    dead.wait()
     marker.touch()
-    pidf.write_text("999999")
+    pidf.write_text(str(dead.pid))
     bench._preempt_capture_if_running()
     assert not marker.exists() and not pidf.exists()
 
@@ -319,13 +323,35 @@ def test_bench_capture_preemption_guard(tmp_path, capsys, monkeypatch):
     pidf.write_text(str(os.getpid()))
     bench._preempt_capture_if_running()
     assert marker.exists() and pidf.exists()
+    marker.unlink()
+    pidf.unlink()
 
-    # live foreign tree -> terminated, files removed
-    proc = subprocess.Popen(
+    # live pid that is NOT the capture (pid reused after a hard reboot:
+    # the EXIT trap never ran) -> treated stale: files cleaned, process
+    # left alone
+    impostor = subprocess.Popen(
         ["bash", "-c", "sleep 300 & wait"], start_new_session=True
     )
     try:
         _time.sleep(0.2)
+        marker.touch()
+        pidf.write_text(str(impostor.pid))
+        bench._preempt_capture_if_running()
+        assert not marker.exists() and not pidf.exists()
+        assert impostor.poll() is None  # untouched
+    finally:
+        impostor.kill()
+        impostor.wait()
+
+    # live capture tree (cmdline carries wait_and_capture identity via
+    # bash's $0) -> terminated, files removed
+    proc = subprocess.Popen(
+        ["bash", "-c", "sleep 300 & wait", "tools/wait_and_capture.sh"],
+        start_new_session=True,
+    )
+    try:
+        _time.sleep(0.2)
+        marker.touch()
         pidf.write_text(str(proc.pid))
         bench._preempt_capture_if_running()
         deadline = _time.time() + 5

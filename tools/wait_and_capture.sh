@@ -10,13 +10,17 @@ set -u
 cd "$(dirname "$0")/.."
 log=tools/tpu_wait.log
 echo $$ > tools/tpu_capture.pid
+# marker up for the WHOLE lifetime, polling included: each 180s probe
+# below holds the axon tunnel too, and a concurrent bench must be able to
+# preempt the poller mid-probe (two tunnel clients have crashed the
+# worker). bench verifies identity via /proc/<pid>/cmdline, so a stale
+# marker+pid surviving a hard reboot cannot make it kill a reused pid.
+touch tools/tpu_capture.running
 trap 'rm -f tools/tpu_capture.running tools/tpu_capture.pid' EXIT
 for i in $(seq 1 100); do
   if timeout 180 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
     echo "tunnel up at $(date -Is) (attempt $i)" >> "$log"
-    touch tools/tpu_capture.running
     bash tools/run_tpu_rows.sh >> "$log" 2>&1
-    rm -f tools/tpu_capture.running
     echo "capture done at $(date -Is)" >> "$log"
     exit 0
   fi
