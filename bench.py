@@ -160,6 +160,17 @@ def _preempt_capture_if_running():
             pass
 
 
+def _preset_names():
+    # argparse choices for --preset. Mirrored as literals (NOT read off
+    # FRCNNConfig.PRESETS) so building the parser never imports jax —
+    # --smoke must set the platform before any jax import. Kept in sync
+    # by tests/test_cli.py::test_preset_flag_matches_registry.
+    return (
+        "parity_300", "props_200", "props_150", "props_100", "fast",
+        "int8_300", "int8_200", "int8_150", "int8_100", "production",
+    )
+
+
 def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
     from vltk_tpu.models import FRCNNConfig
 
@@ -184,6 +195,10 @@ def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
     # batch, not just a memory cap: it bounds the pooled+res5 working set
     # (fast preset +14%, parity B=16 +6.8%, and it is what lets B=32 fit
     # HBM at all). The scan only engages when batch*P exceeds the chunk.
+    preset = getattr(args, "preset", None)
+    if preset:
+        kw = {} if roi_chunk is None else dict(roi_chunk=roi_chunk)
+        return FRCNNConfig.named_preset(preset, **kw)
     int8 = bool(getattr(args, "int8", False))
     if fast:
         if roi_chunk is None:
@@ -258,7 +273,8 @@ def build_step(cfg, batch, smoke):
     return step, variables, raws, raw_sizes
 
 
-def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
+def run_device_bench(args, metric, dtype=None, fast=False, smoke=False,
+                     n_dev=None):
     import jax
     import jax.numpy as jnp
 
@@ -269,8 +285,12 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
     # actually uses the machine. (The dev tunnel exposes one chip, so
     # there this is the identity; on a real v5e-8 host it is the 8-chip
     # extraction path the dryrun validates.)
-    n_dev = max(jax.local_device_count(), 1)
-    per_chip = 2 if smoke else args.batch
+    if n_dev is None:
+        n_dev = max(jax.local_device_count(), 1)
+    per_chip = (
+        args.batch if (smoke and getattr(args, "batch_explicit", False))
+        else (2 if smoke else args.batch)
+    )
     batch = per_chip * n_dev
     cfg = make_config(args, fast=fast, smoke=smoke, dtype=dtype)
     step, params, raws, raw_sizes = build_step(cfg, batch, smoke)
@@ -312,7 +332,7 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
         out = step(params, bufs[j], raw_sizes)
         if fed:
             bufs[j] = put(raws[j])
-    fetch(out)
+    val = fetch(out)
     if fed:
         # fence the trailing re-fed buffers: the last two puts would
         # otherwise still be in flight when the clock stops, undercounting
@@ -321,9 +341,9 @@ def run_device_bench(args, metric, dtype=None, fast=False, smoke=False):
             _np.asarray(b[:1, :1, :1, :1])
     dt = time.perf_counter() - t0
 
-    n_chips = max(jax.local_device_count(), 1)
-    imgs_per_sec = batch * args.steps / dt / n_chips
+    imgs_per_sec = batch * args.steps / dt / n_dev
     emit(metric + ("_fed" if fed else ""), imgs_per_sec)
+    return imgs_per_sec, val
 
 
 def run_serve_bench(args):
@@ -800,13 +820,17 @@ def run_train_bench(args):
             token_classification_loss,
         )
 
+        s = args.seq
+        _require_flash_geometry(args, (s,), "--train layoutlm")
         cfg = LayoutLMConfig(
-            dtype="bfloat16", max_position_embeddings=1024,
+            dtype="bfloat16", max_position_embeddings=s,
             attention_impl=args.attn, attention_dropout=0.0,
             remat=args.remat,
         )
         model = LayoutLMForTokenClassification(cfg)
-        b, s = (args.batch if args.batch_explicit else 8), 1024
+        # default batch scales inversely with seq: the xla backward stores
+        # the (12h, S, S) probs tensor per layer (~4.8 GB/image at S=4096)
+        b = args.batch if args.batch_explicit else max(1, 8 * 1024 // s)
         rng = np.random.default_rng(0)
         ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
         xy0 = rng.integers(0, 900, (b, s, 2))
@@ -859,7 +883,7 @@ def run_train_bench(args):
         assert np.isfinite(loss)
         suffix = "_flash" if args.attn == "flash" else ""
         emit_train(
-            "layoutlm_seq1024_train_step_bf16"
+            f"layoutlm_seq{s}_train_step_bf16"
             + ("_remat" if args.remat else "") + suffix,
             dt, b,
         )
@@ -1093,12 +1117,16 @@ def run_infer_bench(args):
 
         # max_position_embeddings must cover the stream: past-the-table
         # position ids NaN-fill through jnp.take (nn.Embed's fill mode)
+        s = args.seq
+        _require_flash_geometry(args, (s,), "--infer layoutlm")
         cfg = LayoutLMConfig(
-            dtype="bfloat16", max_position_embeddings=1024,
+            dtype="bfloat16", max_position_embeddings=s,
             attention_impl=args.attn,
         )
         model = LayoutLM(cfg)
-        b, s = (args.batch if args.batch_explicit else 32), 1024
+        # default batch scales inversely with seq (the xla path's (S, S)
+        # score transient alone is ~400 MB per image at S=4096)
+        b = args.batch if args.batch_explicit else max(1, 32 * 1024 // s)
         rng = np.random.default_rng(0)
         ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
         bboxes = jnp.asarray(
@@ -1129,7 +1157,7 @@ def run_infer_bench(args):
         dt, val = _timed_fori_steps(run_k, (params, (ids, bboxes, mask)), iters)
         assert np.isfinite(val)
         suffix = "_flash" if args.attn == "flash" else ""
-        emit_train("layoutlm_seq1024_infer_step_bf16" + suffix, dt, b)
+        emit_train(f"layoutlm_seq{s}_infer_step_bf16" + suffix, dt, b)
         return
 
     # ViT-base 224 classification-backbone forward
@@ -1177,6 +1205,24 @@ def emit_train(metric, step_seconds, batch):
     )
 
 
+def _full_drift_variants(canvas, short, maximum):
+    return [
+        ("parity_300", dict(post_nms_topk=300, pre_nms_topk=6000), canvas, short, maximum),
+        ("props_200", dict(post_nms_topk=200, pre_nms_topk=4000), canvas, short, maximum),
+        ("props_150", dict(post_nms_topk=150, pre_nms_topk=3000), canvas, short, maximum),
+        ("props_100", dict(post_nms_topk=100, pre_nms_topk=2000), canvas, short, maximum),
+        ("canvas_600", dict(post_nms_topk=300, pre_nms_topk=6000), (608, 1024), 600.0, 1000.0),
+        ("canvas_704", dict(post_nms_topk=300, pre_nms_topk=6000), (704, 1152), 700.0, 1150.0),
+        ("int8_300", dict(post_nms_topk=300, pre_nms_topk=6000, int8=True), canvas, short, maximum),
+        # the joint int8 x proposal-count points (VERDICT r3 task 1): int8
+        # keeps feature numerics, truncation removes candidates — the knee
+        # of the combined Pareto is expected between 150 and 200 proposals
+        ("int8_200", dict(post_nms_topk=200, pre_nms_topk=4000, int8=True), canvas, short, maximum),
+        ("int8_150", dict(post_nms_topk=150, pre_nms_topk=3000, int8=True), canvas, short, maximum),
+        ("int8_100", dict(post_nms_topk=100, pre_nms_topk=2000, int8=True), canvas, short, maximum),
+    ]
+
+
 def run_preset_drift(args):
     """Accuracy/speed Pareto for the non-parity presets (VERDICT r2 task
     2): run the parity config (300 proposals) and reduced configs on
@@ -1198,17 +1244,31 @@ def run_preset_drift(args):
     from vltk_tpu.ops.image_ops import preprocess_batch
     from vltk_tpu.train.metrics import detection_map
 
-    batch = min(args.batch, 8)
-    raw_canvas, canvas, short, maximum, raw_hw = GEOM["full"]
-    variants = [
-        ("parity_300", dict(post_nms_topk=300, pre_nms_topk=6000), canvas, short, maximum),
-        ("props_200", dict(post_nms_topk=200, pre_nms_topk=4000), canvas, short, maximum),
-        ("props_150", dict(post_nms_topk=150, pre_nms_topk=3000), canvas, short, maximum),
-        ("props_100", dict(post_nms_topk=100, pre_nms_topk=2000), canvas, short, maximum),
-        ("canvas_600", dict(post_nms_topk=300, pre_nms_topk=6000), (608, 1024), 600.0, 1000.0),
-        ("int8_300", dict(post_nms_topk=300, pre_nms_topk=6000, int8=True), canvas, short, maximum),
-        ("int8_100", dict(post_nms_topk=100, pre_nms_topk=2000, int8=True), canvas, short, maximum),
-    ]
+    smoke = bool(getattr(args, "smoke", False))
+    if smoke:
+        # tiny-geometry CPU sanity: exercises the whole sweep machinery
+        # (variant loop, int8 calibration, matching, gate) in seconds so a
+        # typo here cannot cost a 10-variant TPU capture run
+        batch = 2
+        raw_canvas, canvas, short, maximum, raw_hw = GEOM["smoke"]
+        tiny = dict(
+            depth=50, stem_out_channels=8, res2_out_channels=16,
+            width_per_group=4, rpn_hidden_channels=16,
+            anchor_sizes=(16, 32), num_classes=7, num_attrs=5,
+            pooler_resolution=7, min_detections=4, max_detections=4,
+        )
+        variants = [
+            ("parity_300", dict(tiny, post_nms_topk=16, pre_nms_topk=64),
+             canvas, short, maximum),
+            ("props_100", dict(tiny, post_nms_topk=8, pre_nms_topk=32),
+             canvas, short, maximum),
+            ("int8_300", dict(tiny, post_nms_topk=16, pre_nms_topk=64,
+                              int8=True), canvas, short, maximum),
+        ]
+    else:
+        batch = min(args.batch, 8)
+        raw_canvas, canvas, short, maximum, raw_hw = GEOM["full"]
+        variants = _full_drift_variants(canvas, short, maximum)
 
     rng = np.random.default_rng(0)
     raw = rng.integers(0, 256, size=(batch, *raw_canvas, 3)).astype(np.uint8)
@@ -1328,14 +1388,28 @@ def run_preset_drift(args):
                 "imgs_per_sec": round(batch / times[name], 1),
             }
         )
+    # production quality gate (VERDICT r3 task 1): a preset qualifies when
+    # it keeps >=0.95 of the parity box set (@IoU0.5) AND >=0.99 feature
+    # cosine on the boxes it keeps — measured here at worst-case
+    # random-init weights (real-weight closure: verify_checkpoint --pareto)
+    gate = dict(box_agreement=0.95, feat_cosine=0.99)
+    for r in rows:
+        r["production_gate"] = bool(
+            r["box_agreement@iou0.5"] >= gate["box_agreement"]
+            and r["feat_cosine_mean"] >= gate["feat_cosine"]
+        )
+    passing = [r for r in rows if r["production_gate"]]
+    best = max(passing, key=lambda r: r["imgs_per_sec"]) if passing else None
     print(
         json.dumps(
             {
-                "metric": "frcnn_preset_drift",
+                "metric": "frcnn_preset_drift" + ("_smoke" if smoke else ""),
                 "note": "random tamed init = worst-case truncation bound; "
                 "re-run with real weights via tools/verify_checkpoint.py "
                 "for the production budget",
                 "batch": batch,
+                "gate": gate,
+                "production_pick": best["preset"] if best else None,
                 "rows": rows,
                 "unit": "pareto",
                 "vs_baseline": 0,
@@ -1401,6 +1475,20 @@ def main():
              "Geometries where the kernel can never engage (lxmert's "
              "seq-20 VQA stream, vit) are refused rather than silently "
              "timed on the XLA fallback — see BASELINE.md)",
+    )
+    ap.add_argument(
+        "--preset", choices=sorted(_preset_names()), default=None,
+        help="time a NAMED extraction preset from the accuracy/speed "
+             "Pareto (models.FRCNNConfig.PRESETS; accuracy cost per "
+             "preset: --preset-drift / BASELINE.md). 'production' is the "
+             "quality-gated non-parity default",
+    )
+    ap.add_argument(
+        "--seq", type=int, default=1024,
+        help="with --infer/--train layoutlm: document stream length "
+             "(max_position_embeddings follows it). Default 1024; the "
+             "4096/8192 geometries are where flash attention's O(S) HBM "
+             "is expected to matter",
     )
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 32 (extraction modes), mode-specific otherwise")
@@ -1506,6 +1594,10 @@ def main():
             run_injit_bench(args)
         elif args.preset_drift:
             run_preset_drift(args)
+        elif args.preset:
+            run_device_bench(
+                args, f"frcnn_extraction_throughput_preset_{args.preset}"
+            )
         elif args.e2e:
             run_e2e_bench(args)
         elif args.drift:
@@ -1547,6 +1639,8 @@ def _dispatch_smoke(args):
         run_infer_bench(args)
     elif args.serve:
         run_serve_bench(args)
+    elif args.preset_drift:
+        run_preset_drift(args)
     elif args.infer or args.train:
         raise SystemExit(
             "--smoke only composes with --infer vqa (tiny-geometry CPU "

@@ -156,6 +156,48 @@ class FRCNNConfig:
         kwargs.update(overrides)
         return cls(**kwargs)
 
+    #: Named extraction presets on the measured accuracy/speed Pareto
+    #: (bench.py --preset-drift; BASELINE.md "preset Pareto" table). Keys
+    #: are the names the Pareto rows, ``bench.py --preset`` and the CLI
+    #: use; values are (factory, overrides). ``production`` is the
+    #: quality-gated default for non-parity deployments: the fastest
+    #: preset holding >=0.95 box agreement @IoU0.5 and >=0.99 feature
+    #: cosine vs parity at worst-case (random-init) weights.
+    PRESETS = {
+        "parity_300": ("vg_extraction", {}),
+        "props_200": ("vg_extraction", dict(pre_nms_topk=4000, post_nms_topk=200)),
+        "props_150": ("vg_extraction", dict(pre_nms_topk=3000, post_nms_topk=150)),
+        "props_100": ("fast_extraction", {}),
+        "fast": ("fast_extraction", {}),
+        "int8_300": ("int8_extraction", {}),
+        "int8_200": ("int8_extraction", dict(pre_nms_topk=4000, post_nms_topk=200)),
+        "int8_150": ("int8_extraction", dict(pre_nms_topk=3000, post_nms_topk=150)),
+        "int8_100": (
+            "int8_extraction",
+            dict(pre_nms_topk=2000, post_nms_topk=100, roi_chunk=1600),
+        ),
+        "production": ("int8_extraction", dict(pre_nms_topk=4000, post_nms_topk=200)),
+    }
+
+    @classmethod
+    def named_preset(cls, name: str, **overrides) -> "FRCNNConfig":
+        """Build a named point on the extraction accuracy/speed Pareto.
+
+        The accuracy cost of every preset vs the parity config is
+        measured by ``bench.py --preset-drift`` (box agreement, matched
+        IoU, feature cosine, relative mAP@0.5) and recorded in
+        BASELINE.md; at random init those numbers are worst-case bounds
+        (tools/verify_checkpoint.py --pareto re-measures with real
+        weights). int8 presets need calibration (:func:`calibrate_int8`;
+        extraction adapters do it automatically on the first batch).
+        """
+        if name not in cls.PRESETS:
+            raise ValueError(
+                f"unknown preset {name!r}; known: {sorted(cls.PRESETS)}"
+            )
+        factory, kw = cls.PRESETS[name]
+        return getattr(cls, factory)(**{**kw, **overrides})
+
     @property
     def num_anchors(self) -> int:
         return len(self.anchor_sizes) * len(self.aspect_ratios)
