@@ -307,6 +307,11 @@ class DataConfig(BaseConfig):
     # fixed-shape capacities (TPU data plane; see vars.FIXED_SHAPE_KEYS)
     max_detections: int = 36
     visual_dim: int = 2048
+    # img_first: sentences kept per image (static (T, L) text stack; the
+    # reference's ragged list + transpose_vl capped at 512 batch-level —
+    # visnlangdataset.py:287-353). 8 covers COCO Captions' 5-7 per image;
+    # the dataset warns loudly (once, with counts) when data truncates.
+    max_text_per_img: int = 8
     # etl control
     redownload: bool = False
     reextract: bool = False

@@ -267,6 +267,7 @@ def _build_one(cfg, Adapters, datadir: str, specs, train: bool, shared: Dict):
             visn,
             lang,
             visnlang_processors=build_procs(cfg.visnlang_processors, **proc_kwargs),
+            max_text_per_img=cfg.max_text_per_img,
         )
         loader = VisionLanguageLoader(cfg, dataset, train=train)
     else:
