@@ -1223,18 +1223,22 @@ def _full_drift_variants(canvas, short, maximum):
     ]
 
 
-def run_preset_drift(args):
+def run_preset_drift(args, params=None, raw=None, raw_sizes=None):
     """Accuracy/speed Pareto for the non-parity presets (VERDICT r2 task
     2): run the parity config (300 proposals) and reduced configs on
-    IDENTICAL inputs and identical (tamed) weights, and report, vs the
-    parity output as ground truth: IoU-matched 36-box agreement, feature
-    cosine on matched pairs, object-id agreement, VOC mAP@0.5, and the
+    IDENTICAL inputs and identical weights, and report, vs the parity
+    output as ground truth: IoU-matched 36-box agreement, feature cosine
+    on matched pairs, object-id agreement, VOC mAP@0.5, and the
     variant's in-loop step time.
 
-    Caveat (printed in the JSON): at random init the class scores are
-    uncorrelated with RPN objectness rank, so proposal-count truncation is
-    measured at its WORST CASE; with trained weights (closure:
-    tools/verify_checkpoint.py) the same harness gives the real budget.
+    By default weights are tamed-random and inputs synthetic noise —
+    caveat (printed in the JSON): at random init the class scores are
+    uncorrelated with RPN objectness rank, so proposal-count truncation
+    is measured at its WORST CASE. Pass ``params`` (a converted real
+    checkpoint) and/or ``raw``/``raw_sizes`` (real decoded images, uint8,
+    padded to a common raw canvas) to measure the PRODUCTION budget —
+    tools/verify_checkpoint.py --pareto does exactly that, replacing
+    every random-init asterisk in one command.
     """
     import jax
     import jax.numpy as jnp
@@ -1243,6 +1247,8 @@ def run_preset_drift(args):
     from vltk_tpu.models import FRCNN
     from vltk_tpu.ops.image_ops import preprocess_batch
     from vltk_tpu.train.metrics import detection_map
+
+    supplied_params = params is not None
 
     smoke = bool(getattr(args, "smoke", False))
     if smoke:
@@ -1270,14 +1276,19 @@ def run_preset_drift(args):
         raw_canvas, canvas, short, maximum, raw_hw = GEOM["full"]
         variants = _full_drift_variants(canvas, short, maximum)
 
-    rng = np.random.default_rng(0)
-    raw = rng.integers(0, 256, size=(batch, *raw_canvas, 3)).astype(np.uint8)
-    raw_sizes = jnp.asarray([raw_hw] * batch, jnp.int32)
-    raw_dev = jax.device_put(raw)
+    if raw is None:
+        rng = np.random.default_rng(0)
+        raw = rng.integers(0, 256, size=(batch, *raw_canvas, 3)).astype(
+            np.uint8
+        )
+        raw_sizes = jnp.asarray([raw_hw] * batch, jnp.int32)
+    else:
+        batch = int(raw.shape[0])
+        raw_sizes = jnp.asarray(raw_sizes, jnp.int32)
+    raw_dev = jax.device_put(np.asarray(raw, np.uint8))
 
     from vltk_tpu.models import FRCNNConfig
 
-    params = None
     outs = {}
     times = {}
     for name, overrides, cvs, sh, mx in variants:
@@ -1404,9 +1415,17 @@ def run_preset_drift(args):
         json.dumps(
             {
                 "metric": "frcnn_preset_drift" + ("_smoke" if smoke else ""),
-                "note": "random tamed init = worst-case truncation bound; "
-                "re-run with real weights via tools/verify_checkpoint.py "
-                "for the production budget",
+                "weights": (
+                    "supplied-checkpoint" if supplied_params
+                    else "tamed-random"
+                ),
+                "note": (
+                    "real-weight production budget"
+                    if supplied_params
+                    else "random tamed init = worst-case truncation bound; "
+                    "re-run with real weights via tools/verify_checkpoint.py "
+                    "--pareto for the production budget"
+                ),
                 "batch": batch,
                 "gate": gate,
                 "production_pick": best["preset"] if best else None,

@@ -177,6 +177,62 @@ def _run_staged(golden, imgids, images, workdir, checkpoint, atol_box,
     return 1 if failures else 0
 
 
+def build_real_batch(imgids, images_dir: str, workdir: str):
+    """Decode the staged fixture images through the extraction adapter's
+    OWN host pipeline (uint8 decode -> pad to the static raw canvas) so
+    the Pareto runs on exactly the bytes production extraction feeds the
+    device. Returns (raw uint8 (N, H, W, 3), raw_sizes int32 (N, 2))."""
+    from vltk_tpu import vars as V
+    from vltk_tpu.adapters.frcnn import FRCNN as FrcnnAdapter
+
+    datadir = stage_images(imgids, images_dir, workdir)
+    img_dir = os.path.join(datadir, "visualgenome", "train")
+    proc = FrcnnAdapter.default_processor.build()
+    entries = []
+    for imgid in imgids:
+        entry = proc(os.path.join(img_dir, f"{imgid}.jpg"))
+        entry.setdefault(V.imgid, imgid)
+        entries.append(entry)
+    batch = FrcnnAdapter.collate(entries)
+    return batch[V.img], batch[V.rawsize]
+
+
+def run_pareto(checkpoint: str, images: str, fixture: str,
+               batch_size: int = 8) -> int:
+    """VERDICT r3 task 6: the real-weight preset Pareto in one command.
+
+    Runs bench.py's --preset-drift harness (box agreement / matched IoU /
+    feature cosine / mAP50 / step time per named preset, parity_300 as
+    ground truth, production gate applied) with the SUPPLIED checkpoint
+    and the fixture's real VG images — replacing every "random-init
+    worst-case" asterisk in BASELINE.md's Pareto table.
+    """
+    import importlib.util
+    import types
+
+    from vltk_tpu.adapters.frcnn import FRCNN as FrcnnAdapter
+
+    spec = importlib.util.spec_from_file_location(
+        "vltk_bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    golden = load_fixture(fixture)
+    imgids = sorted(golden)[:batch_size]
+    params = FrcnnAdapter._load_checkpoint_params(checkpoint)
+    workdir = tempfile.mkdtemp(prefix="vltk_ckpt_pareto_")
+    try:
+        raw, raw_sizes = build_real_batch(imgids, images, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    bench.run_preset_drift(
+        types.SimpleNamespace(batch=len(imgids), roi_chunk=None, smoke=False),
+        params=params, raw=raw, raw_sizes=raw_sizes,
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True,
@@ -191,7 +247,13 @@ def main() -> int:
     ap.add_argument("--int8", action="store_true",
                     help="run the calibrated int8 preset instead of f32 "
                          "parity (reports its real-weight accuracy budget)")
+    ap.add_argument("--pareto", action="store_true",
+                    help="emit the full real-weight preset Pareto (bench.py "
+                         "--preset-drift with this checkpoint + the "
+                         "fixture's images) instead of the fixture closure")
     args = ap.parse_args()
+    if args.pareto:
+        return run_pareto(args.checkpoint, args.images, args.fixture)
     return run(args.checkpoint, args.images, args.fixture, args.atol_box,
                args.rtol_feat, args.min_cosine, int8=args.int8)
 
