@@ -33,7 +33,7 @@ run() {
   fi
   echo "== $*" >&2
   echo "== $ts $*" >> "$log"
-  if timeout 1800 "$@" 2>> "$log" | grep -E '^\{' >> "$out"; then
+  if timeout "${ROW_TIMEOUT:-1800}" "$@" 2>> "$log" | grep -E '^\{' >> "$out"; then
     echo "$*" >> "$done_f"
   else
     echo "{\"failed\": \"$*\", \"stderr\": \"$log\"}" >> "$out"
@@ -55,9 +55,36 @@ run python bench.py --train frcnn --remat
 run python bench.py --train frcnn --remat --batch 8
 run python bench.py --serve
 run python tools/probe_aot_tpu.py
+
+# ---- round-4 queue (ordered by evidence value; each row ~5-15 min) ----
+# 1. production-preset candidates under the headline protocol (B=32)
+run python bench.py --preset int8_200
+run python bench.py --preset int8_150
+run python bench.py --preset props_200
+# 2. the joint int8 x props x canvas Pareto (10 variants, 3 fresh
+#    compiles -> needs more than the default row timeout)
+ROW_TIMEOUT=5400 run python bench.py --preset-drift
+# 3. flash attention's make-or-break: the seq-4096/8192 document
+#    geometries (xla vs flash, infer + train; flash --batch 4 tests the
+#    memory-lever claim where the xla backward's stored probs blow up)
+run python bench.py --infer layoutlm --seq 4096
+run python bench.py --infer layoutlm --seq 4096 --attn flash
+run python bench.py --train layoutlm --seq 4096 --batch 1
+run python bench.py --train layoutlm --seq 4096 --batch 1 --attn flash
+run python bench.py --train layoutlm --seq 4096 --batch 4 --attn flash
+run python bench.py --infer layoutlm --seq 8192 --batch 2
+run python bench.py --infer layoutlm --seq 8192 --batch 2 --attn flash
+# 4. clean serve re-run (the r4 workers=1 row was polluted by a ~17-min
+#    tunnel stall; the explicit --steps only changes the done-file key)
+run python bench.py --serve --steps 5
 # probe output is free-form text — keep it OUT of the jsonl
 if [ ! -s tools/probe_flash_out.txt ]; then
   echo "== probe_flash" >&2
   timeout 1800 python tools/probe_flash.py > tools/probe_flash_out.txt 2>&1 || true
 fi
-echo "done -> $out (probe: tools/probe_flash_out.txt; stderr: $log)" >&2
+# 5. per-stage MXU% table (free-form text; r4 adds FLOPs + utilization)
+if [ ! -s tools/probe_stages_out.txt ]; then
+  echo "== probe_stages" >&2
+  timeout 3600 python tools/probe_stages.py > tools/probe_stages_out.txt 2>&1 || true
+fi
+echo "done -> $out (probes: tools/probe_{flash,stages}_out.txt; stderr: $log)" >&2
