@@ -141,6 +141,30 @@ def test_close_drains_pending_and_refuses_new():
         srv.submit(0)
 
 
+def test_slow_batch_warns_and_is_tracked():
+    """A batch that stalls (backend hiccup, in-flight recompile) strands
+    every queued caller — it must surface in stats and warn, not pass
+    silently (motivated by a measured ~17-min stall, BASELINE.md r4)."""
+    rec = _Recorder(delay=0.05)
+    with pytest.warns(UserWarning, match="MicroBatchServer: one batch"):
+        with MicroBatchServer(
+            rec, batch_size=2, max_delay_ms=1, slow_batch_warn_s=0.01
+        ) as srv:
+            assert srv(3) == 30
+            stats = srv.stats
+    assert stats["slowest_batch_ms"] >= 50.0
+
+    # default threshold (30 s) stays quiet for normal batches
+    import warnings
+
+    rec2 = _Recorder()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        with MicroBatchServer(rec2, batch_size=2, max_delay_ms=1) as srv:
+            assert srv(1) == 10
+    assert not [w for w in caught if "MicroBatchServer" in str(w.message)]
+
+
 def test_bad_batch_size_rejected():
     with pytest.raises(ValueError, match="batch_size"):
         MicroBatchServer(lambda r: r, batch_size=0)

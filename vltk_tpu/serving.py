@@ -52,6 +52,7 @@ class MicroBatchServer:
         batch_size: int,
         max_delay_ms: float = 5.0,
         workers: int = 1,
+        slow_batch_warn_s: float = 30.0,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -60,6 +61,13 @@ class MicroBatchServer:
         self._batch_fn = batch_fn
         self._batch_size = int(batch_size)
         self._max_delay = max(float(max_delay_ms), 0.0) / 1e3
+        # observability: a batch that silently takes minutes (backend
+        # stall, in-flight recompile) strands every queued caller with no
+        # signal — warn post-hoc when one exceeds this (0 disables).
+        # Motivated by a measured ~17-minute one-off stall in a bench run
+        # (BASELINE.md r4 serving note).
+        self._slow_batch_warn = max(float(slow_batch_warn_s), 0.0)
+        self._slowest_batch = 0.0
         self._queue: "queue.Queue[Optional[Tuple[Any, Future, float]]]" = (
             queue.Queue()
         )
@@ -124,6 +132,7 @@ class MicroBatchServer:
             out = {
                 "batches_run": self._batches_run,
                 "requests_served": self._requests_served,
+                "slowest_batch_ms": round(self._slowest_batch * 1e3, 3),
             }
             lats = sorted(self._latencies)
         if lats:
@@ -175,6 +184,7 @@ class MicroBatchServer:
         if not bucket:
             return
         requests = [r for r, _, _ in bucket]
+        _bt0 = time.monotonic()
         try:
             results = list(self._batch_fn(requests))
         except BaseException as exc:
@@ -210,10 +220,22 @@ class MicroBatchServer:
             for _, fut, _ in bucket:
                 fut.set_exception(exc)
             return
+        dur = time.monotonic() - _bt0
         for (_, fut, t0), res in zip(bucket, results):
             self._finish(fut, t0, res)
         with self._stats_lock:
             self._batches_run += 1
+            self._slowest_batch = max(self._slowest_batch, dur)
+        if self._slow_batch_warn and dur > self._slow_batch_warn:
+            import warnings
+
+            warnings.warn(
+                f"MicroBatchServer: one batch of {len(bucket)} took "
+                f"{dur:.1f}s (threshold {self._slow_batch_warn:.0f}s) — "
+                "backend stall or in-flight recompile; every queued "
+                "caller waited behind it",
+                stacklevel=2,
+            )
 
     def _finish(self, fut: "Future", t0: float, res: Any) -> None:
         with self._stats_lock:
