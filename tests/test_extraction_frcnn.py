@@ -182,6 +182,28 @@ class TestFRCNNExtraction:
         assert np.isfinite(feats).all()
 
 
+class TestPresetResolution:
+    def test_setup_preset_merge_rules(self):
+        """`vltk extract frcnn <ds> --preset=NAME`: the named preset sets
+        the config; explicit dtype and explicit overrides win over it;
+        non-config kwargs (extraction-driver knobs) are dropped."""
+        from vltk_tpu.adapters.frcnn import _resolve_config
+
+        cfg = _resolve_config("int8_200", None, {})
+        assert cfg.int8 and cfg.post_nms_topk == 200 and cfg.dtype == "bfloat16"
+        # explicit override beats the preset field
+        cfg = _resolve_config("int8_200", "float32", {"post_nms_topk": 77})
+        assert cfg.dtype == "float32" and cfg.post_nms_topk == 77 and cfg.int8
+        # no preset: prior behavior (defaults + overrides)
+        cfg = _resolve_config(None, None, {"post_nms_topk": 300,
+                                           "batch_hint": 9})
+        assert cfg.post_nms_topk == 300 and cfg.dtype is None
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown preset"):
+            _resolve_config("nope", None, {})
+
+
 class TestHostPipelineGate:
     def test_device_fused_pipeline_does_not_pad(self, tmp_path, rng):
         """The extractor's host pipeline only decodes: padding before the

@@ -27,6 +27,25 @@ from vltk_tpu.config import VisionConfig
 from vltk_tpu.features import Features
 
 
+def _resolve_config(preset, dtype, config_overrides):
+    """Preset -> FRCNNConfig merge for setup(): the named preset (if any)
+    supplies the base fields, an explicit ``dtype`` wins over it, and
+    explicit config overrides win over both. Unknown override keys are
+    dropped (setup()'s **kwargs carry extraction-driver knobs too)."""
+    import dataclasses
+
+    from vltk_tpu.models import FRCNNConfig
+
+    fields = {f.name for f in dataclasses.fields(FRCNNConfig)}
+    base = (
+        dataclasses.asdict(FRCNNConfig.named_preset(preset)) if preset else {}
+    )
+    if dtype is not None:
+        base["dtype"] = dtype
+    base.update({k: v for k, v in config_overrides.items() if k in fields})
+    return FRCNNConfig(**{k: v for k, v in base.items() if k in fields})
+
+
 class FRCNN(VisnExtraction):
     """36-box ResNet-101-C4 VG feature extractor (TPU-native)."""
 
@@ -52,12 +71,20 @@ class FRCNN(VisnExtraction):
         checkpoint: Optional[str] = None,
         batch_size: Optional[int] = None,
         dtype: Optional[str] = None,
+        preset: Optional[str] = None,
         **config_overrides,
     ):
         """Build the jitted extraction program.
 
         Returns (bundle, model_config) where bundle carries the compiled
         step and parameters (reference: adapters/frcnn.py:26-33 setup).
+
+        ``preset`` selects a named point on the extraction accuracy/speed
+        Pareto (``FRCNNConfig.PRESETS`` — parity_300, props_*, int8_*,
+        production; accuracy budget per preset: BASELINE.md /
+        ``bench.py --preset-drift``); explicit ``dtype``/overrides win
+        over the preset's fields. CLI:
+        ``vltk extract frcnn <dataset> --preset=int8_200``.
         """
         import jax
         import jax.numpy as jnp
@@ -66,13 +93,7 @@ class FRCNN(VisnExtraction):
         from vltk_tpu.models import FRCNNConfig, torch_frcnn_to_jax
         from vltk_tpu.ops.image_ops import preprocess_batch
 
-        import dataclasses
-
-        fields = {f.name for f in dataclasses.fields(FRCNNConfig)}
-        cfg = FRCNNConfig(
-            dtype=dtype,
-            **{k: v for k, v in config_overrides.items() if k in fields},
-        )
+        cfg = _resolve_config(preset, dtype, config_overrides)
         model = FRCNNModel(cfg=cfg)
         canvas = cls.resized_canvas
 
@@ -134,7 +155,8 @@ class FRCNN(VisnExtraction):
             "checkpoint": checkpoint,
             "max_detections": cfg.max_detections,
             "visual_dim": cfg.res2_out_channels * 8,
-            "dtype": dtype or "float32",
+            "dtype": cfg.dtype or "float32",
+            "preset": preset,
         }
         return bundle, model_config
 
