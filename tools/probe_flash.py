@@ -52,6 +52,80 @@ def timed(fn, args, iters=30):
     return ((t2 - t1) - (t1 - t0)) / (iters - 1) * 1e3
 
 
+def _uniform_blocks(b: int):
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    return _fa.BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+        block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
+    )
+
+
+def sweep():
+    """Block-size sweep (JSON lines, run()-framework compatible): the
+    upstream kernel defaults to 128-blocks everywhere — at dh=64 that is
+    a (128, 64)x(64, 128) matmul per grid step, far below MXU-amortizing
+    size, and the leading suspect for flash's measured losses. Sweeps
+    uniform 128/256/512/1024 blocks at the seq-1024 serving geometry and
+    the seq-4096 document geometry, forward AND forward+grad, against
+    the XLA path on identical inputs."""
+    import json
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/vltk_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    rng = np.random.default_rng(0)
+    for n, s, nh, dh in [(32, 1024, 12, 64), (4, 4096, 12, 64)]:
+        q = jnp.asarray(rng.normal(size=(n, s, nh, dh)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(n, s, nh, dh)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(n, s, nh, dh)), jnp.bfloat16)
+        mask_np = np.ones((n, s), np.float32)
+        mask_np[:, int(s * 0.8):] = 0.0
+        mask = jnp.asarray(mask_np)
+        geom = f"n{n}_s{s}_h{nh}x{dh}"
+
+        def grad_of(attn):
+            def loss(q, k, v, m):
+                return attn(q, k, v, m).astype(jnp.float32).mean()
+
+            g = jax.grad(loss, argnums=(0, 1, 2))
+
+            return lambda q, k, v, m: g(q, k, v, m)[0]
+
+        t_xla = timed(lambda q, k, v, m: xla_attention(q, k, v, m, dh),
+                      (q, k, v, mask))
+        t_xla_g = timed(grad_of(
+            lambda q, k, v, m: xla_attention(q, k, v, m, dh)
+        ), (q, k, v, mask))
+        print(json.dumps({
+            "metric": "flash_block_sweep", "geom": geom, "impl": "xla",
+            "fwd_ms": round(t_xla, 3), "fwd_grad_ms": round(t_xla_g, 3),
+        }), flush=True)
+        for b in (None, 128, 256, 512, 1024):
+            if b is not None and b > s:
+                continue
+            bs = None if b is None else _uniform_blocks(b)
+            label = "default128" if b is None else str(b)
+            try:
+                fl = lambda q, k, v, m, _bs=bs: _flash_self_attention(  # noqa: E731
+                    q, k, v, m, dh, block_sizes=_bs
+                )
+                t_f = timed(fl, (q, k, v, mask))
+                t_f_g = timed(grad_of(fl), (q, k, v, mask))
+                print(json.dumps({
+                    "metric": "flash_block_sweep", "geom": geom,
+                    "impl": f"flash_b{label}",
+                    "fwd_ms": round(t_f, 3), "fwd_grad_ms": round(t_f_g, 3),
+                    "fwd_speedup_vs_xla": round(t_xla / t_f, 3),
+                    "grad_speedup_vs_xla": round(t_xla_g / t_f_g, 3),
+                }), flush=True)
+            except Exception as e:  # per-config compile failures are data
+                print(json.dumps({
+                    "metric": "flash_block_sweep", "geom": geom,
+                    "impl": f"flash_b{label}", "failed": str(e)[:160],
+                }), flush=True)
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/vltk_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -91,4 +165,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()

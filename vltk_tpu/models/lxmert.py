@@ -175,7 +175,7 @@ def _flash_eligible(x, ctx, s: int, deterministic: bool, cfg) -> bool:
     )
 
 
-def _flash_self_attention(q, k, v, mask, dh: int):
+def _flash_self_attention(q, k, v, mask, dh: int, block_sizes=None):
     """(n, s, nh, dh) q/k/v -> flash attention output, same layout.
 
     Wraps ``jax.experimental.pallas.ops.tpu.flash_attention`` (public
@@ -184,6 +184,11 @@ def _flash_self_attention(q, k, v, mask, dh: int):
     materialized (n, nh, S, S) score/prob tensors — at LayoutLM's
     seq-1024 serving config that tensor is ~1.6 GB of round-trips per
     layer (tools/probe_flash.py measures it; results in BASELINE.md).
+
+    ``block_sizes``: an explicit ``flash_attention.BlockSizes`` override.
+    The upstream default is 128 everywhere, which at dh=64 means a tiny
+    (128, 64)x(64, 128) matmul per grid step — tools/probe_flash.py
+    --sweep measures larger blocks against it per geometry.
     """
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
@@ -202,7 +207,8 @@ def _flash_self_attention(q, k, v, mask, dh: int):
         ids = mask.astype(jnp.int32)  # 1 = real, 0 = pad
         seg = _fa.SegmentIds(q=ids, kv=ids)
     out = _fa.flash_attention(
-        qt, kt, vt, segment_ids=seg, sm_scale=1.0 / float(dh) ** 0.5
+        qt, kt, vt, segment_ids=seg, sm_scale=1.0 / float(dh) ** 0.5,
+        block_sizes=block_sizes,
     )
     return jnp.transpose(out, (0, 2, 1, 3))[:, :s]
 
