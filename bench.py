@@ -1335,7 +1335,12 @@ def run_preset_drift(args, params=None, raw=None, raw_sizes=None):
         assert fetched[4].min() > 0, f"{name}: no detections at tamed init"
         outs[name] = fetched
         # quick in-loop step time (dispatch loop, single fetch — same
-        # protocol as the headline; 5 steps is enough for a relative rank)
+        # protocol as the headline; 5 steps is enough for a relative
+        # rank). One extra fetched warm-up step first: the first variant
+        # of a run otherwise absorbs residual device/tunnel warm-up into
+        # its clock (r4 capture: parity_300 read 2105 ms vs its true
+        # ~155 ms while every later variant was clean)
+        float(jnp.sum(step(variables, raw_dev, raw_sizes)[0]))
         t0 = time.perf_counter()
         o = None
         for _ in range(5):
