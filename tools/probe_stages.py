@@ -154,10 +154,24 @@ def main():
             cfg, prop_boxes, prop_valid, ol, al, bd, pl_, sizes, scales
         )["boxes"], (obj_logits, attr_logits, box_deltas, pooled)),
     ]
+    # XLA's cost analysis counts a lax.scan BODY once, not x trip_count —
+    # the roi_heads stage runs res5 as a scan over roi_chunk-sized blocks
+    # (roi_heads.PoolRes5Scan), so scale its FLOPs by the trip count.
+    # (Verified against the hand count: res5 is ~5.45 GFLOP/RoI -> 26.2
+    # TFLOP at B=16 x 300 RoIs; the uncorrected analysis reads 12.89.)
+    n_rois = b * cfg.post_nms_topk
+    trips = (
+        -(-n_rois // cfg.roi_chunk)
+        if cfg.roi_chunk and n_rois > cfg.roi_chunk
+        else 1
+    )
     total = 0.0
     for name, fn, a in stages:
         dt = timed(fn, a)
         fl = stage_flops(fn, a)
+        if name.startswith("roi_heads") and trips > 1:
+            fl *= trips
+            name += f" (x{trips} scan)"
         mxu = fl / dt / V5E_BF16_PEAK * 100 if fl else 0.0
         print(
             f"{name:28s}: {dt*1e3:7.2f} ms  ({dt*1e3/b:.2f} ms/img)  "

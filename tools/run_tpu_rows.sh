@@ -58,7 +58,9 @@ run python tools/probe_aot_tpu.py
 
 # ---- round-4 queue (ordered by evidence value; each row ~5-15 min) ----
 # 1. production-preset candidates under the headline protocol (B=32)
-run python bench.py --preset int8_200
+#    (int8_200's first cold compile exceeded the default 1800 s row
+#    timeout over the tunnel — give it a real budget)
+ROW_TIMEOUT=5400 run python bench.py --preset int8_200
 run python bench.py --preset int8_150
 run python bench.py --preset props_200
 # 2. the joint int8 x props x canvas Pareto (10 variants, 3 fresh
@@ -77,6 +79,15 @@ run python bench.py --infer layoutlm --seq 8192 --batch 2 --attn flash
 # 4. clean serve re-run (the r4 workers=1 row was polluted by a ~17-min
 #    tunnel stall; the explicit --steps only changes the done-file key)
 run python bench.py --serve --steps 5
+# 5. pass-3 follow-ups from the pass-2 findings:
+#    - flash block-size sweep: default-128 blocks are the prime suspect
+#      for flash's across-the-board losses (now incl. 4.0x at seq-4096)
+ROW_TIMEOUT=5400 run python tools/probe_flash.py --sweep
+#    - xla seq-8192 at B=1 (B=2 crashed the worker; flash ran at B=2 —
+#      this row gives the honest per-image xla-vs-flash point at 8k)
+run python bench.py --infer layoutlm --seq 8192 --batch 1
+#    - xla seq-4096 train at B=2: does the probs-storage wall bite at 2?
+run python bench.py --train layoutlm --seq 4096 --batch 2
 # probe output is free-form text — keep it OUT of the jsonl
 if [ ! -s tools/probe_flash_out.txt ]; then
   echo "== probe_flash" >&2
