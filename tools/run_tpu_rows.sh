@@ -88,6 +88,17 @@ ROW_TIMEOUT=5400 run python tools/probe_flash.py --sweep
 run python bench.py --infer layoutlm --seq 8192 --batch 1
 #    - xla seq-4096 train at B=2: does the probs-storage wall bite at 2?
 run python bench.py --train layoutlm --seq 4096 --batch 2
+# 6. pass-4: model-level re-measurement with the TUNED flash blocks
+#    (models/lxmert.py:_tuned_block_sizes — the kernel sweep flipped
+#    flash from 0.27x to 2.2-2.4x vs XLA; these rows re-decide the
+#    model-level verdict. Explicit --batch only changes the done key.)
+run python bench.py --infer layoutlm --attn flash --batch 32
+run python bench.py --train layoutlm --attn flash --batch 8
+run python bench.py --infer layoutlm --seq 4096 --attn flash --batch 8
+run python bench.py --train layoutlm --seq 4096 --attn flash --batch 1
+run python bench.py --train layoutlm --seq 4096 --attn flash --batch 4
+run python bench.py --infer layoutlm --seq 8192 --attn flash --batch 2
+run python bench.py --infer vit --attn flash --batch 64
 # probe output is free-form text — keep it OUT of the jsonl
 if [ ! -s tools/probe_flash_out.txt ]; then
   echo "== probe_flash" >&2

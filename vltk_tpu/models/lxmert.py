@@ -175,20 +175,41 @@ def _flash_eligible(x, ctx, s: int, deterministic: bool, cfg) -> bool:
     )
 
 
+def _tuned_block_sizes(s_padded: int):
+    """Measured flash-kernel block sizes for v5e (tools/probe_flash.py
+    --sweep; BASELINE.md r4). The upstream default — 128-blocks
+    everywhere — runs the kernel at 0.27-0.29x the XLA attention at
+    dh=64 (a (128, 64)x(64, 128) matmul per grid step cannot amortize
+    the MXU); uniform 1024-blocks flip it to 2.2-2.4x FASTER forward
+    (1.6x fwd+grad at seq-4096). Pick the largest measured block that
+    tiles the padded length."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    for b in (1024, 512, 256, 128):
+        if s_padded % b == 0:
+            return _fa.BlockSizes(
+                block_q=b, block_k_major=b, block_k=b, block_b=1,
+                block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+                block_q_dkv=b, block_k_major_dq=b, block_k_dq=b,
+                block_q_dq=b,
+            )
+    raise AssertionError(f"padded length {s_padded} not a 128 multiple")
+
+
 def _flash_self_attention(q, k, v, mask, dh: int, block_sizes=None):
     """(n, s, nh, dh) q/k/v -> flash attention output, same layout.
 
     Wraps ``jax.experimental.pallas.ops.tpu.flash_attention`` (public
     JAX Pallas op, custom-VJP so jax.grad stays fused): online-softmax
     blocks in VMEM, O(S) HBM traffic instead of the XLA path's
-    materialized (n, nh, S, S) score/prob tensors — at LayoutLM's
-    seq-1024 serving config that tensor is ~1.6 GB of round-trips per
-    layer (tools/probe_flash.py measures it; results in BASELINE.md).
+    materialized (n, nh, S, S) score/prob tensors.
 
-    ``block_sizes``: an explicit ``flash_attention.BlockSizes`` override.
-    The upstream default is 128 everywhere, which at dh=64 means a tiny
-    (128, 64)x(64, 128) matmul per grid step — tools/probe_flash.py
-    --sweep measures larger blocks against it per geometry.
+    ``block_sizes``: an explicit ``flash_attention.BlockSizes``
+    override; the default is :func:`_tuned_block_sizes` (uniform
+    1024-or-largest-tiling blocks), which measured 2.2-2.4x faster
+    forward than the XLA path at seq-1024/4096 where the upstream
+    128-block default measured 3.4x SLOWER (tools/probe_flash.py
+    --sweep; full story in BASELINE.md).
     """
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
@@ -206,6 +227,8 @@ def _flash_self_attention(q, k, v, mask, dh: int, block_sizes=None):
     if mask is not None:
         ids = mask.astype(jnp.int32)  # 1 = real, 0 = pad
         seg = _fa.SegmentIds(q=ids, kv=ids)
+    if block_sizes is None:
+        block_sizes = _tuned_block_sizes(s + pad)
     out = _fa.flash_attention(
         qt, kt, vt, segment_ids=seg, sm_scale=1.0 / float(dh) ** 0.5,
         block_sizes=block_sizes,
