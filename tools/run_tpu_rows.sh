@@ -99,6 +99,14 @@ run python bench.py --train layoutlm --seq 4096 --attn flash --batch 1
 run python bench.py --train layoutlm --seq 4096 --attn flash --batch 4
 run python bench.py --infer layoutlm --seq 8192 --attn flash --batch 2
 run python bench.py --infer vit --attn flash --batch 64
+# 7. pass-5: capability rows the tuned kernel unlocks
+#    - seq-8192 TRAINING: xla cannot run it at any batch (the stored
+#      probs alone are ~19 GB/img); flash has no stored probs
+run python bench.py --train layoutlm --seq 8192 --attn flash --batch 1
+#    - the long-doc training recipe: tuned flash + remat stacked
+run python bench.py --train layoutlm --seq 4096 --attn flash --remat --batch 4
+#    - 8k serving batch headroom
+run python bench.py --infer layoutlm --seq 8192 --attn flash --batch 4
 # probe output is free-form text — keep it OUT of the jsonl
 if [ ! -s tools/probe_flash_out.txt ]; then
   echo "== probe_flash" >&2
