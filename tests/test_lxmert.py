@@ -394,6 +394,25 @@ class TestFlashAttention:
         assert not L._flash_eligible(x, x, 128, True, cfg)
         assert not L._flash_applicable(197, True, 0.0)
 
+    def test_auto_impl_routing(self):
+        """attention_impl='auto' asks for flash exactly at the measured
+        win threshold — padded length >= 1024 (BASELINE.md r4) — and for
+        xla below it; 'flash'/'xla' remain unconditional. (The hardware
+        gate _flash_applicable still composes on top, so auto on CPU is
+        always the xla path.)"""
+        auto = LxmertConfig(attention_impl="auto")
+        assert L._impl_wants_flash(auto, 1024)
+        assert L._impl_wants_flash(auto, 4096)
+        assert L._impl_wants_flash(auto, 1000)  # pads to 1024
+        assert not L._impl_wants_flash(auto, 512)
+        assert not L._impl_wants_flash(auto, 197)  # ViT: pads to 256
+        assert L._impl_wants_flash(LxmertConfig(attention_impl="flash"), 20)
+        assert not L._impl_wants_flash(LxmertConfig(attention_impl="xla"), 4096)
+        # LayoutLM — the long-document model — defaults to auto
+        from vltk_tpu.models.layoutlm import LayoutLMConfig
+
+        assert LayoutLMConfig().attention_impl == "auto"
+
     def test_cpu_fallback_bit_identical(self, rng):
         """attention_impl='flash' must be a no-op where flash does not
         apply: same params tree, bit-identical forward to 'xla'."""

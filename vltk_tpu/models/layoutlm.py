@@ -33,11 +33,18 @@ from vltk_tpu.models.lxmert import (
 @dataclasses.dataclass(frozen=True)
 class LayoutLMConfig(LxmertConfig):
     """Single-stream depth in ``l_layers``; ``num_labels`` is the per-token
-    class count (FUNSD: question/answer/other + ignore padding)."""
+    class count (FUNSD: question/answer/other + ignore padding).
+
+    ``attention_impl`` defaults to ``"auto"`` here (unlike the short-
+    stream models): LayoutLM is the long-document encoder, and on v5e
+    the tuned flash kernel is measured faster at every padded length
+    >= 1024 (BASELINE.md r4) — auto routes those to flash and shorter
+    streams (and every non-TPU backend) to the exact xla path."""
 
     l_layers: int = 12
     num_labels: int = 4
     coord_vocab: int = 1024  # 2D coordinate table size (HF max_2d_position)
+    attention_impl: str = "auto"
 
 
 class LayoutLMEmbeddings(nn.Module):

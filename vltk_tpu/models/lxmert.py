@@ -156,6 +156,25 @@ def _flash_applicable(s: int, deterministic: bool, attention_dropout) -> bool:
     )
 
 
+def _impl_wants_flash(cfg, s: int) -> bool:
+    """``attention_impl`` routing policy (composes with the
+    ``_flash_applicable`` hardware/shape gate):
+
+    * ``"xla"``   — never use the fused kernel (default; exact-pad
+      semantics, runs everywhere).
+    * ``"flash"`` — always try it (falls back off-TPU / short seq).
+    * ``"auto"``  — use it exactly where it is MEASURED to win on v5e
+      (BASELINE.md r4 tuned-block table): padded length >= 1024 —
+      +25%/+28%/+89% serving at seq-1024/4096/8192, +39% training at
+      seq-4096, parity at 1024 training; short streams (ViT's padded
+      256, VQA's 20) measured slower and stay on xla.
+    """
+    impl = getattr(cfg, "attention_impl", "xla")
+    if impl == "flash":
+        return True
+    return impl == "auto" and s + ((-s) % 128) >= 1024
+
+
 def _flash_eligible(x, ctx, s: int, deterministic: bool, cfg) -> bool:
     """Whether the fused flash kernel applies to this attention call.
 
@@ -276,7 +295,7 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(n, ctx.shape[1], nh, dh)
         v = v.reshape(n, ctx.shape[1], nh, dh)
         if (
-            getattr(cfg, "attention_impl", "xla") == "flash"
+            _impl_wants_flash(cfg, s)
             and not seq_shard
             and _flash_eligible(x, ctx, s, deterministic, cfg)
         ):

@@ -76,9 +76,10 @@ class _PreLNAttention(nn.Module):
         from vltk_tpu.models.lxmert import (
             _flash_applicable,
             _flash_self_attention,
+            _impl_wants_flash,
         )
 
-        if cfg.attention_impl == "flash" and _flash_applicable(
+        if _impl_wants_flash(cfg, s) and _flash_applicable(
             s, deterministic, cfg.attention_dropout
         ):
             out = _flash_self_attention(q, k, v, None, dh).reshape(n, s, hd)
