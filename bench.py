@@ -953,12 +953,33 @@ def run_train_bench(args):
     )
 
 
+def _calibrate_int8_jit(model, params, calib_args):
+    """PTQ activation-scale calibration in ONE jitted call.
+
+    Eager flax ``apply(..., mutable=["quant"])`` dispatches per-op — over
+    the axon tunnel that is minutes of 30-90 ms roundtrips — so the whole
+    calibration forward is jitted (mutable collections work under jit:
+    apply returns ``(out, mutated)``)."""
+    import jax
+
+    return jax.jit(
+        lambda p, *b: model.apply(
+            {"params": p}, *b, mutable=["quant"]
+        )[1]["quant"]
+    )(params, *calib_args)
+
+
 def run_infer_bench(args):
     """TPU serving-step timing: jitted FORWARD throughput for the VL
     models (the reference never measured any model path; its eval loops
     were bs=1 CPU/GPU — abc/simple.py:576-682). Same in-jit fori
     protocol as training (`_timed_fori_steps`); inputs perturbed per
-    iteration so XLA cannot hoist the forward out of the loop."""
+    iteration so XLA cannot hoist the forward out of the loop.
+
+    ``--int8`` switches every encoder projection/MLP dense to the
+    calibrated-PTQ int8 MXU path (layers.Int8Dense) — the transformer
+    twin of the FRCNN int8 extraction presets; calibration runs one
+    jitted forward on a slice of the bench batch before the timed loop."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -975,7 +996,10 @@ def run_infer_bench(args):
         from vltk_tpu.models import LxmertConfig, LxmertForVQA
 
         _require_flash_geometry(args, (20,), "--infer lxmert")
-        cfg = LxmertConfig(dtype="bfloat16", attention_impl=args.attn)
+        cfg = LxmertConfig(
+            dtype="bfloat16", attention_impl=args.attn,
+            int8=bool(args.int8),
+        )
         model = LxmertForVQA(cfg)
         # serving geometry = the VQA fine-tune geometry; batch default
         # higher than training (no activation storage for a backward)
@@ -994,24 +1018,32 @@ def run_infer_bench(args):
             np.asarray(batch[0][:1]), np.asarray(batch[1][:1]),
             np.asarray(batch[2][:1]),
         )["params"]
+        quant = (
+            _calibrate_int8_jit(model, params, tuple(a[:8] for a in batch))
+            if args.int8 else None
+        )
 
         @jax.jit
         def run_k(carry, n):
-            p, (ids, feats, boxes, mask) = carry
+            p, q, (ids, feats, boxes, mask) = carry
 
             def body(i, acc):
+                variables = {"params": p} if q is None else {
+                    "params": p, "quant": q
+                }
                 logits = model.apply(
-                    {"params": p},
+                    variables,
                     ids, feats + i * 1e-9, boxes, mask,
                 )
                 return acc + jnp.max(logits).astype(jnp.float32)
 
             return carry, jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
 
-        dt, val = _timed_fori_steps(run_k, (params, batch), iters)
+        dt, val = _timed_fori_steps(run_k, (params, quant, batch), iters)
         assert np.isfinite(val)
         # no "_flash" suffix: _require_flash_geometry rejected that combo
-        emit_train("lxmert_vqa_infer_step_bf16", dt, b)
+        suffix = "_int8" if args.int8 else ""
+        emit_train("lxmert_vqa_infer_step_bf16" + suffix, dt, b)
         return
 
     if which == "vqa":
@@ -1038,13 +1070,16 @@ def run_infer_bench(args):
                 l_layers=1, x_layers=1, r_layers=1,
                 visual_feat_dim=fcfg.res2_out_channels * 8,
                 max_position_embeddings=32, num_answers=8,
-                attention_impl=args.attn,
+                attention_impl=args.attn, int8=bool(args.int8),
             )
             b = args.batch if args.batch_explicit else 2
             iters = max(args.steps, 3)
         else:
             # base, 3129 answers
-            lcfg = LxmertConfig(dtype="bfloat16", attention_impl=args.attn)
+            lcfg = LxmertConfig(
+                dtype="bfloat16", attention_impl=args.attn,
+                int8=bool(args.int8),
+            )
             b = args.batch if args.batch_explicit else 8
         s = 20  # VQA question budget
         frcnn = FRCNNModel(cfg=fcfg)
@@ -1072,18 +1107,65 @@ def run_infer_bench(args):
         wh = jnp.asarray(
             [[raw_hw[1], raw_hw[0], raw_hw[1], raw_hw[0]]], jnp.float32
         )
+        fquant = lquant = None
+        if args.int8:
+            # Calibrate BOTH models' static PTQ scales: FRCNN on a
+            # preprocessed slice (unchunked twin — frcnn.calibrate_int8's
+            # contract), then LXMERT on that slice's ACTUAL extracted
+            # features so its act_max sees production-shaped activations.
+            import dataclasses as _dc
+
+            cb = min(b, 2)
+            pre_c = jax.jit(
+                lambda r, sz: preprocess_batch(
+                    r.astype(jnp.float32), sz,
+                    canvas_hw=canvas, short=short, maximum=maximum,
+                )
+            )(raws[:cb], raw_sizes[:cb])
+            calib_model = FRCNNModel(
+                cfg=_dc.replace(fcfg, int8=True, roi_chunk=None)
+            )
+            fquant = jax.jit(
+                lambda p, img, sz, sc: calib_model.apply(
+                    {"params": p}, img, sz, scales_yx=sc, mutable=["quant"]
+                )[1]["quant"]
+            )(fparams, pre_c["img"], pre_c["sizes"], pre_c["scales_yx"])
+            fout_c = jax.jit(
+                lambda v, img, sz, sc: frcnn.apply(
+                    v, img, sz, scales_yx=sc
+                )
+            )(
+                {"params": fparams, "quant": fquant},
+                pre_c["img"], pre_c["sizes"], pre_c["scales_yx"],
+            )
+            vmask_c = fout_c["mask"].astype(jnp.float32)
+            boxes_c = jnp.clip(
+                fout_c["boxes"].astype(jnp.float32) / wh[:, None, :],
+                0.0, 1.0,
+            ) * vmask_c[..., None]
+            lquant = _calibrate_int8_jit(
+                lxm, lparams,
+                (
+                    ids[:cb],
+                    fout_c["roi_features"].astype(jnp.float32),
+                    boxes_c, tmask[:cb], vmask_c,
+                ),
+            )
 
         @jax.jit
         def run_k(carry, n):
-            fp, lp, raw, sizes, q_ids, q_mask = carry
+            fp, fq, lp, lq, raw, sizes, q_ids, q_mask = carry
 
             def body(i, acc):
                 pre = preprocess_batch(
                     raw.astype(jnp.float32) + i * 1e-9, sizes,
                     canvas_hw=canvas, short=short, maximum=maximum,
                 )
+                fvars = {"params": fp} if fq is None else {
+                    "params": fp, "quant": fq
+                }
                 out = frcnn.apply(
-                    {"params": fp}, pre["img"], pre["sizes"],
+                    fvars, pre["img"], pre["sizes"],
                     scales_yx=pre["scales_yx"],
                 )
                 vmask = out["mask"].astype(jnp.float32)
@@ -1091,8 +1173,11 @@ def run_infer_bench(args):
                     out["boxes"].astype(jnp.float32) / wh[:, None, :],
                     0.0, 1.0,
                 ) * vmask[..., None]
+                lvars = {"params": lp} if lq is None else {
+                    "params": lp, "quant": lq
+                }
                 logits = lxm.apply(
-                    {"params": lp}, q_ids,
+                    lvars, q_ids,
                     out["roi_features"].astype(jnp.float32), boxes,
                     q_mask, vmask,
                 )
@@ -1101,12 +1186,13 @@ def run_infer_bench(args):
             return carry, jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
 
         dt, val = _timed_fori_steps(
-            run_k, (fparams, lparams, raws, raw_sizes, ids, tmask), iters
+            run_k,
+            (fparams, fquant, lparams, lquant, raws, raw_sizes, ids, tmask),
+            iters,
         )
         assert np.isfinite(val)
-        emit_train(
-            "vqa_e2e_infer_step_bf16" + ("_smoke" if smoke else ""), dt, b
-        )
+        suffix = ("_smoke" if smoke else "") + ("_int8" if args.int8 else "")
+        emit_train("vqa_e2e_infer_step_bf16" + suffix, dt, b)
         return
 
     if which == "layoutlm":
@@ -1121,7 +1207,7 @@ def run_infer_bench(args):
         _require_flash_geometry(args, (s,), "--infer layoutlm")
         cfg = LayoutLMConfig(
             dtype="bfloat16", max_position_embeddings=s,
-            attention_impl=args.attn,
+            attention_impl=args.attn, int8=bool(args.int8),
         )
         model = LayoutLM(cfg)
         # default batch scales inversely with seq (the xla path's (S, S)
@@ -1139,24 +1225,37 @@ def run_infer_bench(args):
         params = model.init(
             jax.random.PRNGKey(0), np.asarray(ids[:1]), np.asarray(bboxes[:1])
         )["params"]
+        cb = min(b, 2)  # calib slice: keep the one-off compile small
+        quant = (
+            _calibrate_int8_jit(
+                model, params, (ids[:cb], bboxes[:cb], mask[:cb])
+            )
+            if args.int8 else None
+        )
 
         @jax.jit
         def run_k(carry, n):
-            p, (ids, bboxes, mask) = carry
+            p, q, (ids, bboxes, mask) = carry
 
             def body(i, acc):
                 # mask is the only float input: scale it by (1 + i*1e-9)
                 # so the forward is loop-variant and cannot be hoisted
+                variables = {"params": p} if q is None else {
+                    "params": p, "quant": q
+                }
                 seq = model.apply(
-                    {"params": p}, ids, bboxes, mask * (1.0 + i * 1e-9),
+                    variables, ids, bboxes, mask * (1.0 + i * 1e-9),
                 )
                 return acc + jnp.max(seq).astype(jnp.float32)
 
             return carry, jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
 
-        dt, val = _timed_fori_steps(run_k, (params, (ids, bboxes, mask)), iters)
+        dt, val = _timed_fori_steps(
+            run_k, (params, quant, (ids, bboxes, mask)), iters
+        )
         assert np.isfinite(val)
         suffix = "_flash" if args.attn == "flash" else ""
+        suffix += "_int8" if args.int8 else ""
         emit_train(f"layoutlm_seq{s}_infer_step_bf16" + suffix, dt, b)
         return
 
@@ -1164,7 +1263,9 @@ def run_infer_bench(args):
     from vltk_tpu.models.vit import ViT, ViTConfig
 
     _require_flash_geometry(args, (197,), "--infer vit")  # 14*14 + CLS
-    cfg = ViTConfig(dtype="bfloat16", attention_impl=args.attn)
+    cfg = ViTConfig(
+        dtype="bfloat16", attention_impl=args.attn, int8=bool(args.int8)
+    )
     model = ViT(cfg)
     b = args.batch if args.batch_explicit else 64
     rng = np.random.default_rng(0)
@@ -1172,20 +1273,28 @@ def run_infer_bench(args):
         rng.normal(size=(b, cfg.image_size, cfg.image_size, 3)), jnp.float32
     )
     params = model.init(jax.random.PRNGKey(0), np.asarray(imgs[:1]))["params"]
+    quant = (
+        _calibrate_int8_jit(model, params, (imgs[: min(b, 8)],))
+        if args.int8 else None
+    )
 
     @jax.jit
     def run_k(carry, n):
-        p, x = carry
+        p, q, x = carry
 
         def body(i, acc):
-            _, pooled = model.apply({"params": p}, x + i * 1e-9)
+            variables = {"params": p} if q is None else {
+                "params": p, "quant": q
+            }
+            _, pooled = model.apply(variables, x + i * 1e-9)
             return acc + jnp.max(pooled).astype(jnp.float32)
 
         return carry, jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
 
-    dt, val = _timed_fori_steps(run_k, (params, imgs), iters)
+    dt, val = _timed_fori_steps(run_k, (params, quant, imgs), iters)
     assert np.isfinite(val)
     suffix = "_flash" if args.attn == "flash" else ""
+    suffix += "_int8" if args.int8 else ""
     emit_train("vit_base224_infer_step_bf16" + suffix, dt, b)
 
 

@@ -533,3 +533,131 @@ def test_position_table_overflow_raises():
     pos = np.zeros((1, 2, 4), np.float32)
     with pytest.raises(ValueError, match="max_position_embeddings"):
         Lxmert(lcfg).init(jax.random.PRNGKey(0), ids, feats, pos)
+
+
+class TestInt8Dense:
+    """layers.Int8Dense — the transformer serving PTQ path (the encoder
+    twin of Int8Conv; no reference counterpart, the reference served f32
+    bs=1 — reference: vltk/abc/simple.py:576-682)."""
+
+    def test_param_layout_matches_nn_dense(self, rng):
+        """int8 is a runtime flag: the param tree must be bit-compatible
+        with nn.Dense so converters/checkpoints are untouched."""
+        import flax.linen as nn
+
+        from vltk_tpu.models.layers import Int8Dense
+
+        x = jnp.asarray(rng.normal(size=(3, 5, 16)).astype(np.float32))
+        p_ref = nn.Dense(8).init(jax.random.PRNGKey(0), x)["params"]
+        p_int8 = Int8Dense(8).init(jax.random.PRNGKey(0), x)["params"]
+        assert set(p_ref) == set(p_int8) == {"kernel", "bias"}
+        for k in p_ref:
+            assert p_ref[k].shape == p_int8[k].shape
+            assert p_ref[k].dtype == p_int8[k].dtype
+        # identical init streams -> identical values
+        np.testing.assert_array_equal(
+            np.asarray(p_ref["kernel"]), np.asarray(p_int8["kernel"])
+        )
+
+    def test_output_close_to_f32_dense(self, rng):
+        import flax.linen as nn
+
+        from vltk_tpu.models.layers import Int8Dense
+
+        x = jnp.asarray(rng.normal(size=(4, 7, 32)).astype(np.float32))
+        dense = nn.Dense(24)
+        params = dense.init(jax.random.PRNGKey(1), x)["params"]
+        y_ref = np.asarray(dense.apply({"params": params}, x))
+        y_q = np.asarray(Int8Dense(24).apply({"params": params}, x))
+        cos = float(
+            (y_ref * y_q).sum()
+            / (np.linalg.norm(y_ref) * np.linalg.norm(y_q) + 1e-12)
+        )
+        assert cos > 0.999, cos
+        # standard int8 PTQ error bound: ~1% relative on gaussian data
+        rel = np.abs(y_q - y_ref).max() / (np.abs(y_ref).max() + 1e-12)
+        assert rel < 0.05, rel
+
+    def test_calibrated_path_matches_dynamic_on_calibration_batch(self, rng):
+        """Calibrating on the SAME batch pins act_max to that batch's max,
+        so the static path must reproduce the dynamic path bit-exactly."""
+        from vltk_tpu.models.layers import Int8Dense, calibrate_int8_variables
+
+        x = jnp.asarray(rng.normal(size=(2, 9, 16)).astype(np.float32))
+        mod = Int8Dense(12)
+        params = mod.init(jax.random.PRNGKey(2), x)["params"]
+        y_dyn = np.asarray(mod.apply({"params": params}, x))
+        quant = calibrate_int8_variables(mod.apply, params, [(x,)])
+        leaves = jax.tree_util.tree_leaves(quant)
+        assert leaves and float(leaves[0]) > 0.0
+        y_cal = np.asarray(mod.apply({"params": params, "quant": quant}, x))
+        np.testing.assert_array_equal(y_dyn, y_cal)
+
+    def test_lxmert_int8_checkpoint_transparent_and_close(self, rng):
+        """cfg.int8 reuses the bf16 model's params verbatim (same tree)
+        and its VQA logits stay directionally faithful."""
+        import dataclasses
+
+        from vltk_tpu.models import LxmertConfig, LxmertForVQA
+        from vltk_tpu.models.layers import calibrate_int8_variables
+
+        cfg = LxmertConfig(
+            vocab_size=64, hidden_size=32, num_heads=2, intermediate_size=64,
+            l_layers=2, x_layers=1, r_layers=1, visual_feat_dim=8,
+            max_position_embeddings=16, num_answers=8, num_objects=4,
+            num_attrs=4, hidden_dropout=0.0, attention_dropout=0.0,
+        )
+        ids = jnp.asarray(rng.integers(0, 64, (2, 10)).astype(np.int32))
+        feats = jnp.asarray(rng.normal(size=(2, 4, 8)).astype(np.float32))
+        pos = jnp.asarray(rng.uniform(size=(2, 4, 4)).astype(np.float32))
+        model = LxmertForVQA(cfg)
+        params = model.init(jax.random.PRNGKey(3), ids, feats, pos)["params"]
+        y_ref = np.asarray(model.apply({"params": params}, ids, feats, pos))
+
+        qcfg = dataclasses.replace(cfg, int8=True)
+        qmodel = LxmertForVQA(qcfg)
+        qparams = qmodel.init(jax.random.PRNGKey(3), ids, feats, pos)["params"]
+        ref_tree = jax.tree_util.tree_map(lambda a: a.shape, params)
+        q_tree = jax.tree_util.tree_map(lambda a: a.shape, qparams)
+        assert ref_tree == q_tree  # checkpoint-transparent
+
+        # dynamic path with the bf16 model's own params
+        y_dyn = np.asarray(qmodel.apply({"params": params}, ids, feats, pos))
+        # calibrated static path
+        quant = calibrate_int8_variables(
+            qmodel.apply, params, [(ids, feats, pos)]
+        )
+        y_cal = np.asarray(
+            qmodel.apply({"params": params, "quant": quant}, ids, feats, pos)
+        )
+        for y_q in (y_dyn, y_cal):
+            assert np.all(np.isfinite(y_q))
+            cos = float(
+                (y_ref * y_q).sum()
+                / (np.linalg.norm(y_ref) * np.linalg.norm(y_q) + 1e-12)
+            )
+            assert cos > 0.98, cos
+        np.testing.assert_array_equal(y_dyn, y_cal)
+
+    def test_vit_int8_close(self, rng):
+        import dataclasses
+
+        from vltk_tpu.models import ViT, ViTConfig
+        from vltk_tpu.models.layers import calibrate_int8_variables
+
+        cfg = ViTConfig(
+            hidden_size=32, num_heads=2, num_layers=2, intermediate_size=64,
+            image_size=32, patch_size=16,
+        )
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        model = ViT(cfg)
+        params = model.init(jax.random.PRNGKey(4), x)["params"]
+        _, pooled_ref = model.apply({"params": params}, x)
+        qmodel = ViT(dataclasses.replace(cfg, int8=True))
+        quant = calibrate_int8_variables(qmodel.apply, params, [(x,)])
+        _, pooled_q = qmodel.apply({"params": params, "quant": quant}, x)
+        a, b = np.asarray(pooled_ref), np.asarray(pooled_q)
+        cos = float(
+            (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        )
+        assert np.all(np.isfinite(b)) and cos > 0.98, cos

@@ -199,6 +199,52 @@ class TestVQAPredictor:
         assert p._frcnn_variables["quant"] is quant_before  # reused
         np.testing.assert_allclose(res2["score"], res["score"], rtol=1e-6)
 
+    def test_full_int8_calibrates_both_models(self, tiny_vocab):
+        """lxmert_config(int8=True) stacks the transformer Int8Dense
+        preset on the FRCNN one: the first real request calibrates BOTH
+        quant collections (LXMERT's on the actual extracted features),
+        later requests reuse them deterministically."""
+        import dataclasses as _dc
+
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.predict import VQAPredictor
+
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=12
+        )
+        p = VQAPredictor(
+            ANSWERS,
+            frcnn_config=_dc.replace(TINY_FRCNN, int8=True),
+            lxmert_config=_dc.replace(TINY_LXMERT, int8=True),
+            tokenizer=tok,
+            batch_size=2,
+            raw_canvas=(64, 64),
+            resized_canvas=(64, 64),
+            short=32.0,
+            maximum=64.0,
+        )
+        assert "quant" not in p._lxmert_variables
+        img = np.random.default_rng(1).integers(
+            0, 255, (48, 56, 3)
+        ).astype(np.uint8)
+        (res,) = p([img], ["what is the cat"], top_k=2)
+        assert "quant" in p._frcnn_variables
+        assert "quant" in p._lxmert_variables
+        lquant = p._lxmert_variables["quant"]
+        # encoder-only coverage: every recorded act_max is positive
+        import jax
+
+        leaves = [float(x) for x in jax.tree_util.tree_leaves(lquant)]
+        # every scale finite and non-negative; most positive (a leaf CAN
+        # legitimately be 0.0 — e.g. a dense whose calibration input is a
+        # fully-masked stream of zeros; Int8Dense clamps the scale)
+        assert leaves and all(np.isfinite(x) and x >= 0.0 for x in leaves)
+        assert sum(1 for x in leaves if x > 0.0) > len(leaves) // 2
+        assert res["answer"] in ANSWERS and np.isfinite(res["score"])
+        (res2,) = p([img], ["what is the cat"], top_k=2)
+        assert p._lxmert_variables["quant"] is lquant  # reused
+        np.testing.assert_allclose(res2["score"], res["score"], rtol=1e-6)
+
     def test_conflicting_seq_budget_raises(self, tiny_vocab):
         """tokenizer=12 + an explicit max_seq_length=20 is a geometry the
         checkpoint never saw — refuse; omitting max_seq_length adopts the
@@ -395,6 +441,50 @@ class TestDocTokenClassifier:
         with pytest.raises(ValueError):
             doc_classifier([{"words": ["a", "b"], "boxes": [[0, 0, 1, 1]]}])
 
+    def test_int8_preset_lazily_calibrates(self, tiny_vocab):
+        """config(int8=True): the LayoutLM encoder's Int8Dense scales
+        calibrate on the first real document batch and are reused."""
+        import dataclasses as _dc
+
+        from vltk_tpu.data.tokenizer import Tokenizer
+        from vltk_tpu.models.layoutlm import LayoutLMConfig
+        from vltk_tpu.predict import DocTokenClassifier
+
+        cfg = LayoutLMConfig(
+            vocab_size=64, hidden_size=24, num_heads=2, intermediate_size=48,
+            l_layers=2, max_position_embeddings=16, coord_vocab=1024,
+            int8=True,
+        )
+        tok = Tokenizer(
+            name="NativeWordPiece", vocab_path=tiny_vocab, max_seq_length=16
+        )
+        clf = DocTokenClassifier(
+            DOC_LABELS, config=cfg, tokenizer=tok, batch_size=2,
+            max_seq_length=16,
+        )
+        assert clf._quant is None
+        doc = {"words": ["what", "is"], "boxes": [[0, 0, 9, 9], [10, 0, 19, 9]]}
+        (out,) = clf([doc])
+        assert clf._quant is not None  # calibrated on first request
+        q = clf._quant
+        for r in out:
+            assert r["label"] in DOC_LABELS and np.isfinite(r["score"])
+        (out2,) = clf([doc])
+        assert clf._quant is q  # reused
+        assert out == out2
+
+        # numerics stay close to the bf16 path on the same params (scores
+        # only: at random init the top-1 label can legitimately flip on a
+        # near-tie, which is accuracy-Pareto territory, not a bug)
+        ref = DocTokenClassifier(
+            DOC_LABELS, config=_dc.replace(cfg, int8=False), tokenizer=tok,
+            batch_size=2, max_seq_length=16,
+        )
+        ref.params = clf.params
+        (ref_out,) = ref([doc])
+        for r_q, r_f in zip(out, ref_out):
+            assert abs(r_q["score"] - r_f["score"]) < 0.15
+
     def test_position_budget_guard(self, tiny_vocab):
         from vltk_tpu.data.tokenizer import Tokenizer
         from vltk_tpu.models.layoutlm import LayoutLMConfig
@@ -470,7 +560,7 @@ class TestDocTokenClassifier:
             rng.integers(0, 120, (1, 16, 2, 2)), axis=2
         ).reshape(1, 16, 4).astype(np.int32)
         mask = np.ones((1, 16), np.float32)
-        got = np.asarray(clf._step(clf.params, ids, boxes, mask))
+        got = np.asarray(clf._step({"params": clf.params}, ids, boxes, mask))
         with torch.no_grad():
             ref = torch.softmax(
                 tmodel(
@@ -734,7 +824,7 @@ class TestDocSpanQAFromPretrained:
         ).reshape(1, seq, 4).astype(np.int32)
         mask = np.ones((1, seq), np.float32)
         got_s, got_e = (np.asarray(x) for x in qa._step(
-            qa.params, ids, boxes, mask))
+            {"params": qa.params}, ids, boxes, mask))
         with torch.no_grad():
             out = tmodel(
                 input_ids=torch.tensor(ids, dtype=torch.long),

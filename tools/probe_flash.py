@@ -126,6 +126,74 @@ def sweep():
                 }), flush=True)
 
 
+def _mixed_blocks(fwd: int, bwd: int):
+    """Forward blocks pinned at ``fwd``; both backward passes (dkv + dq)
+    at ``bwd``."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    return _fa.BlockSizes(
+        block_q=fwd, block_k_major=fwd, block_k=fwd, block_b=1,
+        block_q_major_dkv=bwd, block_k_major_dkv=bwd, block_k_dkv=bwd,
+        block_q_dkv=bwd, block_k_major_dq=bwd, block_k_dq=bwd,
+        block_q_dq=bwd,
+    )
+
+
+def sweep_bwd():
+    """Backward-block sweep: the uniform-1024 sweep left the seq-1024
+    GRAD at 0.92x XLA (fwd won at 2.41x) — the backward's two passes
+    (dkv, dq) may want a different tile than the forward. Pin the fwd
+    blocks at the measured 1024 winner and sweep the bwd blocks."""
+    import json
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/vltk_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    rng = np.random.default_rng(0)
+    for n, s, nh, dh in [(32, 1024, 12, 64), (4, 4096, 12, 64)]:
+        q = jnp.asarray(rng.normal(size=(n, s, nh, dh)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(n, s, nh, dh)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(n, s, nh, dh)), jnp.bfloat16)
+        mask_np = np.ones((n, s), np.float32)
+        mask_np[:, int(s * 0.8):] = 0.0
+        mask = jnp.asarray(mask_np)
+        geom = f"n{n}_s{s}_h{nh}x{dh}"
+
+        def grad_of(attn):
+            def loss(q, k, v, m):
+                return attn(q, k, v, m).astype(jnp.float32).mean()
+
+            g = jax.grad(loss, argnums=(0, 1, 2))
+            return lambda q, k, v, m: g(q, k, v, m)[0]
+
+        t_xla_g = timed(grad_of(
+            lambda q, k, v, m: xla_attention(q, k, v, m, dh)
+        ), (q, k, v, mask))
+        print(json.dumps({
+            "metric": "flash_bwd_sweep", "geom": geom, "impl": "xla",
+            "fwd_grad_ms": round(t_xla_g, 3),
+        }), flush=True)
+        for bwd in (128, 256, 512, 1024):
+            if bwd > s:
+                continue
+            bs = _mixed_blocks(min(1024, s), bwd)
+            try:
+                fl = lambda q, k, v, m, _bs=bs: _flash_self_attention(  # noqa: E731
+                    q, k, v, m, dh, block_sizes=_bs
+                )
+                t_f_g = timed(grad_of(fl), (q, k, v, mask))
+                print(json.dumps({
+                    "metric": "flash_bwd_sweep", "geom": geom,
+                    "impl": f"flash_fwd1024_bwd{bwd}",
+                    "fwd_grad_ms": round(t_f_g, 3),
+                    "grad_speedup_vs_xla": round(t_xla_g / t_f_g, 3),
+                }), flush=True)
+            except Exception as e:  # per-config compile failures are data
+                print(json.dumps({
+                    "metric": "flash_bwd_sweep", "geom": geom,
+                    "impl": f"flash_fwd1024_bwd{bwd}", "failed": str(e)[:160],
+                }), flush=True)
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/vltk_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -167,7 +235,9 @@ def main():
 if __name__ == "__main__":
     import sys
 
-    if "--sweep" in sys.argv:
+    if "--sweep-bwd" in sys.argv:
+        sweep_bwd()
+    elif "--sweep" in sys.argv:
         sweep()
     else:
         main()

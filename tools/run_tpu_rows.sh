@@ -107,6 +107,21 @@ run python bench.py --train layoutlm --seq 8192 --attn flash --batch 1
 run python bench.py --train layoutlm --seq 4096 --attn flash --remat --batch 4
 #    - 8k serving batch headroom
 run python bench.py --infer layoutlm --seq 8192 --attn flash --batch 4
+# 8. pass-6: int8 transformer serving (layers.Int8Dense — calibrated
+#    PTQ on every encoder projection/MLP, the transformer twin of the
+#    FRCNN int8 presets). Paired bf16 rows already measured: lxmert
+#    9,536 img/s (B=128), vit 3,079 (B=64), layoutlm seq-1024 294.3 xla
+#    / 368.6 flash (B=32), vqa e2e 53.4 (B=8).
+run python bench.py --infer lxmert --int8 --batch 128
+run python bench.py --infer vit --int8 --batch 64
+run python bench.py --infer layoutlm --int8 --batch 32
+run python bench.py --infer layoutlm --attn flash --int8 --batch 32
+ROW_TIMEOUT=5400 run python bench.py --infer vqa --int8 --batch 8
+run python bench.py --infer layoutlm --seq 4096 --attn flash --int8 --batch 8
+#    flash backward-block sweep: uniform-1024 left seq-1024 grad at
+#    0.92x xla — do smaller bwd (dkv/dq) tiles flip training to a win?
+ROW_TIMEOUT=5400 run python tools/probe_flash.py --sweep-bwd
+
 # probe output is free-form text — keep it OUT of the jsonl
 if [ ! -s tools/probe_flash_out.txt ]; then
   echo "== probe_flash" >&2

@@ -1,4 +1,5 @@
 from vltk_tpu.models.frcnn import FRCNN, FRCNNConfig, calibrate_int8
+from vltk_tpu.models.layers import Int8Dense, calibrate_int8_variables
 from vltk_tpu.models.detection_loss import (
     fast_rcnn_losses,
     rpn_losses,

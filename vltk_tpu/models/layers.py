@@ -125,6 +125,93 @@ class Int8Conv(nn.Module):
         return y.astype(out_dt)
 
 
+class Int8Dense(nn.Module):
+    """``nn.Dense`` evaluated on the int8 MXU path (inference-only preset).
+
+    The transformer twin of :class:`Int8Conv` — identical recipe
+    (symmetric per-output-channel weight quant, per-tensor activations
+    with the calibrated-static fast path via the ``"quant"`` collection
+    and a dynamic per-input fallback) and the identical checkpoint story:
+    the CANONICAL f32 ``kernel``/``bias`` params match ``nn.Dense``'s
+    shapes and names exactly, so converters (models/convert.py) and
+    trained checkpoints are untouched and int8 stays a pure runtime
+    preset flag. Used by the encoder projections + MLPs of
+    LXMERT/LayoutLM/ViT when ``cfg.int8`` — v5e runs int8 matmuls at
+    ~2x the bf16 MXU rate (tools/probe_int8.py). ``jnp.round`` has a
+    zero gradient, so this path is for serving, not training. The
+    reference has no quantized path (its eval loops were f32 bs=1,
+    reference: vltk/abc/simple.py:576-682)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (cin, self.features))
+        out_dt = self.dtype or x.dtype
+        w = kernel.astype(jnp.float32)
+        s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        w_q = jnp.round(w / s_w).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        obs_max = jnp.max(jnp.abs(xf))
+        # NOT during init: init makes every collection mutable, and "quant"
+        # must stay out of the init tree (param-layout parity with nn.Dense)
+        calibrating = (
+            self.is_mutable_collection("quant") and not self.is_initializing()
+        )
+        if calibrating or self.has_variable("quant", "act_max"):
+            act_max = self.variable(
+                "quant", "act_max", lambda: jnp.zeros((), jnp.float32)
+            )
+            if calibrating:
+                # running max over calibration batches
+                act_max.value = jnp.maximum(act_max.value, obs_max)
+            s_x = jnp.maximum(act_max.value, 1e-8) / 127.0
+        else:
+            s_x = jnp.maximum(obs_max, 1e-8) / 127.0
+        x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x_q,
+            w_q,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_x * s_w)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias
+        return y.astype(out_dt)
+
+
+def calibrate_int8_variables(apply_fn, params, batches, **apply_kwargs):
+    """Record static int8 activation scales (PTQ calibration), generically.
+
+    Runs ``apply_fn`` (a flax ``Module.apply``) over ``batches`` — an
+    iterable of positional-arg tuples — with the ``"quant"`` collection
+    mutable, accumulating each :class:`Int8Conv`/:class:`Int8Dense`
+    layer's running ``act_max``. Returns the ``quant`` tree to pass as
+    ``apply_fn({"params": params, "quant": quant}, ...)``, which switches
+    every int8 layer to its static fast path (the quantize fuses into the
+    producer epilogue instead of re-reducing the input max per call).
+    FRCNN keeps its own :func:`vltk_tpu.models.frcnn.calibrate_int8`
+    (its scan axes need special handling); this generic helper serves the
+    transformer serving models (LXMERT/LayoutLM/ViT)."""
+    quant: dict = {}
+    for batch in batches:
+        variables = {"params": params}
+        if quant:
+            variables["quant"] = quant
+        _, mutated = apply_fn(
+            variables, *batch, mutable=["quant"], **apply_kwargs
+        )
+        quant = mutated["quant"]
+    return quant
+
+
 class ConvNorm(nn.Module):
     """Conv2d + optional frozen norm + optional activation
     (reference: frcnn.py:785-822 fused Conv2d)."""

@@ -93,6 +93,13 @@ class LxmertConfig:
     # long-sequence serving/training lever. Transparent XLA fallback
     # when not applicable (see MultiHeadAttention docstring).
     attention_impl: str = "xla"
+    # int8 MXU path for every ENCODER projection + MLP dense (q/k/v,
+    # att_out, intermediate, mlp_out — where the transformer's matmul
+    # FLOPs live): calibrated static PTQ via layers.Int8Dense, the same
+    # recipe + "quant" collection as the FRCNN extraction presets.
+    # Params stay f32/nn.Dense-shaped so checkpoints are untouched;
+    # embeddings and task heads stay bf16. Serving-only (zero gradient).
+    int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -105,6 +112,18 @@ class LxmertConfig:
 
 def _dense_init(cfg: LxmertConfig):
     return nn.initializers.normal(stddev=cfg.initializer_range)
+
+
+def _proj(cfg: LxmertConfig, features: int, name: str, dt):
+    """Encoder projection factory: ``nn.Dense``, or ``Int8Dense`` (same
+    param names/shapes — checkpoint-transparent) when ``cfg.int8``."""
+    if getattr(cfg, "int8", False):
+        from vltk_tpu.models.layers import Int8Dense
+
+        return Int8Dense(
+            features, kernel_init=_dense_init(cfg), dtype=dt, name=name
+        )
+    return nn.Dense(features, kernel_init=_dense_init(cfg), dtype=dt, name=name)
 
 
 def _constrain(x: jnp.ndarray, cfg: LxmertConfig, spec: Tuple) -> jnp.ndarray:
@@ -288,9 +307,9 @@ class MultiHeadAttention(nn.Module):
         n, s, h = x.shape
         nh, dh = cfg.num_heads, cfg.head_dim
 
-        q = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="query")(x)
-        k = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="key")(ctx)
-        v = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="value")(ctx)
+        q = _proj(cfg, h, "query", dt)(x)
+        k = _proj(cfg, h, "key", dt)(ctx)
+        v = _proj(cfg, h, "value", dt)(ctx)
         q = q.reshape(n, s, nh, dh)
         k = k.reshape(n, ctx.shape[1], nh, dh)
         v = v.reshape(n, ctx.shape[1], nh, dh)
@@ -301,9 +320,7 @@ class MultiHeadAttention(nn.Module):
         ):
             out4 = _flash_self_attention(q, k, v, ctx_mask, dh)
             out = out4.reshape(n, s, h)
-            out = nn.Dense(
-                h, kernel_init=_dense_init(cfg), dtype=dt, name="att_out"
-            )(out)
+            out = _proj(cfg, h, "att_out", dt)(out)
             out = nn.Dropout(cfg.hidden_dropout, name="out_drop")(
                 out, deterministic=deterministic
             )
@@ -334,9 +351,7 @@ class MultiHeadAttention(nn.Module):
                 dropout_rng=drop_rng, compute_dtype=dt,
             )
             out = out4.reshape(n, s, h)
-            out = nn.Dense(
-                h, kernel_init=_dense_init(cfg), dtype=dt, name="att_out"
-            )(out)
+            out = _proj(cfg, h, "att_out", dt)(out)
             out = nn.Dropout(cfg.hidden_dropout, name="out_drop")(
                 out, deterministic=deterministic
             )
@@ -383,9 +398,7 @@ class MultiHeadAttention(nn.Module):
             # output projection and residual run on the seq-sharded stream
             out4 = _constrain(out4, cfg, ("data", "seq", ("model",), None))
         out = out4.reshape(n, s, h)
-        out = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="att_out")(
-            out
-        )
+        out = _proj(cfg, h, "att_out", dt)(out)
         out = nn.Dropout(cfg.hidden_dropout, name="out_drop")(
             out, deterministic=deterministic
         )
@@ -404,14 +417,9 @@ class FeedForward(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         h = x.shape[-1]
-        y = nn.Dense(
-            cfg.intermediate_size,
-            kernel_init=_dense_init(cfg),
-            dtype=dt,
-            name="intermediate",
-        )(x)
+        y = _proj(cfg, cfg.intermediate_size, "intermediate", dt)(x)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=dt, name="mlp_out")(y)
+        y = _proj(cfg, h, "mlp_out", dt)(y)
         y = nn.Dropout(cfg.hidden_dropout, name="drop")(
             y, deterministic=deterministic
         )

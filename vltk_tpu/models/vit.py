@@ -43,6 +43,11 @@ class ViTConfig:
     # inside _flash_self_attention. Falls back to the XLA formulation
     # bit-identically otherwise.
     attention_impl: str = "xla"
+    # int8 MXU path for the encoder projections + MLPs (layers.Int8Dense,
+    # calibrated static PTQ via the "quant" collection — same recipe as
+    # the FRCNN extraction presets). Params stay nn.Dense-shaped;
+    # serving-only.
+    int8: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -63,13 +68,12 @@ class _PreLNAttention(nn.Module):
         n, s, hd = x.shape
         nh = cfg.num_heads
         dh = hd // nh
-        init = _dense_init_vit(cfg)
         y = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln_before"
         )(x)
-        q = nn.Dense(hd, kernel_init=init, dtype=dt, name="query")(y)
-        k = nn.Dense(hd, kernel_init=init, dtype=dt, name="key")(y)
-        v = nn.Dense(hd, kernel_init=init, dtype=dt, name="value")(y)
+        q = _proj_vit(cfg, hd, "query", dt)(y)
+        k = _proj_vit(cfg, hd, "key", dt)(y)
+        v = _proj_vit(cfg, hd, "value", dt)(y)
         q = q.reshape(n, s, nh, dh)
         k = k.reshape(n, s, nh, dh)
         v = v.reshape(n, s, nh, dh)
@@ -94,7 +98,7 @@ class _PreLNAttention(nn.Module):
                 probs, deterministic=deterministic
             )
             out = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, s, hd)
-        out = nn.Dense(hd, kernel_init=init, dtype=dt, name="att_out")(out)
+        out = _proj_vit(cfg, hd, "att_out", dt)(out)
         out = nn.Dropout(cfg.hidden_dropout, name="out_drop")(
             out, deterministic=deterministic
         )
@@ -105,6 +109,17 @@ def _dense_init_vit(cfg):
     return nn.initializers.normal(stddev=cfg.initializer_range)
 
 
+def _proj_vit(cfg: ViTConfig, features: int, name: str, dt):
+    """Encoder projection factory: ``nn.Dense``, or ``Int8Dense`` (same
+    param names/shapes — checkpoint-transparent) when ``cfg.int8``."""
+    init = _dense_init_vit(cfg)
+    if getattr(cfg, "int8", False):
+        from vltk_tpu.models.layers import Int8Dense
+
+        return Int8Dense(features, kernel_init=init, dtype=dt, name=name)
+    return nn.Dense(features, kernel_init=init, dtype=dt, name=name)
+
+
 class _PreLNMLP(nn.Module):
     cfg: ViTConfig
 
@@ -112,15 +127,12 @@ class _PreLNMLP(nn.Module):
     def __call__(self, x, deterministic=True):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        init = _dense_init_vit(cfg)
         y = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln_after"
         )(x)
-        y = nn.Dense(
-            cfg.intermediate_size, kernel_init=init, dtype=dt, name="intermediate"
-        )(y)
+        y = _proj_vit(cfg, cfg.intermediate_size, "intermediate", dt)(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(x.shape[-1], kernel_init=init, dtype=dt, name="mlp_out")(y)
+        y = _proj_vit(cfg, x.shape[-1], "mlp_out", dt)(y)
         y = nn.Dropout(cfg.hidden_dropout, name="drop")(
             y, deterministic=deterministic
         )

@@ -144,9 +144,12 @@ def _export_step_bundle(
 
     from vltk_tpu.aot import export_jitted, save_bundle
 
-    p = jax.device_get(obj.params)
+    # bake the full variable dict — for the int8 preset that includes any
+    # calibrated "quant" scales (export after a real request, or the
+    # artifact ships the dynamic-scale fallback)
+    v = jax.device_get(_doc_variables(obj))
     step = export_jitted(
-        lambda *args: obj._step(p, *args), example_args, platforms=platforms
+        lambda *args: obj._step(v, *args), example_args, platforms=platforms
     )
     tmeta, vocab = _tokenizer_bundle_parts(obj.tokenizer)
     meta = {
@@ -174,10 +177,50 @@ def _load_step_bundle(obj, path: str, kind: str) -> Dict[str, Any]:
         bundle.meta["tokenizer"], bundle.files["vocab.txt"]
     )
     obj.params = None  # baked into the artifact
+    obj._quant = None  # any int8 scales are baked in too
     step = bundle.fns["step"]
-    obj._step = lambda _params, *args: step(*args)
+    obj._step = lambda _variables, *args: step(*args)
     obj.platforms = bundle.platforms
     return bundle.meta
+
+
+def _doc_variables(obj) -> Dict[str, Any]:
+    """Full flax variable dict for a document predictor: params plus any
+    calibrated int8 ``"quant"`` scales (layers.Int8Dense static path)."""
+    v = {"params": obj.params}
+    q = getattr(obj, "_quant", None)
+    if q is not None:
+        v["quant"] = q
+    return v
+
+
+def _maybe_calibrate_doc_int8(obj, ids, boxes, mask) -> None:
+    """LayoutLM int8 preset (``config.int8``): one-time static-PTQ
+    calibration of the encoder's Int8Dense activation scales on (up to 4
+    documents of) the first real request — the document twin of
+    ``VQAPredictor._maybe_calibrate_int8``. Thread-safe for multi-worker
+    MicroBatchServer fronts; no-op for bundled predictors (config is
+    baked into the artifact)."""
+    cfg = getattr(obj, "config", None)
+    if (
+        cfg is None
+        or not getattr(cfg, "int8", False)
+        or getattr(obj, "_quant", None) is not None
+    ):
+        return
+    import threading
+
+    lock = obj.__dict__.setdefault("_calib_lock", threading.Lock())
+    with lock:
+        if obj._quant is not None:
+            return
+        import jax
+
+        obj._quant = jax.jit(
+            lambda p, *b: obj.model.apply(
+                {"params": p}, *b, deterministic=True, mutable=["quant"]
+            )[1]["quant"]
+        )(obj.params, ids[:4], boxes[:4], mask[:4])
 
 
 def _check_head_width(params, path: Sequence[str], n: int, what: str) -> None:
@@ -332,7 +375,7 @@ class VQAPredictor:
         canvas, s_, m_ = self._resized_canvas, self._short, self._maximum
 
         @jax.jit
-        def vqa_step(fvars, lparams, raw_images, raw_sizes, ids, tmask):
+        def vqa_step(fvars, lvars, raw_images, raw_sizes, ids, tmask):
             """The WHOLE device pipeline as one program: preprocess ->
             FRCNN -> box normalization -> LXMERT -> sigmoid. One dispatch
             and one fetch per chunk — the two-step formulation round-
@@ -350,11 +393,20 @@ class VQAPredictor:
             # [0, 1] by each row's raw (h, w) extent (the LXMERT position
             # convention — numpy twin: utils/adapters.normalize_boxes_xyxy)
             wh = jnp.maximum(raw_sizes[:, jnp.array([1, 0, 1, 0])], 1.0)
-            norm = jnp.clip(boxes / wh[:, None, :], 0.0, 1.0)
-            norm = norm * vmask[..., None]
+            valid = vmask[..., None] > 0
+            # jnp.where, NOT "* vmask": batch PAD rows (zero-size images)
+            # come out of FRCNN as NaN boxes/features, and NaN * 0 = NaN —
+            # harmless for bf16 (pad-row logits are discarded) but fatal
+            # for any per-TENSOR reduction over the batch (int8 dynamic
+            # scales / calibration act_max would go NaN for every row)
+            norm = jnp.where(
+                valid, jnp.clip(boxes / wh[:, None, :], 0.0, 1.0), 0.0
+            )
+            feats = jnp.where(
+                valid, out["roi_features"].astype(jnp.float32), 0.0
+            )
             logits = lxmert_model.apply(
-                {"params": lparams}, ids,
-                out["roi_features"].astype(jnp.float32), norm, tmask, vmask,
+                lvars, ids, feats, norm, tmask, vmask,
                 deterministic=True,
             )
             return {
@@ -371,6 +423,7 @@ class VQAPredictor:
             )
         )
         self._frcnn_variables = {"params": frcnn_params}
+        self._lxmert_variables = {"params": lxmert_params}
         self._vqa_step = vqa_step
 
     def warmup(self) -> None:
@@ -386,22 +439,28 @@ class VQAPredictor:
         L = self.tokenizer.max_seq_length
         self._vqa_step(
             self._frcnn_variables,
-            self.lxmert_params,
+            self._lxmert_variables,
             np.zeros((B, ch, cw, 3), np.uint8),
             np.full((B, 2), 32.0, np.float32),
             np.zeros((B, L), np.int32),
             np.zeros((B, L), np.float32),
         )
 
-    def _maybe_calibrate_int8(self, raw_imgs, sizes) -> None:
-        """int8 preset: one-time static-PTQ calibration on (up to 4
+    def _maybe_calibrate_int8(self, raw_imgs, sizes, ids=None, tmask=None) -> None:
+        """int8 presets: one-time static-PTQ calibration on (up to 4
         images of) the first real request — same recipe as the extraction
-        adapter (adapters/frcnn.py forward_dispatch). Without it Int8Conv
-        falls back to per-input dynamic scales, which measured
-        throughput-NEUTRAL (BASELINE.md) — calibrated is the whole point
-        of the preset."""
+        adapter (adapters/frcnn.py forward_dispatch). Without it Int8Conv/
+        Int8Dense fall back to per-input dynamic scales, which measured
+        throughput-NEUTRAL for FRCNN (BASELINE.md) — calibrated is the
+        whole point of the preset. When ``lxmert_config.int8`` is set, the
+        LXMERT encoder's Int8Dense scales are calibrated on the SAME
+        slice's actual extracted features (not synthetic inputs), so the
+        recorded maxima match production activations."""
         cfg = self.frcnn_config
-        if cfg is None or not cfg.int8:
+        lcfg = self.lxmert_config
+        want_f = cfg is not None and cfg.int8
+        want_l = lcfg is not None and getattr(lcfg, "int8", False)
+        if not (want_f or want_l):
             return
         # concurrent first requests (a multi-worker MicroBatchServer) must
         # not both calibrate: scales depend on the calibration batch, so a
@@ -410,18 +469,76 @@ class VQAPredictor:
 
         lock = self.__dict__.setdefault("_calib_lock", threading.Lock())
         with lock:
-            if "quant" in self._frcnn_variables:
-                return
-            from vltk_tpu.models import calibrate_int8
+            pre = None
+            if want_f and "quant" not in self._frcnn_variables:
+                from vltk_tpu.models import calibrate_int8
 
-            pre = self._pre_fn(raw_imgs[:4], sizes[:4])
-            variables = dict(self._frcnn_variables)
-            variables["quant"] = calibrate_int8(
-                cfg,
-                variables["params"],
-                [(pre["img"], pre["sizes"], pre["scales_yx"])],
-            )
-            self._frcnn_variables = variables
+                pre = self._pre_fn(raw_imgs[:4], sizes[:4])
+                variables = dict(self._frcnn_variables)
+                variables["quant"] = calibrate_int8(
+                    cfg,
+                    variables["params"],
+                    [(pre["img"], pre["sizes"], pre["scales_yx"])],
+                )
+                self._frcnn_variables = variables
+            if (
+                want_l
+                and ids is not None
+                and "quant" not in self._lxmert_variables
+            ):
+                import jax
+                import jax.numpy as jnp
+
+                if pre is None:
+                    pre = self._pre_fn(raw_imgs[:4], sizes[:4])
+                # extracted features for the calib slice, through the
+                # (possibly already-quantized) FRCNN
+                fout = jax.jit(
+                    lambda v, img, sz, sc: self.frcnn.apply(
+                        v, img, sz, scales_yx=sc
+                    )
+                )(
+                    self._frcnn_variables,
+                    pre["img"], pre["sizes"], pre["scales_yx"],
+                )
+                vmask = fout["mask"].astype(jnp.float32)
+                wh = jnp.maximum(
+                    jnp.asarray(sizes[:4], jnp.float32)[
+                        :, jnp.array([1, 0, 1, 0])
+                    ],
+                    1.0,
+                )
+                valid = vmask[..., None] > 0
+                # where, not *: pad rows are NaN out of FRCNN and the
+                # act_max batch reduction must not see them (vqa_step has
+                # the same guard)
+                norm = jnp.where(
+                    valid,
+                    jnp.clip(
+                        fout["boxes"].astype(jnp.float32) / wh[:, None, :],
+                        0.0, 1.0,
+                    ),
+                    0.0,
+                )
+                feats = jnp.where(
+                    valid, fout["roi_features"].astype(jnp.float32), 0.0
+                )
+                nb = int(vmask.shape[0])
+                lquant = jax.jit(
+                    lambda p, *b: self.lxmert.apply(
+                        {"params": p}, *b, mutable=["quant"]
+                    )[1]["quant"]
+                )(
+                    self._lxmert_variables["params"],
+                    jnp.asarray(ids[:nb]),
+                    feats,
+                    norm,
+                    jnp.asarray(tmask[:nb]),
+                    vmask,
+                )
+                lvars = dict(self._lxmert_variables)
+                lvars["quant"] = lquant
+                self._lxmert_variables = lvars
 
     # ------------------------------------------------------------------
     # construction helpers
@@ -475,10 +592,10 @@ class VQAPredictor:
         # any calibrated "quant" scales (export after a real request, or
         # the artifact ships the dynamic-scale fallback)
         fvars = jax.device_get(self._frcnn_variables)
-        lparams = jax.device_get(self.lxmert_params)
+        lvars = jax.device_get(self._lxmert_variables)
         step = export_jitted(
             lambda img, sz, ids, tm: self._vqa_step(
-                fvars, lparams, img, sz, ids, tm
+                fvars, lvars, img, sz, ids, tm
             ),
             (
                 np.zeros((B, ch, cw, 3), np.uint8),
@@ -584,14 +701,16 @@ class VQAPredictor:
                 / np.maximum(collated[V.rawsize][:, [1, 0, 1, 0]], 1.0)
             )[:, None, :]
             raw_imgs = self._pad_chunk(collated[V.img])
-            self._maybe_calibrate_int8(raw_imgs, sizes)
+            chunk_ids = self._pad_chunk(ids[lo:hi])
+            chunk_tmask = self._pad_chunk(tmask[lo:hi])
+            self._maybe_calibrate_int8(raw_imgs, sizes, chunk_ids, chunk_tmask)
             out = self._vqa_step(
                 self._frcnn_variables,
-                self.lxmert_params,
+                self._lxmert_variables,
                 raw_imgs,
                 sizes,
-                self._pad_chunk(ids[lo:hi]),
-                self._pad_chunk(tmask[lo:hi]),
+                chunk_ids,
+                chunk_tmask,
             )
             scores = np.asarray(out["scores"])
             boxes = np.asarray(out["boxes"])
@@ -641,6 +760,7 @@ class _BundledVQAPredictor(VQAPredictor):
         self.frcnn_params = None  # baked into the artifact
         self.lxmert_params = None
         self._frcnn_variables = None
+        self._lxmert_variables = None
         self.frcnn_config = None  # _maybe_calibrate_int8 reads it: no-op
         self.lxmert_config = None
         if "vqa" not in bundle.fns:
@@ -738,11 +858,12 @@ class DocTokenClassifier:
         self.params = params
 
         model = self.model
+        self._quant = None  # int8 preset: set by _maybe_calibrate_doc_int8
 
         @jax.jit
-        def step(p, ids, boxes, mask):
+        def step(variables, ids, boxes, mask):
             logits = model.apply(
-                {"params": p}, ids, boxes, mask, deterministic=True
+                variables, ids, boxes, mask, deterministic=True
             )
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
@@ -800,10 +921,12 @@ class DocTokenClassifier:
         return _BundledDocTokenClassifier(path)
 
     def warmup(self) -> None:
-        """Compile the serving program ahead of the first request."""
+        """Compile the serving program ahead of the first request. For
+        the int8 preset the first REAL request compiles once more:
+        calibration switches dynamic scales to static ones."""
         B, L = self.batch_size, self.max_seq_length
         self._step(
-            self.params,
+            _doc_variables(self),
             np.zeros((B, L), np.int32),
             np.zeros((B, L, 4), np.int32),
             np.zeros((B, L), np.float32),
@@ -837,12 +960,9 @@ class DocTokenClassifier:
         n = len(documents)
         for lo in range(0, n, self.batch_size):
             hi = min(lo + self.batch_size, n)
-            probs = np.asarray(
-                self._step(
-                    self.params, pad(ids[lo:hi]), pad(boxes[lo:hi]),
-                    pad(mask[lo:hi]),
-                )
-            )
+            chunk = (pad(ids[lo:hi]), pad(boxes[lo:hi]), pad(mask[lo:hi]))
+            _maybe_calibrate_doc_int8(self, *chunk)
+            probs = np.asarray(self._step(_doc_variables(self), *chunk))
             for j in range(hi - lo):
                 tokenmap = np.asarray(entries[lo + j][V.tokenmap])
                 counts = tokenmap[tokenmap > 0]
@@ -993,11 +1113,12 @@ class DocSpanQA:
         self.params = params
 
         model = self.model
+        self._quant = None  # int8 preset: set by _maybe_calibrate_doc_int8
 
         @jax.jit
-        def step(p, ids, boxes, mask):
+        def step(variables, ids, boxes, mask):
             start, end = model.apply(
-                {"params": p}, ids, boxes, mask, deterministic=True
+                variables, ids, boxes, mask, deterministic=True
             )
             return (
                 jax.nn.log_softmax(start.astype(jnp.float32), axis=-1),
@@ -1059,10 +1180,12 @@ class DocSpanQA:
         return _BundledDocSpanQA(path)
 
     def warmup(self) -> None:
-        """Compile the serving program ahead of the first request."""
+        """Compile the serving program ahead of the first request. For
+        the int8 preset the first REAL request compiles once more:
+        calibration switches dynamic scales to static ones."""
         B, seq = self.batch_size, self.q_len + self.doc_len
         self._step(
-            self.params,
+            _doc_variables(self),
             np.zeros((B, seq), np.int32),
             np.zeros((B, seq, 4), np.int32),
             np.zeros((B, seq), np.float32),
@@ -1117,10 +1240,9 @@ class DocSpanQA:
         results: List[Dict[str, Any]] = []
         for lo in range(0, n, self.batch_size):
             hi = min(lo + self.batch_size, n)
-            s_lp, e_lp = self._step(
-                self.params, pad(ids[lo:hi]), pad(boxes[lo:hi]),
-                pad(mask[lo:hi]),
-            )
+            chunk = (pad(ids[lo:hi]), pad(boxes[lo:hi]), pad(mask[lo:hi]))
+            _maybe_calibrate_doc_int8(self, *chunk)
+            s_lp, e_lp = self._step(_doc_variables(self), *chunk)
             s_lp, e_lp = np.asarray(s_lp), np.asarray(e_lp)
             for j in range(hi - lo):
                 k = lo + j
