@@ -121,6 +121,9 @@ run python bench.py --infer layoutlm --seq 4096 --attn flash --int8 --batch 8
 #    flash backward-block sweep: uniform-1024 left seq-1024 grad at
 #    0.92x xla — do smaller bwd (dkv/dq) tiles flip training to a win?
 ROW_TIMEOUT=5400 run python tools/probe_flash.py --sweep-bwd
+#    server-level full-int8 VQA serving (both models on the int8 path;
+#    4 fresh compiles: dynamic warmup, calib, static, then serve)
+ROW_TIMEOUT=7200 run python bench.py --serve --int8 --steps 5
 
 # probe output is free-form text — keep it OUT of the jsonl
 if [ ! -s tools/probe_flash_out.txt ]; then
