@@ -125,6 +125,30 @@ ROW_TIMEOUT=5400 run python tools/probe_flash.py --sweep-bwd
 #    4 fresh compiles: dynamic warmup, calib, static, then serve)
 ROW_TIMEOUT=7200 run python bench.py --serve --int8 --steps 5
 
+# 9. pass-7: re-measure flash TRAINING with the split fwd/bwd tuned
+#    blocks (--sweep-bwd verdict: bwd=512 beats bwd=1024 at 1024 AND
+#    4096; _tuned_block_sizes now caps bwd blocks at 512). Infer rows
+#    are unaffected (same fwd blocks). Explicit --steps only changes
+#    the done-file key.
+run python bench.py --train layoutlm --attn flash --batch 8 --steps 6
+run python bench.py --train layoutlm --seq 4096 --attn flash --batch 4 --steps 6
+run python bench.py --train layoutlm --seq 8192 --attn flash --batch 1 --steps 6
+run python bench.py --train layoutlm --seq 4096 --attn flash --remat --batch 4 --steps 6
+
+# 10. pass-8: (a) pass-7 verdict was length-SPLIT (bwd-512 won 1024,
+#     lost 4096/8192 model-level) -> _tuned_block_sizes is now
+#     conditional; confirm the shipped 4096 path reproduces the
+#     uniform-1024 number (~15.0)
+run python bench.py --train layoutlm --seq 4096 --attn flash --batch 4 --steps 7
+#     (b) int8 at LXMERT's large-batch point (bf16 B=256: 9,877 img/s)
+run python bench.py --infer lxmert --int8 --batch 256
+#     (c) same-session bf16-vs-int8 serve pair: the first int8 serve
+#     row (w1 13.16 / w2 13.09) ran in a different session than the
+#     bf16 rows (w1 8.21 / w2 22.96) — tunnel weather varies 2.5x, so
+#     pair them back-to-back to isolate the int8 effect at server level
+ROW_TIMEOUT=7200 run python bench.py --serve --steps 6
+ROW_TIMEOUT=7200 run python bench.py --serve --int8 --steps 6
+
 # probe output is free-form text — keep it OUT of the jsonl
 if [ ! -s tools/probe_flash_out.txt ]; then
   echo "== probe_flash" >&2

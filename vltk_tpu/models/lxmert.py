@@ -215,21 +215,28 @@ def _flash_eligible(x, ctx, s: int, deterministic: bool, cfg) -> bool:
 
 def _tuned_block_sizes(s_padded: int):
     """Measured flash-kernel block sizes for v5e (tools/probe_flash.py
-    --sweep; BASELINE.md r4). The upstream default — 128-blocks
-    everywhere — runs the kernel at 0.27-0.29x the XLA attention at
-    dh=64 (a (128, 64)x(64, 128) matmul per grid step cannot amortize
-    the MXU); uniform 1024-blocks flip it to 2.2-2.4x FASTER forward
-    (1.6x fwd+grad at seq-4096). Pick the largest measured block that
-    tiles the padded length."""
+    --sweep / --sweep-bwd; BASELINE.md r4). The upstream default —
+    128-blocks everywhere — runs the kernel at 0.27-0.29x the XLA
+    attention at dh=64 (a (128, 64)x(64, 128) matmul per grid step
+    cannot amortize the MXU); 1024-blocks flip the FORWARD to 2.2-2.4x
+    FASTER. The backward tile is length-conditional: the isolated-kernel
+    sweep (--sweep-bwd) measured bwd=512 best at BOTH 1024 and 4096, but
+    the MODEL-level training rows (pass-7, tools/tpu_rows.jsonl) split —
+    bwd=512 wins seq-1024 (91.66 vs 90.7 img/s) while uniform-1024 wins
+    seq-4096 (15.0 vs 13.84) and seq-8192 (5.03 vs 4.76): inside the
+    full layer program XLA schedules around the kernel differently than
+    the microbench. Model-level rows rule: cap the backward at 512 only
+    for padded lengths <= 1024, match the forward above."""
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
     for b in (1024, 512, 256, 128):
         if s_padded % b == 0:
+            bb = min(b, 512) if s_padded <= 1024 else b
             return _fa.BlockSizes(
                 block_q=b, block_k_major=b, block_k=b, block_b=1,
-                block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
-                block_q_dkv=b, block_k_major_dq=b, block_k_dq=b,
-                block_q_dq=b,
+                block_q_major_dkv=bb, block_k_major_dkv=bb, block_k_dkv=bb,
+                block_q_dkv=bb, block_k_major_dq=bb, block_k_dq=bb,
+                block_q_dq=bb,
             )
     raise AssertionError(f"padded length {s_padded} not a 128 multiple")
 
