@@ -1345,7 +1345,7 @@ def _full_drift_variants(canvas, short, maximum):
     ]
 
 
-def run_preset_drift(args, params=None, raw=None, raw_sizes=None):
+def run_preset_drift(args, params=None, raw=None, raw_sizes=None, label=None):
     """Accuracy/speed Pareto for the non-parity presets (VERDICT r2 task
     2): run the parity config (300 proposals) and reduced configs on
     IDENTICAL inputs and identical weights, and report, vs the parity
@@ -1541,13 +1541,17 @@ def run_preset_drift(args, params=None, raw=None, raw_sizes=None):
     print(
         json.dumps(
             {
-                "metric": "frcnn_preset_drift" + ("_smoke" if smoke else ""),
-                "weights": (
+                "metric": "frcnn_preset_drift"
+                + (f"_{label}" if label else "")
+                + ("_smoke" if smoke else ""),
+                "weights": label or (
                     "supplied-checkpoint" if supplied_params
                     else "tamed-random"
                 ),
                 "note": (
-                    "real-weight production budget"
+                    f"weights: {label} (see the caller's context; NOT the "
+                    "production budget)" if label
+                    else "real-weight production budget"
                     if supplied_params
                     else "random tamed init = worst-case truncation bound; "
                     "re-run with real weights via tools/verify_checkpoint.py "
