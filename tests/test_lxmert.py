@@ -429,3 +429,31 @@ class TestFlashAttention:
         out_f = m_f.apply({"params": params}, ids, feats, pos, mask)
         for a, b in zip(out_x, out_f):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_tuned_block_sizes_routing(self):
+        """Lock the measured v5e block-size table (BASELINE.md r4:
+        tools/probe_flash.py --sweep/--sweep-bwd + the pass-7/8
+        model-level rows): forward blocks are the largest divisor up to
+        1024; the backward tile is length-conditional — capped at 512
+        for padded lengths <= 1024 (flips seq-1024 training to a flash
+        win), uniform with the forward above (bwd-512 regressed
+        4096/8192 model-level). A regression here silently reverts the
+        kernel to a measured-slower configuration."""
+        bs = L._tuned_block_sizes(1024)
+        assert bs.block_q == bs.block_k_major == bs.block_k == 1024
+        assert bs.block_q_dq == bs.block_k_major_dkv == 512  # capped
+        bs = L._tuned_block_sizes(512)
+        assert bs.block_q == 512 and bs.block_q_dq == 512
+        bs = L._tuned_block_sizes(256)
+        assert bs.block_q == 256 and bs.block_q_dq == 256
+        for s in (4096, 8192):
+            bs = L._tuned_block_sizes(s)
+            assert bs.block_q == 1024  # largest tile that divides s
+            assert bs.block_q_dq == bs.block_q_dkv == 1024  # uniform
+        # 1152 = 9*128: largest dividing block is 128; <=1024 cap
+        # does not apply past 1024
+        bs = L._tuned_block_sizes(1152)
+        assert bs.block_q == 128 and bs.block_q_dq == 128
+        assert bs.block_b == 1
+        with pytest.raises(AssertionError):
+            L._tuned_block_sizes(1000)  # not a 128 multiple
