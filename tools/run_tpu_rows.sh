@@ -149,6 +149,15 @@ run python bench.py --infer lxmert --int8 --batch 256
 ROW_TIMEOUT=7200 run python bench.py --serve --steps 6
 ROW_TIMEOUT=7200 run python bench.py --serve --int8 --steps 6
 
+# 11. pass-9: trained-weights drift DIRECTION (tools/probe_trained_drift
+#     .py — fine-tunes the parity FRCNN on synthetic learnable scenes
+#     in-environment, then re-runs the IDENTICAL preset-drift harness
+#     with tamed-init vs trained weights; replaces the "structural
+#     expectation" that trained objectness lifts props_*/int8_* box
+#     agreement with a measured direction. Not the production budget —
+#     that closure stays verify_checkpoint --pareto + real weights.)
+ROW_TIMEOUT=7200 run python tools/probe_trained_drift.py --steps 300
+
 # probe output is free-form text — keep it OUT of the jsonl
 if [ ! -s tools/probe_flash_out.txt ]; then
   echo "== probe_flash" >&2
