@@ -20,6 +20,10 @@ import os
 import sys
 import tempfile
 
+# run from a fresh checkout without the editable install: the repo root
+# (one level up from examples/) holds the vltk_tpu package
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import numpy as np
 
 
