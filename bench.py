@@ -1568,6 +1568,55 @@ def run_preset_drift(args, params=None, raw=None, raw_sizes=None, label=None):
     )
 
 
+def run_preset_ladder(args):
+    """Emit the key non-parity rows BEFORE the parity headline (VERDICT r4
+    weak #6): the driver records bench.py's stdout per round, but its
+    parser reads the LAST JSON line — so the production preset
+    (quality-gated int8_300), the fastest sub-gate preset (int8_150), and
+    the composed VQA end-to-end row land in BENCH_rNN.json as extra lines
+    while the parity headline stays last and the parser stays unchanged.
+
+    Each row is best-effort: a failure prints a warning to stderr and the
+    headline still runs (the driver's record must never lose the parity
+    row to a ladder bug)."""
+    import copy
+
+    rows = []
+
+    def _preset_row(name):
+        pa = copy.copy(args)
+        pa.preset = name
+        smoke = bool(getattr(args, "smoke", False))
+        run_device_bench(
+            pa,
+            f"frcnn_extraction_throughput_preset_{name}"
+            + ("_smoke" if smoke else ""),
+            smoke=smoke,
+        )
+
+    def _vqa_row():
+        va = copy.copy(args)
+        va.infer = "vqa"
+        va.attn = "xla"
+        va.int8 = True  # the measured-best composed config (BASELINE.md)
+        # --batch targets the extraction headline; the composed program
+        # keeps its own measured default (8 full / 2 smoke)
+        va.batch_explicit = False
+        run_infer_bench(va)
+
+    rows.append(("production", lambda: _preset_row("production")))
+    if not getattr(args, "smoke", False):
+        # smoke keeps one preset row: the point there is exercising the
+        # ladder code path, not CPU-compiling every preset geometry
+        rows.append(("int8_150", lambda: _preset_row("int8_150")))
+    rows.append(("vqa_e2e", _vqa_row))
+    for name, fn in rows:
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — headline must still run
+            print(f"# ladder row {name} failed: {e!r}", file=sys.stderr)
+
+
 def emit(metric, imgs_per_sec):
     print(
         json.dumps(
@@ -1639,6 +1688,12 @@ def main():
              "(max_position_embeddings follows it). Default 1024; the "
              "4096/8192 geometries are where flash attention's O(S) HBM "
              "is expected to matter",
+    )
+    ap.add_argument(
+        "--no-ladder", action="store_true",
+        help="default mode only: skip the preset-ladder rows (production "
+             "preset, int8_150, composed VQA) that print before the parity "
+             "headline",
     )
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 32 (extraction modes), mode-specific otherwise")
@@ -1768,6 +1823,10 @@ def main():
                 args, "frcnn_extraction_throughput_f32_parity", dtype=None
             )
         else:
+            # default (driver) mode: the key non-parity rows first, the
+            # parity headline LAST (the driver parses the last JSON line)
+            if not args.no_ladder:
+                run_preset_ladder(args)
             run_device_bench(
                 args, "frcnn_extraction_throughput_bf16", dtype="bfloat16"
             )
@@ -1798,6 +1857,8 @@ def _dispatch_smoke(args):
             "geometry — run them without --smoke"
         )
     else:
+        if not args.no_ladder:
+            run_preset_ladder(args)
         run_device_bench(
             args, "frcnn_extraction_throughput_smoke", smoke=True
         )
