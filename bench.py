@@ -624,17 +624,56 @@ def run_host_bench(args):
             os.path.join(img_dir, f"COCO_train2014_{i:012d}.jpg"),
             os.path.join(warm_imgs, f"COCO_train2014_{i:012d}.jpg"),
         )
+    stage_stats = None
     try:
-        HostOnlyFRCNN.extract(warm_dir, dataset_name="coco2014")
+        if getattr(args, "host_workers", 0) > 1:
+            # multi-core plane: the process-pool decode->collate->
+            # arrow-shard pipeline (data/hostpipe.py). On this 1-core box
+            # the workers timeshare the core (throughput ~= the threaded
+            # single-process row); what the row adds is the measured
+            # per-stage accounting behind the "~N_cores x per-core"
+            # extrapolation, through the tested shard+merge path.
+            from vltk_tpu.data.hostpipe import HostDecodeFRCNN
 
-        t0 = time.perf_counter()
-        HostOnlyFRCNN.extract(datadir, dataset_name="coco2014")
-        dt = time.perf_counter() - t0
+            HostDecodeFRCNN.model_batch_size = args.batch
+            HostDecodeFRCNN.extract(
+                warm_dir, dataset_name="coco2014",
+                host_workers=args.host_workers,
+            )
+            t0 = time.perf_counter()
+            out = HostDecodeFRCNN.extract(
+                datadir, dataset_name="coco2014",
+                host_workers=args.host_workers,
+            )
+            dt = time.perf_counter() - t0
+            stage_stats = out["train"].host_stats["aggregate"]
+        else:
+            HostOnlyFRCNN.extract(warm_dir, dataset_name="coco2014")
+
+            t0 = time.perf_counter()
+            HostOnlyFRCNN.extract(datadir, dataset_name="coco2014")
+            dt = time.perf_counter() - t0
     finally:
         import shutil
 
         shutil.rmtree(datadir, ignore_errors=True)
         shutil.rmtree(warm_dir, ignore_errors=True)
+    if stage_stats is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "host_pipeline_stages",
+                    "value": stage_stats["img_per_s"],
+                    "unit": "images/sec",
+                    "workers": stage_stats["workers"],
+                    "decode_s": stage_stats["decode_s"],
+                    "collate_s": stage_stats["collate_s"],
+                    "forward_s": stage_stats["forward_s"],
+                    "write_s": stage_stats["write_s"],
+                    "vs_baseline": 0,
+                }
+            )
+        )
     emit("host_feed_throughput", n_images / dt)
 
 
@@ -1639,6 +1678,10 @@ def main():
     ap.add_argument("--e2e", action="store_true")
     ap.add_argument("--drift", action="store_true")
     ap.add_argument("--host", action="store_true")
+    ap.add_argument("--host-workers", type=int, default=0,
+                    help="--host only: >1 runs the process-pool "
+                    "decode->collate->arrow-shard pipeline "
+                    "(data/hostpipe.py) and emits per-stage accounting")
     ap.add_argument("--preset-drift", action="store_true")
     ap.add_argument("--injit", action="store_true")
     ap.add_argument("--serve", action="store_true",

@@ -262,6 +262,28 @@ def test_bench_host_smoke(capsys):
     assert row["value"] > 0
 
 
+def test_bench_host_workers_smoke(capsys):
+    """bench.py --host --host-workers 2 routes through the process-pool
+    pipeline (data/hostpipe.py) and emits the per-stage accounting row
+    before the throughput row."""
+    import json as _json
+    import types
+
+    import bench
+
+    bench.run_host_bench(
+        types.SimpleNamespace(batch=8, steps=1, host_workers=2)
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    stage = _json.loads(lines[-2])
+    row = _json.loads(lines[-1])
+    assert stage["metric"] == "host_pipeline_stages"
+    assert stage["workers"] == 2
+    assert stage["decode_s"] > 0
+    assert row["metric"] == "host_feed_throughput"
+    assert row["value"] > 0
+
+
 def test_bench_serve_smoke(capsys):
     """bench.py --serve --smoke: the server-level serving bench runs the
     real predictor+MicroBatchServer path and emits one row per workers

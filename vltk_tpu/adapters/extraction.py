@@ -93,6 +93,7 @@ class VisnExtraction(Adapter):
         dataset_name: Optional[str] = None,
         splits: Optional[Sequence[str]] = None,
         img_format: str = "jpg",
+        host_workers: int = 0,
         **kwargs,
     ) -> Dict[str, Adapter]:
         from vltk_tpu.adapters import Adapters
@@ -100,6 +101,14 @@ class VisnExtraction(Adapter):
         dataset_name = dataset_name or cls.dataset
         if dataset_name is None:
             raise ValueError(f"{cls.name()}.extract needs a dataset name")
+        if host_workers > 1 and not getattr(cls, "host_only", False):
+            raise ValueError(
+                f"{cls.name()}: host_workers={host_workers} requires a "
+                "host-only adapter (setup() must not build device "
+                "programs — each worker process would claim the "
+                "accelerator). Device extraction keeps the threaded "
+                "double-buffered pipeline; see data/hostpipe.py."
+            )
         vdset = Adapters.get(dataset_name)
 
         processor_cfg = cls.default_processor or VisionConfig()
@@ -142,16 +151,33 @@ class VisnExtraction(Adapter):
         out: Dict[str, Adapter] = {}
         outdir = os.path.join(datadir, dataset_name, cls.name())
         for split, id2path in split_files.items():
-            entries = cls._run_split(
-                id2path, processor, model, fwd_kwargs
-            )
             meta = {
                 "model_config": model_config,
                 "processor_args": processor_cfg.to_dict(),
                 "dataset": os.path.join(datadir, dataset_name),
             }
             out_path = os.path.join(outdir, f"{split}.arrow")
-            adapter = cls._write_entries(entries, schema, out_path, meta)
+            if host_workers > 1:
+                # multi-core host plane: process-pool shards + merge
+                # (per-stage accounting lands on adapter.host_stats)
+                from vltk_tpu.data.hostpipe import run_sharded_split
+
+                adapter, stats = run_sharded_split(
+                    cls,
+                    id2path,
+                    out_path,
+                    num_workers=host_workers,
+                    batch_size=cls.model_batch_size,
+                    setup_kwargs=collect_args_to_func(cls.setup, kwargs),
+                    schema_kwargs=kwargs,
+                    extra_metadata=meta,
+                )
+                adapter.host_stats = stats
+            else:
+                entries = cls._run_split(
+                    id2path, processor, model, fwd_kwargs
+                )
+                adapter = cls._write_entries(entries, schema, out_path, meta)
             adapter._split = split
             out[split] = adapter
         return out
