@@ -158,6 +158,25 @@ ROW_TIMEOUT=7200 run python bench.py --serve --int8 --steps 6
 #     that closure stays verify_checkpoint --pareto + real weights.)
 ROW_TIMEOUT=7200 run python tools/probe_trained_drift.py --steps 300
 
+# 12. pass-10 (round 5, VERDICT r4 tasks):
+#     task 7 — flash routing boundary at seq-2048 (the interpolated
+#     gap between the measured 1024 and 4096 wins; also exercises the
+#     length-conditional backward tile at a length the sweep never saw)
+run python bench.py --infer layoutlm --seq 2048
+run python bench.py --infer layoutlm --seq 2048 --attn flash
+run python bench.py --train layoutlm --seq 2048
+run python bench.py --train layoutlm --seq 2048 --attn flash
+#     task 1 — bytes-based roofline per stage: stem/res2/res3/res4
+#     split + rpn_head vs propose (the two sub-53%-MXU stages get a
+#     SOL column: measured-vs-max(flops/peak, bytes/bw))
+ROW_TIMEOUT=5400 run python tools/probe_roofline.py
+#     task 3 — int8 transformer fidelity at trained weights (synthetic
+#     learnable finetune, then bf16-vs-int8 answer agreement; the
+#     serving +22%/+19% rows get an accuracy column)
+ROW_TIMEOUT=7200 run python tools/probe_int8_fidelity.py --steps 300
+#     task 8 — process-pool host pipeline accounting row
+run python bench.py --host --host-workers 2
+
 # probe output is free-form text — keep it OUT of the jsonl
 if [ ! -s tools/probe_flash_out.txt ]; then
   echo "== probe_flash" >&2
