@@ -198,17 +198,31 @@ def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
     preset = getattr(args, "preset", None)
     if preset:
         kw = {} if roi_chunk is None else dict(roi_chunk=roi_chunk)
-        return FRCNNConfig.named_preset(preset, **kw)
-    int8 = bool(getattr(args, "int8", False))
-    if fast:
-        if roi_chunk is None:
-            roi_chunk = 1600
-        return FRCNNConfig.fast_extraction(roi_chunk=roi_chunk, int8=int8)
-    if roi_chunk is None:
-        roi_chunk = 2400
-    return FRCNNConfig.vg_extraction(
-        dtype=dtype, roi_chunk=roi_chunk, int8=int8
-    )
+        cfg = FRCNNConfig.named_preset(preset, **kw)
+    else:
+        int8 = bool(getattr(args, "int8", False))
+        if fast:
+            cfg = FRCNNConfig.fast_extraction(
+                roi_chunk=1600 if roi_chunk is None else roi_chunk, int8=int8
+            )
+        else:
+            cfg = FRCNNConfig.vg_extraction(
+                dtype=dtype,
+                roi_chunk=2400 if roi_chunk is None else roi_chunk,
+                int8=int8,
+            )
+    nms_block = getattr(args, "nms_block", 0) or 0
+    nms_unroll = getattr(args, "nms_unroll", 0) or 0
+    if nms_block or nms_unroll:
+        import dataclasses
+
+        kw = {}
+        if nms_block:
+            kw["rpn_nms_block"] = nms_block
+        if nms_unroll:
+            kw["rpn_nms_unroll"] = nms_unroll
+        cfg = dataclasses.replace(cfg, **kw)
+    return cfg
 
 
 GEOM = {
@@ -1746,6 +1760,18 @@ def main():
                          "region into LOGDIR (view with xprof/TensorBoard; "
                          "utils/profiling.trace — SURVEY §5.1)")
     ap.add_argument("--roi-chunk", type=int, default=None)
+    ap.add_argument(
+        "--nms-unroll", type=int, default=0,
+        help="extraction modes: unroll factor for the RPN NMS selection "
+             "scan (same primitive, fewer loop iterations; exact)",
+    )
+    ap.add_argument(
+        "--nms-block", type=int, default=0,
+        help="extraction modes: run the RPN's exact greedy NMS as blocked "
+             "selection with this block size instead of the 300-step scan "
+             "(identical keep-set — tests/test_ops.py; candidate from "
+             "tools/probe_propose.py's decomposition of the propose stage)",
+    )
     args = ap.parse_args()
     args.batch_explicit = args.batch is not None
     if args.batch is None:
@@ -1870,8 +1896,11 @@ def main():
             # parity headline LAST (the driver parses the last JSON line)
             if not args.no_ladder:
                 run_preset_ladder(args)
+            nb = f"_nmsblk{args.nms_block}" if args.nms_block else ""
+            nb += f"_nmsunr{args.nms_unroll}" if args.nms_unroll else ""
             run_device_bench(
-                args, "frcnn_extraction_throughput_bf16", dtype="bfloat16"
+                args, "frcnn_extraction_throughput_bf16" + nb,
+                dtype="bfloat16",
             )
 
     if args.profile:

@@ -231,6 +231,32 @@ class TestIgnoreyBands:
             np.asarray(got_boxes)[got_valid], want_boxes, rtol=1e-6
         )
 
+    def test_propose_nms_variants_identical(self, rng):
+        """The blocked / unrolled NMS execution strategies are exact —
+        propose() returns identical boxes/scores/valid under every
+        rpn_nms_block / rpn_nms_unroll setting."""
+        n, hf, wf, a = 2, 8, 8, 3
+        logits = jnp.asarray(rng.normal(size=(n, hf, wf, a)).astype(np.float32))
+        deltas = jnp.asarray(
+            rng.normal(size=(n, hf, wf, a * 4)).astype(np.float32) * 0.1
+        )
+        anchors = grid_anchors(
+            (hf, wf), stride=16, sizes=(32,), aspect_ratios=(0.5, 1.0, 2.0)
+        )
+        sizes = jnp.asarray([[128.0, 128.0], [96.0, 128.0]])
+        base = propose(
+            logits, deltas, anchors, sizes, pre_nms_topk=100, post_nms_topk=20
+        )
+        for kw in (dict(nms_block=16), dict(nms_block=64), dict(nms_unroll=8)):
+            got = propose(
+                logits, deltas, anchors, sizes, pre_nms_topk=100,
+                post_nms_topk=20, **kw,
+            )
+            for g, b in zip(got, base):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(b), atol=0, rtol=0
+                )
+
     def test_propose_accepts_bands(self, rng):
         """propose() with ignorey: no proposal's y-extent may span a band."""
         n, hf, wf, a = 1, 6, 4, 3

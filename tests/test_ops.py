@@ -419,6 +419,75 @@ class TestMatrixNMS:
                 np.asarray(k1)[np.asarray(v1)], np.asarray(k2)[np.asarray(v2)]
             )
 
+    def test_blocked_and_unrolled_match_scan(self, rng):
+        """nms_fixed_blocked and nms_fixed(unroll=...) are exact greedy —
+        same keep-set AND order as the reference scan, including with
+        validity masks, heavy overlap clusters, and more survivors than
+        the budget."""
+        import jax
+
+        from vltk_tpu.ops.nms import nms_fixed, nms_fixed_blocked
+
+        for trial in range(6):
+            n = 150
+            b = rng.uniform(0, 120, (n, 4)).astype(np.float32)  # dense -> overlap
+            b[:, 2:] = b[:, :2] + rng.uniform(5, 80, (n, 2))
+            s = rng.normal(size=n).astype(np.float32)
+            valid = rng.random(n) > 0.2
+            for max_out in (10, 40, 140):
+                k1, v1 = nms_fixed(
+                    jnp.asarray(b), jnp.asarray(s), 0.5, max_out,
+                    jnp.asarray(valid),
+                )
+                for impl in (
+                    lambda *a: nms_fixed(*a, unroll=8),
+                    lambda *a: nms_fixed_blocked(*a, block=16),
+                    lambda *a: nms_fixed_blocked(*a, block=64),
+                ):
+                    k2, v2 = impl(
+                        jnp.asarray(b), jnp.asarray(s), 0.5, max_out,
+                        jnp.asarray(valid),
+                    )
+                    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+                    np.testing.assert_array_equal(
+                        np.asarray(k1)[np.asarray(v1)],
+                        np.asarray(k2)[np.asarray(v2)],
+                    )
+
+    def test_blocked_degenerate_and_vmap(self, rng):
+        """Zero-area boxes must not be re-selected forever (the scan guards
+        via self-suppression; blocked must too), and the while_loop body
+        must be vmappable (propose runs it per image)."""
+        import jax
+
+        from vltk_tpu.ops.nms import nms_fixed, nms_fixed_blocked
+
+        n = 40
+        b = rng.uniform(0, 100, (n, 4)).astype(np.float32)
+        b[:, 2:] = b[:, :2] + rng.uniform(5, 50, (n, 2))
+        b[::5, 2:] = b[::5, :2]  # zero-area every 5th box
+        s = rng.normal(size=n).astype(np.float32)
+        k1, v1 = nms_fixed(jnp.asarray(b), jnp.asarray(s), 0.5, n)
+        k2, v2 = nms_fixed_blocked(jnp.asarray(b), jnp.asarray(s), 0.5, n)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(
+            np.asarray(k1)[np.asarray(v1)], np.asarray(k2)[np.asarray(v2)]
+        )
+
+        bb = rng.uniform(0, 100, (3, n, 4)).astype(np.float32)
+        bb[..., 2:] = bb[..., :2] + rng.uniform(5, 50, (3, n, 2))
+        ss = rng.normal(size=(3, n)).astype(np.float32)
+        kb, vb = jax.jit(
+            jax.vmap(lambda B, S: nms_fixed_blocked(B, S, 0.5, 12, block=8))
+        )(jnp.asarray(bb), jnp.asarray(ss))
+        for i in range(3):
+            k1, v1 = nms_fixed(jnp.asarray(bb[i]), jnp.asarray(ss[i]), 0.5, 12)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(vb[i]))
+            np.testing.assert_array_equal(
+                np.asarray(k1)[np.asarray(v1)],
+                np.asarray(kb[i])[np.asarray(vb[i])],
+            )
+
     def test_topk_membership_matches_lax(self, rng):
         import jax
 

@@ -188,3 +188,27 @@ if [ ! -s tools/probe_stages_out.txt ]; then
   timeout 3600 python tools/probe_stages.py > tools/probe_stages_out.txt 2>&1 || true
 fi
 echo "done -> $out (probes: tools/probe_{flash,stages}_out.txt; stderr: $log)" >&2
+
+# 13. pass-10b (round 5, task-1 harvest): the roofline left ONE stage
+#     open — propose at 65.7% SOL (14.78 ms B=16, 0 FLOPs). Hypothesis:
+#     the 300 sequential NMS scan iterations, not bandwidth. Decompose
+#     propose + race exact NMS variants (scan / unroll / blocked greedy;
+#     parity locked by tests/test_ops.py + test_models.py), then A/B the
+#     full parity headline with the best block size.
+ROW_TIMEOUT=5400 run python tools/probe_propose.py
+ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-block 32
+ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-block 128
+#     task-7 leftover: the seq-2048 xla train row timed out mid-compile
+#     at the default 1800 s — retry with headroom
+ROW_TIMEOUT=5400 run python bench.py --train layoutlm --seq 2048 --steps 6
+#     kernel-level winner from probe_propose was m=64 (2.15/1.82 ms vs
+#     scan 12.0) — headline A/B it too
+ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-block 64
+#     the --nms-block 32 full-program warmup CRASHED the TPU worker
+#     (kernel fault, tools/tpu_rows.log) while the standalone vmapped
+#     while_loop ran fine at B=16 — A/B the crash-free scan-unroll
+#     variant too (12.0 -> 4.27 ms kernel-level), and retry blocked-64
+#     at B=16 geometry to separate "blocked-in-full-program" from
+#     "B=32 + blocked" as the crash trigger
+ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-unroll 4
+ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-block 64 --batch 16

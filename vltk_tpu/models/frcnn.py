@@ -66,6 +66,12 @@ class FRCNNConfig:
     post_nms_topk: int = 1000
     min_box_side_len: float = 0.0
     rpn_bbox_reg_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    # exact-NMS execution strategy (identical keep-set either way; see
+    # tools/probe_propose.py + tests/test_ops.py blocked-parity tests):
+    # rpn_nms_block > 0 runs blocked greedy with that block size,
+    # otherwise the selection scan with rpn_nms_unroll-way unrolling.
+    rpn_nms_block: int = 0
+    rpn_nms_unroll: int = 1
     # RoI heads (reference: frcnn.py:1305-1403, 1676-1740)
     num_classes: int = 1600
     num_attrs: int = 400
@@ -314,6 +320,8 @@ class FRCNN(nn.Module):
             bbox_reg_weights=cfg.rpn_bbox_reg_weights,
             ignorey=ignorey,
             scales_yx=scales_yx,
+            nms_block=cfg.rpn_nms_block,
+            nms_unroll=cfg.rpn_nms_unroll,
         )
 
         obj_logits, attr_logits, box_deltas, pooled = Res5RoIHeads(

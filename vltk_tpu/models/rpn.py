@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from vltk_tpu.ops.boxes import apply_deltas, clip_boxes, nonempty_mask
-from vltk_tpu.ops.nms import NEG_INF, nms_fixed
+from vltk_tpu.ops.nms import NEG_INF, nms_fixed, nms_fixed_blocked
 
 
 def apply_ignorey(
@@ -116,6 +116,8 @@ def propose(
     bbox_reg_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
     ignorey: Optional[jnp.ndarray] = None,
     scales_yx: Optional[jnp.ndarray] = None,
+    nms_block: int = 0,
+    nms_unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode + select top proposals for a batch (single level, C4).
 
@@ -131,6 +133,10 @@ def propose(
         ``scales_yx`` (the reference guards on both being present).
       scales_yx: (N, 2) raw/padded scale factors, only consumed by the
         ignorey band math here (box rescale happens in postprocess).
+      nms_block: if > 0, use :func:`nms_fixed_blocked` with this block
+        size (exact greedy, fewer sequential loop steps — see
+        tools/probe_propose.py); 0 keeps the scan.
+      nms_unroll: scan unroll factor when ``nms_block == 0``.
 
     Returns:
       boxes: (N, post_nms_topk, 4) xyxy, descending objectness.
@@ -160,9 +166,16 @@ def propose(
             boxes_i, valid_i = apply_ignorey(boxes_i, valid_i, bands_i, scale_x_i)
         boxes_i = clip_boxes(boxes_i, size_i)
         valid_i = valid_i & nonempty_mask(boxes_i, threshold=min_box_side_len)
-        keep, keep_valid = nms_fixed(
-            boxes_i, scores_i, nms_thresh, post_nms_topk, valid=valid_i
-        )
+        if nms_block > 0:
+            keep, keep_valid = nms_fixed_blocked(
+                boxes_i, scores_i, nms_thresh, post_nms_topk, valid=valid_i,
+                block=nms_block,
+            )
+        else:
+            keep, keep_valid = nms_fixed(
+                boxes_i, scores_i, nms_thresh, post_nms_topk, valid=valid_i,
+                unroll=nms_unroll,
+            )
         safe = jnp.maximum(keep, 0)
         return boxes_i[safe], scores_i[safe], keep_valid
 

@@ -41,6 +41,7 @@ def nms_fixed(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a static output budget.
 
@@ -51,6 +52,9 @@ def nms_fixed(
         (strict >, matching torchvision).
       max_out: number of selection steps (static).
       valid: optional (K,) bool — False entries are never selected.
+      unroll: ``lax.scan`` unroll factor — same algorithm, fewer loop
+        iterations (the per-iteration overhead, not the arithmetic, is
+        the TPU cost of this scan; see tools/probe_propose.py).
 
     Returns:
       keep: (max_out,) int32 indices into boxes, -1 where fewer survive.
@@ -74,9 +78,93 @@ def nms_fixed(
         return live, (out_idx.astype(jnp.int32), ok)
 
     _, (keep, keep_valid) = jax.lax.scan(
-        step, live_scores, None, length=max_out
+        step, live_scores, None, length=max_out, unroll=unroll
     )
     return keep, keep_valid
+
+
+def nms_fixed_blocked(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+    block: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS processing ``block`` candidates per loop step.
+
+    :func:`nms_fixed` pays ``max_out`` sequential scan iterations, each a
+    tiny argmax + one IoU row — on TPU the per-iteration loop overhead, not
+    the arithmetic, is the cost (measured: tools/probe_propose.py). This
+    variant takes the ``block`` highest-scoring *live* candidates per step
+    and resolves them with an in-block unrolled greedy pass. Because the
+    block is exactly the score-descending prefix of the live set, in-block
+    greedy order equals global greedy order, so the keep-set is identical
+    to :func:`nms_fixed` — every block candidate is either accepted or
+    suppressed by a higher-scoring accepted box, and the accepted boxes'
+    global suppression is applied before the next block is drawn. The loop
+    runs until ``max_out`` boxes are kept or no live candidate remains
+    (worst case ``max_out`` steps when every block yields one accept; the
+    typical detector block yields many).
+
+    Same contract as :func:`nms_fixed` (keep indices in descending score
+    order, -1 padded, plus a validity mask).
+    """
+    live0 = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
+    live0 = live0.astype(jnp.float32)
+    m = block
+
+    def cond(state):
+        _, _, count, any_live = state
+        return (count < max_out) & any_live
+
+    def body(state):
+        live, out_idx, count, _ = state
+        bscores, bidx = jax.lax.top_k(live, m)  # score-desc prefix of live
+        bboxes = boxes[bidx]  # (m, 4)
+        cand = bscores > NEG_INF / 2
+
+        # in-block greedy, unrolled: acc[i] = cand[i] and no earlier
+        # accepted block box suppresses it
+        iou = _pairwise_iou(bboxes)  # (m, m)
+        sup = iou > iou_threshold
+        acc = jnp.zeros((m,), bool).at[0].set(cand[0])
+        for i in range(1, m):
+            hit = jnp.any(sup[i, :i] & acc[:i])
+            acc = acc.at[i].set(cand[i] & ~hit)
+
+        # budget: only the first (max_out - count) accepts land this step
+        pos = jnp.cumsum(acc) - 1
+        take = acc & (pos < max_out - count)
+        tgt = jnp.where(take, count + pos, max_out)
+        out_idx = out_idx.at[tgt].set(bidx.astype(jnp.int32), mode="drop")
+
+        # global suppression by the taken boxes (removes the taken boxes
+        # themselves at IoU 1 and their in-block victims transitively)
+        lt = jnp.maximum(bboxes[:, None, :2], boxes[None, :, :2])
+        rb = jnp.minimum(bboxes[:, None, 2:], boxes[None, :, 2:])
+        wh = jnp.maximum(rb - lt, 0.0)
+        inter = wh[..., 0] * wh[..., 1]
+        union = box_area(bboxes)[:, None] + box_area(boxes)[None, :] - inter
+        iou_all = jnp.where(union > 0, inter / union, 0.0)  # (m, K)
+        sup_any = jnp.any((iou_all > iou_threshold) & take[:, None], axis=0)
+        live = jnp.where(sup_any, NEG_INF, live)
+        # degenerate zero-area taken boxes have IoU 0 with themselves —
+        # remove every examined-and-resolved block candidate explicitly
+        # (non-taken block candidates are suppressed victims of a taken
+        # box, already NEG_INF above, unless the budget truncated — and
+        # truncation means count hits max_out, ending the loop)
+        live = live.at[bidx].set(jnp.where(take, NEG_INF, live[bidx]))
+
+        count = count + jnp.sum(take.astype(jnp.int32))
+        return live, out_idx, count, jnp.max(live) > NEG_INF / 2
+
+    out0 = jnp.full((max_out + 1,), -1, jnp.int32)
+    _, out_idx, _, _ = jax.lax.while_loop(
+        cond, body, (live0, out0, jnp.int32(0), jnp.max(live0) > NEG_INF / 2)
+    )
+    keep = out_idx[:max_out]
+    return keep, keep >= 0
 
 
 def batched_nms_fixed(
