@@ -63,6 +63,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument(
+        "--parity", action="store_true",
+        help="instead of timing, run propose() on-device under every NMS "
+             "execution strategy and assert bit-identical boxes/scores/"
+             "valid (guards against TPU-side miscompiles of the "
+             "while_loop/unroll variants; the CPU tests already pin "
+             "algorithmic parity)",
+    )
     args = ap.parse_args()
     b = args.batch
 
@@ -95,13 +103,30 @@ def main():
         print(f"{name:34s}: {row['ms']:8.2f} ms")
 
     # --- full propose (the shipped path) ---
-    def full(lg, dl):
+    def full(lg, dl, **kw):
         return propose(
             lg, dl, anchors, sizes, nms_thresh=cfg.rpn_nms_thresh,
             pre_nms_topk=cfg.pre_nms_topk, post_nms_topk=cfg.post_nms_topk,
             min_box_side_len=cfg.min_box_side_len,
-            bbox_reg_weights=cfg.rpn_bbox_reg_weights,
+            bbox_reg_weights=cfg.rpn_bbox_reg_weights, **kw,
         )
+
+    if args.parity:
+        base = [np.asarray(x) for x in jax.jit(full)(logits, deltas)]
+        checked = []
+        for kw in (dict(nms_unroll=4), dict(nms_block=32),
+                   dict(nms_block=64), dict(nms_block=128)):
+            got = jax.jit(lambda lg, dl: full(lg, dl, **kw))(logits, deltas)
+            for g, want in zip(got, base):
+                np.testing.assert_array_equal(np.asarray(g), want)
+            checked.append(next(iter(kw.items())))
+        print(json.dumps({
+            "metric": "propose_tpu_parity", "batch": b,
+            "value": 1.0, "unit": "bit_identical",
+            "variants": [f"{k}={v}" for k, v in checked],
+            "platform": jax.devices()[0].platform, "vs_baseline": 0,
+        }))
+        return
 
     rep("propose(full)", timed(full, (logits, deltas), args.iters))
 

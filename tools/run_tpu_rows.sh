@@ -212,3 +212,5 @@ ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-block 64
 #     "B=32 + blocked" as the crash trigger
 ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-unroll 4
 ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-block 64 --batch 16
+#     TPU-side bit-parity of every NMS execution strategy (miscompile guard)
+run python tools/probe_propose.py --parity
