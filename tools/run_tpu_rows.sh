@@ -214,3 +214,7 @@ ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-unroll 4
 ROW_TIMEOUT=5400 run python bench.py --no-ladder --nms-block 64 --batch 16
 #     TPU-side bit-parity of every NMS execution strategy (miscompile guard)
 run python tools/probe_propose.py --parity
+#     unroll-4 measured +2.6% (59.09) and is now the config DEFAULT —
+#     confirm the default program end-to-end incl. the preset ladder
+#     (distinct done-key from the earlier plain run)
+ROW_TIMEOUT=7200 run python bench.py --steps 6

@@ -70,8 +70,14 @@ class FRCNNConfig:
     # tools/probe_propose.py + tests/test_ops.py blocked-parity tests):
     # rpn_nms_block > 0 runs blocked greedy with that block size,
     # otherwise the selection scan with rpn_nms_unroll-way unrolling.
+    # unroll=4 is the measured default (r5: the 300-iteration scan is
+    # loop-overhead-bound — 12.0 -> 4.27 ms at B=16, headline 57.59 ->
+    # 59.09 img/s). Blocked greedy is faster still standalone (2.15 ms)
+    # but crashed the TPU worker inside the full B=32 extraction program
+    # on this stack (3/3 kernel faults, tools/tpu_rows.log) — keep it 0
+    # until a newer runtime proves it out.
     rpn_nms_block: int = 0
-    rpn_nms_unroll: int = 1
+    rpn_nms_unroll: int = 4
     # RoI heads (reference: frcnn.py:1305-1403, 1676-1740)
     num_classes: int = 1600
     num_attrs: int = 400

@@ -6,13 +6,17 @@ via sort + filter + torchvision NMS. Here the whole path is re-designed as
 static-shape tensor algebra so it jits once and runs batched on the MXU/VPU:
 
   * per-level sort        -> ``lax.top_k`` (pre_nms_topk static; in-jit
-                             profiling on v5e: 0.6 ms — not a bottleneck)
+                             profiling on v5e at B=16: 0.87 ms — not a
+                             bottleneck, tools/probe_propose.py)
   * min-side filter       -> validity mask (never drops rows)
   * torchvision NMS       -> ``nms_fixed`` greedy selection under a static
-                             ``post_nms_topk`` budget (the scan measures
-                             0.7 ms in-jit; the matrix-fixpoint variant in
-                             ops/nms.py is slower here and kept for
-                             large-max_out regimes)
+                             ``post_nms_topk`` budget, executed with
+                             ``unroll=4`` by default (the r5 decomposition
+                             measured the 300-iteration scan loop-overhead-
+                             bound: 12.0 ms at B=16 un-unrolled, 4.27 ms
+                             unrolled; ``nms_fixed_blocked`` is 5.6x but
+                             kernel-faults the worker at B=32 in-program —
+                             BASELINE.md propose-harvest table)
   * ragged output         -> (N, post_nms_topk, 4) + bool mask
 
 The final re-sort by logit in the reference (frcnn.py:1630-1638) is a no-op

@@ -8,8 +8,14 @@ highest-scoring unsuppressed box and masking its overlaps. The result is the
 same ordered keep-set as greedy NMS, padded with ``-1`` indices and a
 validity mask.
 
-Cost: O(max_out * K) IoU evaluations as a ``fori_loop`` — max_out is small
-(300 for RPN, 36-100 for ROI heads), K is the padded candidate count.
+Cost: O(max_out * K) IoU evaluations as a ``lax.scan`` — max_out is small
+(300 for RPN, 36-100 for ROI heads), K is the padded candidate count. On
+TPU the scan is LOOP-OVERHEAD-bound, not IoU-bound (r5,
+tools/probe_propose.py at 16x6000->300: 12.0 ms plain, 4.27 ms with
+``unroll=4``, 2.15 ms for :func:`nms_fixed_blocked` m=64) — the RPN runs
+``unroll=4`` by default; blocked greedy additionally shortens the
+sequential argmax chain but kernel-faults this TPU runtime inside the
+full B=32 extraction program, so it ships default-off.
 """
 
 from __future__ import annotations
@@ -224,10 +230,13 @@ def nms_fixed_matrix(
 
     Measured on v5e with in-jit repetition (see CLAUDE.md on timing):
     at RPN size (8 x 6000 candidates, max_out=300) this runs 10.6 ms vs
-    0.7 ms for the :func:`nms_fixed` scan — the scan wins whenever
-    ``max_out`` is small, which is every path in this framework, so the
-    models use the scan. This variant is kept for large-``max_out``
-    regimes where the scan's sequential step count dominates.
+    the :func:`nms_fixed` scan (r5 re-measurement at 16 x 6000: scan
+    12.0 ms plain / **4.27 ms with unroll=4**, the shipped default —
+    the r3 "0.7 ms" scan figure in this docstring's earlier revision
+    did not reproduce under the decomposition probe). The unrolled scan
+    wins at every ``max_out`` in this framework; this variant is kept
+    for large-``max_out`` regimes where the scan's sequential step
+    count dominates even unrolled.
 
     Same contract as :func:`nms_fixed`: (keep indices desc-score, valid).
     """
