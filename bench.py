@@ -213,7 +213,8 @@ def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
             )
     nms_block = getattr(args, "nms_block", 0) or 0
     nms_unroll = getattr(args, "nms_unroll", 0) or 0
-    if nms_block or nms_unroll:
+    nms_chunk = getattr(args, "nms_chunk", 0) or 0
+    if nms_block or nms_unroll or nms_chunk:
         import dataclasses
 
         kw = {}
@@ -221,6 +222,8 @@ def make_config(args, fast=False, smoke=False, dtype="bfloat16"):
             kw["rpn_nms_block"] = nms_block
         if nms_unroll:
             kw["rpn_nms_unroll"] = nms_unroll
+        if nms_chunk:
+            kw["rpn_nms_chunk"] = nms_chunk
         cfg = dataclasses.replace(cfg, **kw)
     return cfg
 
@@ -1772,6 +1775,13 @@ def main():
              "(identical keep-set — tests/test_ops.py; candidate from "
              "tools/probe_propose.py's decomposition of the propose stage)",
     )
+    ap.add_argument(
+        "--nms-chunk", type=int, default=0,
+        help="extraction modes: run the per-image RPN NMS vmap as lax.map "
+             "over batch chunks of this width (identical keep-set; "
+             "program-shape workaround for the blocked-NMS B=32 "
+             "kernel fault — models/rpn.py propose nms_chunk)",
+    )
     args = ap.parse_args()
     args.batch_explicit = args.batch is not None
     if args.batch is None:
@@ -1898,6 +1908,7 @@ def main():
                 run_preset_ladder(args)
             nb = f"_nmsblk{args.nms_block}" if args.nms_block else ""
             nb += f"_nmsunr{args.nms_unroll}" if args.nms_unroll else ""
+            nb += f"_nmschk{args.nms_chunk}" if args.nms_chunk else ""
             run_device_bench(
                 args, "frcnn_extraction_throughput_bf16" + nb,
                 dtype="bfloat16",

@@ -247,7 +247,47 @@ class TestIgnoreyBands:
         base = propose(
             logits, deltas, anchors, sizes, pre_nms_topk=100, post_nms_topk=20
         )
-        for kw in (dict(nms_block=16), dict(nms_block=64), dict(nms_unroll=8)):
+        for kw in (
+            dict(nms_block=16),
+            dict(nms_block=64),
+            dict(nms_unroll=8),
+            # chunked execution: lax.map over batch chunks must be
+            # bit-identical to the one-vmap program (chunk=1 exercises
+            # the chunked path at n=2; chunk=3 does not divide n and
+            # must fall back to the plain vmap)
+            dict(nms_block=64, nms_chunk=1),
+            dict(nms_unroll=4, nms_chunk=1),
+            dict(nms_unroll=4, nms_chunk=3),
+        ):
+            got = propose(
+                logits, deltas, anchors, sizes, pre_nms_topk=100,
+                post_nms_topk=20, **kw,
+            )
+            for g, b in zip(got, base):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(b), atol=0, rtol=0
+                )
+
+    def test_propose_nms_chunk_padded_batch(self, rng):
+        """nms_chunk that does NOT divide N pads the batch with inert
+        images and slices them back — identical to the unchunked program
+        for every real lane (n=3, chunk=2 -> one padded lane)."""
+        n, hf, wf, a = 3, 8, 8, 3
+        logits = jnp.asarray(rng.normal(size=(n, hf, wf, a)).astype(np.float32))
+        deltas = jnp.asarray(
+            rng.normal(size=(n, hf, wf, a * 4)).astype(np.float32) * 0.1
+        )
+        anchors = grid_anchors(
+            (hf, wf), stride=16, sizes=(32,), aspect_ratios=(0.5, 1.0, 2.0)
+        )
+        sizes = jnp.asarray([[128.0, 128.0], [96.0, 128.0], [128.0, 96.0]])
+        base = propose(
+            logits, deltas, anchors, sizes, pre_nms_topk=100, post_nms_topk=20
+        )
+        for kw in (
+            dict(nms_block=16, nms_chunk=2),
+            dict(nms_unroll=4, nms_chunk=2),
+        ):
             got = propose(
                 logits, deltas, anchors, sizes, pre_nms_topk=100,
                 post_nms_topk=20, **kw,

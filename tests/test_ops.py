@@ -474,6 +474,17 @@ class TestMatrixNMS:
             np.asarray(k1)[np.asarray(v1)], np.asarray(k2)[np.asarray(v2)]
         )
 
+        # block larger than the candidate count must clamp, not raise
+        # (tiny smoke geometries feed K < the default block=64), and
+        # still produce the exact greedy keep-set
+        k3, v3 = nms_fixed_blocked(
+            jnp.asarray(b), jnp.asarray(s), 0.5, n, block=4 * n
+        )
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v3))
+        np.testing.assert_array_equal(
+            np.asarray(k1)[np.asarray(v1)], np.asarray(k3)[np.asarray(v3)]
+        )
+
         bb = rng.uniform(0, 100, (3, n, 4)).astype(np.float32)
         bb[..., 2:] = bb[..., :2] + rng.uniform(5, 50, (3, n, 2))
         ss = rng.normal(size=(3, n)).astype(np.float32)

@@ -115,15 +115,17 @@ def main():
         base = [np.asarray(x) for x in jax.jit(full)(logits, deltas)]
         checked = []
         for kw in (dict(nms_unroll=4), dict(nms_block=32),
-                   dict(nms_block=64), dict(nms_block=128)):
+                   dict(nms_block=64), dict(nms_block=128),
+                   dict(nms_block=64, nms_chunk=b // 2),
+                   dict(nms_unroll=4, nms_chunk=b // 2)):
             got = jax.jit(lambda lg, dl: full(lg, dl, **kw))(logits, deltas)
             for g, want in zip(got, base):
                 np.testing.assert_array_equal(np.asarray(g), want)
-            checked.append(next(iter(kw.items())))
+            checked.append("+".join(f"{k}={v}" for k, v in kw.items()))
         print(json.dumps({
             "metric": "propose_tpu_parity", "batch": b,
             "value": 1.0, "unit": "bit_identical",
-            "variants": [f"{k}={v}" for k, v in checked],
+            "variants": checked,
             "platform": jax.devices()[0].platform, "vs_baseline": 0,
         }))
         return

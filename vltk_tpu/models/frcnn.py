@@ -66,18 +66,33 @@ class FRCNNConfig:
     post_nms_topk: int = 1000
     min_box_side_len: float = 0.0
     rpn_bbox_reg_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
-    # exact-NMS execution strategy (identical keep-set either way; see
-    # tools/probe_propose.py + tests/test_ops.py blocked-parity tests):
-    # rpn_nms_block > 0 runs blocked greedy with that block size,
+    # exact-NMS execution strategy (identical keep-set every way; see
+    # tools/probe_propose.py + tests/test_ops.py/test_models.py parity
+    # tests): rpn_nms_block > 0 runs blocked greedy with that block size,
     # otherwise the selection scan with rpn_nms_unroll-way unrolling.
-    # unroll=4 is the measured default (r5: the 300-iteration scan is
-    # loop-overhead-bound — 12.0 -> 4.27 ms at B=16, headline 57.59 ->
-    # 59.09 img/s). Blocked greedy is faster still standalone (2.15 ms)
-    # but crashed the TPU worker inside the full B=32 extraction program
-    # on this stack (3/3 kernel faults, tools/tpu_rows.log) — keep it 0
-    # until a newer runtime proves it out.
-    rpn_nms_block: int = 0
+    # rpn_nms_chunk > 0 additionally runs the per-image NMS vmap as
+    # lax.map over batch chunks of that width (padding non-multiple
+    # batches with inert lanes) — identical keep-set, different program
+    # shape. The r5 story (tools/probe_propose.py + BASELINE.md): the
+    # 300-iteration scan is loop-overhead-bound (12.0 ms at B=16;
+    # unroll=4 -> 4.27 ms, headline 57.59 -> 59.40); blocked m=64 is
+    # 5.6x (2.15 ms) but the 32-wide vmapped while_loop kernel-faulted
+    # the TPU worker (3/3) while the 16-wide program runs clean — so the
+    # default is blocked-64 CHUNKED to 16-wide map steps, which ran the
+    # full B=32 headline clean 3/3 at 60.0 img/s (+1.0% over unroll-4).
+    # Off-TPU, propose() routes nms_block to the unrolled scan (same
+    # keep-set; see the gate comment in rpn.py — XLA:CPU 0.9.0 compiles
+    # of these while_loop programs intermittently segfault long-lived
+    # processes), so one config runs everywhere, like attention "auto".
+    # Blocked greedy uses lax.while_loop, which reverse-mode AD cannot
+    # transpose — but detection training still differentiates fine:
+    # propose's outputs reach the loss only through integer bin edges
+    # (RoIPool) and stop_gradient (detection_loss.py), so the loop is
+    # never transposed (pinned by tests/test_detection_train.py, which
+    # runs value_and_grad over the full model at these defaults).
+    rpn_nms_block: int = 64
     rpn_nms_unroll: int = 4
+    rpn_nms_chunk: int = 16
     # RoI heads (reference: frcnn.py:1305-1403, 1676-1740)
     num_classes: int = 1600
     num_attrs: int = 400
@@ -328,6 +343,7 @@ class FRCNN(nn.Module):
             scales_yx=scales_yx,
             nms_block=cfg.rpn_nms_block,
             nms_unroll=cfg.rpn_nms_unroll,
+            nms_chunk=cfg.rpn_nms_chunk,
         )
 
         obj_logits, attr_logits, box_deltas, pooled = Res5RoIHeads(

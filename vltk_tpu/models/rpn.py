@@ -9,13 +9,16 @@ static-shape tensor algebra so it jits once and runs batched on the MXU/VPU:
                              profiling on v5e at B=16: 0.87 ms — not a
                              bottleneck, tools/probe_propose.py)
   * min-side filter       -> validity mask (never drops rows)
-  * torchvision NMS       -> ``nms_fixed`` greedy selection under a static
-                             ``post_nms_topk`` budget, executed with
-                             ``unroll=4`` by default (the r5 decomposition
+  * torchvision NMS       -> exact greedy selection under a static
+                             ``post_nms_topk`` budget; default execution
+                             is ``nms_fixed_blocked`` m=64 chunked into
+                             16-wide ``lax.map`` steps (the r5 decomposition
                              measured the 300-iteration scan loop-overhead-
-                             bound: 12.0 ms at B=16 un-unrolled, 4.27 ms
-                             unrolled; ``nms_fixed_blocked`` is 5.6x but
-                             kernel-faults the worker at B=32 in-program —
+                             bound: 12.0 ms at B=16 plain, 4.27 ms
+                             unroll=4, 2.15 ms blocked; the 32-wide
+                             blocked vmap kernel-faults the worker but the
+                             16-wide chunked program runs the B=32
+                             headline clean at 60.0 img/s —
                              BASELINE.md propose-harvest table)
   * ragged output         -> (N, post_nms_topk, 4) + bool mask
 
@@ -122,6 +125,7 @@ def propose(
     scales_yx: Optional[jnp.ndarray] = None,
     nms_block: int = 0,
     nms_unroll: int = 1,
+    nms_chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode + select top proposals for a batch (single level, C4).
 
@@ -141,6 +145,15 @@ def propose(
         size (exact greedy, fewer sequential loop steps — see
         tools/probe_propose.py); 0 keeps the scan.
       nms_unroll: scan unroll factor when ``nms_block == 0``.
+      nms_chunk: if > 0 and N > nms_chunk, run the per-image selection
+        (clip + NMS) as a ``lax.map`` over batch chunks of ``nms_chunk``
+        vmapped images instead of one N-wide vmap (non-multiple batches
+        are padded with inert lanes and sliced back). The
+        keep-set is identical (per-image math is independent); the point
+        is program shape — the blocked-greedy while_loop kernel-faulted
+        this TPU runtime at the 32-wide vmap but runs clean at 16
+        (tools/probe_propose.py), so chunk=16 reproduces the proven
+        program shape inside larger batches.
 
     Returns:
       boxes: (N, post_nms_topk, 4) xyxy, descending objectness.
@@ -163,6 +176,16 @@ def propose(
     )
 
     use_bands = ignorey is not None and scales_yx is not None
+    # blocked greedy is a TPU-measured execution strategy (5.6x the scan,
+    # BASELINE.md propose table); off-TPU it routes to the unrolled scan
+    # — bit-identical keep-set either way (tests/test_ops.py,
+    # test_models.py), same pattern as the flash-attention eligibility
+    # gate. This also keeps the CPU test/dryrun compile profile on the
+    # scan path: XLA:CPU 0.9.0 intermittently segfaults late in
+    # long-lived processes that compile many of these while_loop
+    # programs (3 distinct suite runs, 3 distinct crash sites, all in
+    # backend_compile_and_load — flaky, shape-independent).
+    use_blocked = nms_block > 0 and jax.default_backend() == "tpu"
 
     def per_image(boxes_i, scores_i, size_i, bands_i, scale_x_i):
         valid_i = jnp.ones(boxes_i.shape[0], bool)
@@ -170,7 +193,7 @@ def propose(
             boxes_i, valid_i = apply_ignorey(boxes_i, valid_i, bands_i, scale_x_i)
         boxes_i = clip_boxes(boxes_i, size_i)
         valid_i = valid_i & nonempty_mask(boxes_i, threshold=min_box_side_len)
-        if nms_block > 0:
+        if use_blocked:
             keep, keep_valid = nms_fixed_blocked(
                 boxes_i, scores_i, nms_thresh, post_nms_topk, valid=valid_i,
                 block=nms_block,
@@ -189,8 +212,34 @@ def propose(
     else:  # unused placeholders so vmap has uniform inputs
         bands = jnp.zeros((n, 0, 2), jnp.float32)
         scale_x = jnp.ones((n,), jnp.float32)
-    out_boxes, out_scores, out_valid = jax.vmap(per_image)(
-        boxes, top_scores.astype(jnp.float32), image_sizes, bands, scale_x
-    )
+    vargs = (boxes, top_scores.astype(jnp.float32), image_sizes, bands, scale_x)
+    if nms_chunk > 0 and n > nms_chunk:
+        # pad the batch to a chunk multiple with inert images (zero boxes
+        # + zero image size -> every candidate invalid; the blocked
+        # while_loop sees no live candidate and exits immediately, the
+        # scan runs its fixed budget on an all-invalid lane) and slice
+        # the padding back off — per-image selection is independent, so
+        # the real lanes are untouched.
+        pad = (-n) % nms_chunk
+        padded = tuple(
+            jnp.concatenate(
+                [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0
+            ) if pad else a
+            for a in vargs
+        )
+        m_total = n + pad
+        chunked = tuple(
+            a.reshape(m_total // nms_chunk, nms_chunk, *a.shape[1:])
+            for a in padded
+        )
+        out_boxes, out_scores, out_valid = jax.lax.map(
+            lambda c: jax.vmap(per_image)(*c), chunked
+        )
+        out_boxes, out_scores, out_valid = (
+            o.reshape(m_total, *o.shape[2:])[:n]
+            for o in (out_boxes, out_scores, out_valid)
+        )
+    else:
+        out_boxes, out_scores, out_valid = jax.vmap(per_image)(*vargs)
     out_scores = jnp.where(out_valid, out_scores, NEG_INF)
     return out_boxes, out_scores, out_valid

@@ -12,10 +12,16 @@ Cost: O(max_out * K) IoU evaluations as a ``lax.scan`` — max_out is small
 (300 for RPN, 36-100 for ROI heads), K is the padded candidate count. On
 TPU the scan is LOOP-OVERHEAD-bound, not IoU-bound (r5,
 tools/probe_propose.py at 16x6000->300: 12.0 ms plain, 4.27 ms with
-``unroll=4``, 2.15 ms for :func:`nms_fixed_blocked` m=64) — the RPN runs
-``unroll=4`` by default; blocked greedy additionally shortens the
-sequential argmax chain but kernel-faults this TPU runtime inside the
-full B=32 extraction program, so it ships default-off.
+``unroll=4``, 2.15 ms for :func:`nms_fixed_blocked` m=64). The RPN
+default is blocked greedy m=64: its 32-wide vmapped while_loop
+kernel-faulted this TPU runtime inside the full B=32 extraction program
+(3/3), but chunking the batch into 16-wide ``lax.map`` steps
+(``propose(nms_chunk=16)``, the proven-clean program width) runs the
+B=32 headline clean 3/3 at 60.0 img/s — +1.0% over the ``unroll=4``
+scan, bit-identical keep-set (TPU probe + CPU tests). Off-TPU,
+``propose`` routes ``nms_block`` to the unrolled scan (the while_loop
+compile path is also flaky on XLA:CPU 0.9.0 — see rpn.py), so the
+blocked strategy is a TPU execution detail, not a semantic switch.
 """
 
 from __future__ import annotations
@@ -118,7 +124,9 @@ def nms_fixed_blocked(
     """
     live0 = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
     live0 = live0.astype(jnp.float32)
-    m = block
+    # a block can't exceed the candidate count (tiny smoke geometries
+    # feed K < block; top_k requires k <= size)
+    m = min(block, boxes.shape[0])
 
     def cond(state):
         _, _, count, any_live = state
